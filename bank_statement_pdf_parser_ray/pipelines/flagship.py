@@ -1,0 +1,192 @@
+"""The flagship extraction job (SURVEY.md §3.2):
+
+read -> resume-filter -> keys/salt -> extractor actor pool -> ONE salted
+(conv_id, salt) shuffle restoring stable turn ordering + dedup ->
+partitioned parquet + per-part lineage commit.
+
+Never calls ray.init()/ray.shutdown(): session ownership stays with the
+caller (driver contract, bench.py, tests).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Union
+
+import pyarrow as pa
+import pyarrow.dataset as pads
+
+import ray
+import ray.data
+
+from bank_statement_pdf_parser_ray import EXTRACTOR_VERSION
+from bank_statement_pdf_parser_ray.core.hashing import row_hash
+from bank_statement_pdf_parser_ray.stages.extract import ExtractorActor
+from bank_statement_pdf_parser_ray.stages.keys import (
+    DEFAULT_N_PARTS,
+    DEFAULT_SALT_CHUNK,
+    add_keys,
+)
+from bank_statement_pdf_parser_ray.stages.order import restore_order
+from bank_statement_pdf_parser_ray.state.manifest import Manifest, PartMeta, promote_part
+
+INPUT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+_CHECKSUM_MOD = 1 << 63
+
+
+def _default_concurrency() -> int:
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    # leave headroom for read/write/shuffle tasks so the pool doesn't
+    # starve the rest of the streaming pipeline (ray_guide: actor pools)
+    return max(1, cpus - 2)
+
+
+def _add_row_hash(batch: pa.Table) -> pa.Table:
+    h = [
+        row_hash(c, str(i), t)
+        for c, i, t in zip(
+            batch.column("conv_id").to_pylist(),
+            batch.column("turn_idx").to_pylist(),
+            batch.column("extracted_text").to_pylist(),
+        )
+    ]
+    return batch.append_column("row_h", pa.array(h, type=pa.int64()))
+
+
+def _drop_committed(batch: pa.Table, committed: frozenset[int]) -> pa.Table:
+    if not committed:
+        return batch
+    import pyarrow.compute as pc
+
+    mask = pc.invert(pc.is_in(batch.column("part"), value_set=pa.array(list(committed), type=pa.int32())))
+    return batch.filter(mask)
+
+
+def build_extracted(
+    source: Union[str, "ray.data.Dataset"],
+    *,
+    n_parts: int = DEFAULT_N_PARTS,
+    salt_chunk: int = DEFAULT_SALT_CHUNK,
+    committed: frozenset[int] = frozenset(),
+    concurrency: int | None = None,
+    batch_size: int = 256,
+) -> "ray.data.Dataset":
+    """Lazy Dataset of ordered, deduped extraction results (part/row_h
+    columns included for the sink)."""
+    if isinstance(source, str):
+        ds = ray.data.read_parquet(source, columns=INPUT_COLUMNS)
+    else:
+        ds = source.select_columns(INPUT_COLUMNS)
+    ds = ds.map_batches(
+        partial(add_keys, n_parts=n_parts, salt_chunk=salt_chunk),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    if committed:
+        ds = ds.map_batches(
+            partial(_drop_committed, committed=committed),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    ds = ds.map_batches(
+        ExtractorActor,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency or _default_concurrency(),
+        num_cpus=1,
+    )
+    ds = restore_order(ds)
+    return ds.map_batches(_add_row_hash, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@ray.remote
+def _commit_part(staging_root: str, out_dir: str, manifest_dir: str, part: int, meta_base: dict) -> int:
+    """Promote one staged part and commit its lineage entry (S5).
+    Runs as a Ray task so commits parallelize across parts."""
+    final_dir = promote_part(staging_root, out_dir, part)
+    t = pads.dataset(final_dir, format="parquet").to_table(columns=["row_h"])
+    checksum = 0
+    for chunk in t.column("row_h").chunks:
+        s = chunk.to_numpy(zero_copy_only=False)
+        checksum = (checksum + int(s.sum() % _CHECKSUM_MOD)) % _CHECKSUM_MOD
+    Manifest(manifest_dir).commit(
+        PartMeta(part=part, rows=t.num_rows, checksum=checksum, **meta_base)
+    )
+    return t.num_rows
+
+
+def run_flagship(
+    source: Union[str, "ray.data.Dataset"],
+    out_dir: str | None = None,
+    *,
+    manifest_dir: str | None = None,
+    n_parts: int = DEFAULT_N_PARTS,
+    salt_chunk: int = DEFAULT_SALT_CHUNK,
+    concurrency: int | None = None,
+    batch_size: int = 256,
+):
+    """Run the flagship job.
+
+    - ``out_dir`` None: return the lazy result Dataset (tests, entry()).
+    - ``out_dir`` set: resumable partitioned write; returns a summary dict
+      {parts_written, parts_skipped, rows_written}.
+    """
+    input_desc = source if isinstance(source, str) else "<dataset>"
+    if out_dir is None:
+        return build_extracted(
+            source,
+            n_parts=n_parts,
+            salt_chunk=salt_chunk,
+            concurrency=concurrency,
+            batch_size=batch_size,
+        ).drop_columns(["part"])
+
+    manifest_dir = manifest_dir or os.path.join(out_dir, "_manifest")
+    manifest = Manifest(manifest_dir)
+    committed = frozenset(manifest.committed_parts())
+    ds = build_extracted(
+        source,
+        n_parts=n_parts,
+        salt_chunk=salt_chunk,
+        committed=committed,
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+    staging_root = os.path.join(out_dir, f"_staging-{os.getpid()}")
+    ds.write_parquet(staging_root, partition_cols=["part"])
+
+    written = []
+    meta_base = {
+        "extractor_version": EXTRACTOR_VERSION,
+        "n_parts": n_parts,
+        "salt_chunk": salt_chunk,
+        "input": input_desc,
+    }
+    # a fully-resumed run writes 0 rows and no staging dir at all
+    parts_found = (
+        sorted(
+            int(name.split("=", 1)[1])
+            for name in os.listdir(staging_root)
+            if name.startswith("part=")
+        )
+        if os.path.isdir(staging_root)
+        else []
+    )
+    refs = [
+        _commit_part.remote(staging_root, out_dir, manifest_dir, p, meta_base)
+        for p in parts_found
+    ]
+    rows = sum(ray.get(refs))
+    written = parts_found
+    # clear the (now empty) staging root
+    import shutil
+
+    shutil.rmtree(staging_root, ignore_errors=True)
+    return {
+        "parts_written": len(written),
+        "parts_skipped": len(committed),
+        "rows_written": rows,
+    }

@@ -1,0 +1,39 @@
+"""O1 stable turn ordering + D1 exact dedup + G3 rollup, fused into ONE
+salted hash shuffle (SURVEY.md §2.6 O1, §2.7 D1, §2.5 G3, §4 skew row).
+
+This is the pipeline's single all-to-all exchange: group by
+``group_key = conv_id \\x1f salt`` (salt = turn_idx // salt_chunk, see
+stages/keys.py) and, per group: sort by turn_idx, drop duplicate
+(conv_id, turn_idx) rows (replayed fragments are verbatim copies —
+FIXTURES.md A.1), all inside one ``map_groups``. NOT a global
+``ds.sort``: ordering is only required within a conversation
+(BASELINE.json "stable turn ordering"), so a range shuffle of every row
+would be wasted movement.
+
+Salted chunks of one conversation have disjoint turn ranges, so
+per-chunk sorting preserves global per-conversation order by
+construction.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+
+def _sort_dedup_group(group: pa.Table) -> pa.Table:
+    t = group.sort_by([("turn_idx", "ascending")])
+    if t.num_rows <= 1:
+        return t
+    idx = t.column("turn_idx").to_pylist()
+    keep = [True] + [idx[i] != idx[i - 1] for i in range(1, len(idx))]
+    if all(keep):
+        return t
+    return t.filter(pa.array(keep))
+
+
+def restore_order(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Requires the ``group_key`` column (stages/keys.add_keys)."""
+    out = ds.groupby("group_key").map_groups(_sort_dedup_group, batch_format="pyarrow")
+    return out.drop_columns(["group_key", "salt"])

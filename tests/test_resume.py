@@ -1,0 +1,88 @@
+"""S5 resume gate: identical final output after kill-and-rerun from a
+partial checkpoint manifest (BASELINE.json north_rule; SURVEY.md §5.4)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pandas as pd
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import pytest
+
+from bank_statement_pdf_parser_ray.pipelines.flagship import run_flagship
+from bank_statement_pdf_parser_ray.state.manifest import Manifest
+
+
+@pytest.fixture(scope="module")
+def corpus_path(tmp_path_factory, tiny_corpus):
+    p = tmp_path_factory.mktemp("corpus_r") / "tiny.parquet"
+    pq.write_table(tiny_corpus, str(p))
+    return str(p)
+
+
+def _read_all(out_dir: str) -> pd.DataFrame:
+    files = []
+    for d in os.listdir(out_dir):
+        if d.startswith("part="):
+            sub = os.path.join(out_dir, d)
+            files.extend(os.path.join(sub, f) for f in os.listdir(sub) if f.endswith(".parquet"))
+    ds = pads.dataset(files)
+    df = ds.to_table(columns=["conv_id", "turn_idx", "extracted_text", "row_h"]).to_pandas()
+    return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+class TestResume:
+    def test_kill_and_rerun_identical(self, corpus_path, tmp_path):
+        ref_dir = str(tmp_path / "ref")
+        out_dir = str(tmp_path / "resumable")
+        s1 = run_flagship(corpus_path, ref_dir, salt_chunk=25, n_parts=8)
+        assert s1["parts_written"] > 0 and s1["parts_skipped"] == 0
+        reference = _read_all(ref_dir)
+
+        # full run, then simulate a crash that lost 3 parts AND their
+        # manifest entries (uncommitted work)
+        s2 = run_flagship(corpus_path, out_dir, salt_chunk=25, n_parts=8)
+        manifest = Manifest(os.path.join(out_dir, "_manifest"))
+        lost = sorted(manifest.committed_parts())[:3]
+        for p in lost:
+            shutil.rmtree(os.path.join(out_dir, f"part={p}"))
+            os.remove(os.path.join(out_dir, "_manifest", f"part-{p:05d}.json"))
+
+        s3 = run_flagship(corpus_path, out_dir, salt_chunk=25, n_parts=8)
+        assert s3["parts_written"] == len(lost)
+        assert s3["parts_skipped"] == s2["parts_written"] - len(lost)
+        resumed = _read_all(out_dir)
+        pd.testing.assert_frame_equal(reference, resumed)
+
+    def test_orphan_part_dir_replaced(self, corpus_path, tmp_path):
+        out_dir = str(tmp_path / "orphan")
+        run_flagship(corpus_path, out_dir, salt_chunk=25, n_parts=8)
+        manifest = Manifest(os.path.join(out_dir, "_manifest"))
+        victim = sorted(manifest.committed_parts())[0]
+        # crash between promote and manifest commit: dir exists, no entry
+        os.remove(os.path.join(out_dir, "_manifest", f"part-{victim:05d}.json"))
+        before = _read_all(out_dir)
+        s = run_flagship(corpus_path, out_dir, salt_chunk=25, n_parts=8)
+        assert s["parts_written"] == 1
+        pd.testing.assert_frame_equal(before, _read_all(out_dir))
+
+    def test_manifest_records_lineage(self, corpus_path, tmp_path):
+        out_dir = str(tmp_path / "lineage")
+        run_flagship(corpus_path, out_dir, salt_chunk=25, n_parts=8)
+        mdir = os.path.join(out_dir, "_manifest")
+        entries = [json.load(open(os.path.join(mdir, f))) for f in sorted(os.listdir(mdir))]
+        assert entries
+        for e in entries:
+            assert e["rows"] > 0
+            assert e["checksum"] > 0
+            assert e["extractor_version"]
+            assert e["input"] == corpus_path
+        # checksums are content-derived: identical rerun -> identical checksums
+        out2 = str(tmp_path / "lineage2")
+        run_flagship(corpus_path, out2, salt_chunk=25, n_parts=8)
+        m2 = os.path.join(out2, "_manifest")
+        entries2 = [json.load(open(os.path.join(m2, f))) for f in sorted(os.listdir(m2))]
+        assert [e["checksum"] for e in entries] == [e["checksum"] for e in entries2]

@@ -1,0 +1,166 @@
+"""Statement-to-rows fixture tests (SURVEY.md §5.1; BASELINE.json
+"golden-file tests mirroring the repo's statement-to-rows fixtures").
+
+Hand-written statement texts per issuer dialect -> exact expected
+transaction tuples.
+"""
+
+from __future__ import annotations
+
+from bank_statement_pdf_parser_ray.core.extract import extract_payload
+from bank_statement_pdf_parser_ray.core.statement import extract_statement
+
+UOB_STREAM = """UOB   UNITED OVERSEAS BANK LIMITED
+Account Statement
+Account No: 123-456-789
+Statement Period: 01 Jan 2024 to 31 Dec 2024
+
+Date                    Description                     Withdrawal          Deposit         Balance
+                        BALANCE B/F                                                       10,000.00
+05 Jan 2024             GIRO SALARY PAYMENT                                5,000.00       15,000.00
+12 Feb 2024             CARD PURCHASE ONLINE              1,250.50                        13,749.50
+                        MERCHANT REF 998877
+03 Mar 2024             CHEQUE DEPOSIT                                       100.00       13,849.50
+
+End of Statement
+Page 1 of 1"""
+
+
+class TestUOBStream:
+    def test_rows(self):
+        out = extract_statement(UOB_STREAM)
+        assert out["dialect"] == "UOB"
+        t = out["transactions"]
+        assert t == [
+            {"date": "2024-01-05", "description": "GIRO SALARY PAYMENT", "debit": "", "credit": "5000.00", "balance": "15000.00"},
+            {"date": "2024-02-12", "description": "CARD PURCHASE ONLINE MERCHANT REF 998877", "debit": "1250.50", "credit": "", "balance": "13749.50"},
+            {"date": "2024-03-03", "description": "CHEQUE DEPOSIT", "debit": "", "credit": "100.00", "balance": "13849.50"},
+        ]
+        assert out["balance_ok"] is True
+
+    def test_extracted_text_canonical(self):
+        out = extract_statement(UOB_STREAM)
+        assert "2024-01-05 | GIRO SALARY PAYMENT | | 5000.00 | 15000.00" in out["extracted_text"]
+        assert "Page 1 of 1" not in out["extracted_text"]
+        assert "BALANCE B/F | | | | 10000.00" in out["extracted_text"]
+
+    def test_balance_violation_detected(self):
+        bad = UOB_STREAM.replace("13,849.50", "13,849.51")
+        out = extract_statement(bad)
+        assert out["balance_ok"] is False
+
+
+DBS_LATTICE = """DBS BANK LTD
+Account Statement
+Account No: 555-001-002
+
++--------------+--------------------------+----------------+----------------+------------------+
+| Date         | Transaction Details      | Debit          | Credit         | Balance          |
++--------------+--------------------------+----------------+----------------+------------------+
+| 10/01/2024   | FAST TRANSFER IN         |                | 2,000.00       | 2,000.00         |
++--------------+--------------------------+----------------+----------------+------------------+
+| 15/01/2024   | POS PURCHASE             | 350.25         |                | 1,649.75         |
+|              | GROCERY STORE 42         |                |                |                  |
++--------------+--------------------------+----------------+----------------+------------------+
+
+End of Statement
+Page 1 of 1"""
+
+
+class TestDBSLattice:
+    def test_rows(self):
+        out = extract_statement(DBS_LATTICE)
+        assert out["dialect"] == "DBS"
+        t = out["transactions"]
+        assert t == [
+            {"date": "2024-01-10", "description": "FAST TRANSFER IN", "debit": "", "credit": "2000.00", "balance": "2000.00"},
+            {"date": "2024-01-15", "description": "POS PURCHASE GROCERY STORE 42", "debit": "350.25", "credit": "", "balance": "1649.75"},
+        ]
+        assert out["balance_ok"] is True  # no opening balance -> checked from row 2
+
+    def test_table_span(self):
+        out = extract_statement(DBS_LATTICE)
+        kinds = [k for _, _, k in out["spans"]]
+        assert "table" in kinds
+        s, e, _ = [sp for sp in out["spans"] if sp[2] == "table"][0]
+        assert "Transaction Details" in DBS_LATTICE[s:e]
+
+
+OCBC_STREAM = """OCBC   OVERSEA-CHINESE BANKING CORPORATION
+Account Statement
+
+Date                    Description                     Debit               Credit          Balance
+01-02-24                INTEREST CREDIT                                      12.34          512.34 CR
+15-02-24                SERVICE CHARGE                     600.00                            87.66 DR
+
+End of Statement
+Page 1 of 1"""
+
+
+class TestOCBCStream:
+    def test_cr_dr_suffix(self):
+        out = extract_statement(OCBC_STREAM)
+        assert out["dialect"] == "OCBC"
+        t = out["transactions"]
+        assert t[0]["balance"] == "512.34"
+        assert t[1]["balance"] == "-87.66"
+        assert t[0]["date"] == "2024-02-01"
+        assert out["balance_ok"] is True
+
+
+HDFC_LATTICE = """HDFC BANK LIMITED
+Account Statement
+
++--------------+--------------------------+----------------+----------------+------------------+
+| Date         | Narration                | Withdrawal Amt | Deposit Amt    | Closing Balance  |
++--------------+--------------------------+----------------+----------------+------------------+
+| 02/04/24     | UPI PAYMENT VENDOR       | 1,500.00       |                | (500.00)         |
++--------------+--------------------------+----------------+----------------+------------------+
+| 09/04/24     | NEFT INWARD              |                | 2,500.00       | 2,000.00         |
++--------------+--------------------------+----------------+----------------+------------------+
+
+Page 1 of 1"""
+
+
+class TestHDFCLattice:
+    def test_paren_negative(self):
+        out = extract_statement(HDFC_LATTICE)
+        assert out["dialect"] == "HDFC"
+        t = out["transactions"]
+        assert t[0]["balance"] == "-500.00"
+        assert t[0]["date"] == "2024-04-02"
+        assert t[1]["balance"] == "2000.00"
+        assert out["balance_ok"] is True
+
+
+TWO_PAGE = """UOB   UNITED OVERSEAS BANK LIMITED
+Account Statement
+
+Date                    Description                     Withdrawal          Deposit         Balance
+07 May 2024             ATM WITHDRAWAL                      200.00                          800.00
+
+Page 1 of 2\fUOB   UNITED OVERSEAS BANK LIMITED
+Account Statement
+
+End of Statement
+Page 2 of 2"""
+
+
+class TestPagination:
+    def test_repeated_header_and_footers_dropped(self):
+        out = extract_statement(TWO_PAGE)
+        txt = out["extracted_text"]
+        assert txt.count("UNITED OVERSEAS BANK") == 1  # M9 page-header dedup
+        assert "Page 1 of 2" not in txt and "Page 2 of 2" not in txt
+        assert len(out["transactions"]) == 1
+
+
+class TestRouting:
+    def test_statement_routed_pdf(self):
+        out = extract_payload(UOB_STREAM)
+        assert out["content_kind"] == "pdf_layout"
+        assert out["error"] == ""
+
+    def test_extractor_never_raises(self):
+        out = extract_payload("+--+\n| broken | grid\nPage 1 of 1")
+        assert out["extractor_version"]
