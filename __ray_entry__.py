@@ -3,14 +3,15 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ray.init()/ray.shutdown().
+
+Operator registry (SURVEY.md §2): the flagship transcript-extraction
+pipeline is verified by the stronger oracle-equality pytest path
+(tests/test_pipeline_e2e.py) plus a rows-only entry here; the
+SQL-expressible operators get DuckDB oracles.
 """
 
 from __future__ import annotations
@@ -18,27 +19,141 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow as pa
+
+
+def _documents_as_transcripts(sf_dir: str):
+    """Bridge the shared `documents` table into the input_hint transcript
+    shape (each document = a single-turn conversation)."""
+    import ray.data
+
+    def to_turns(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        conv = [f"doc-{i:010d}" for i in t.column("doc_id").to_pylist()]
+        return pa.table(
+            {
+                "conv_id": pa.array(conv, pa.string()),
+                "turn_idx": pa.array([0] * n, pa.int32()),
+                "role": pa.array(["user"] * n, pa.string()),
+                "text": t.column("text").cast(pa.string()),
+                "tool": pa.array([""] * n, pa.string()),
+                "ts": pa.array([1_704_067_200_000_000] * n, pa.timestamp("us")),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(to_turns, batch_format="pyarrow", zero_copy_batch=True)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship extraction pipeline on /root/testdata/sf0.001."""
+    from bank_statement_pdf_parser_ray.pipelines.flagship import run_flagship
+
+    src = _documents_as_transcripts("/root/testdata/sf0.001")
+    return run_flagship(src, salt_chunk=10_000, n_parts=16)
+
+
+def _extract_documents(sf_dir: str):
+    from bank_statement_pdf_parser_ray.pipelines.flagship import run_flagship
+
+    ds = run_flagship(_documents_as_transcripts(sf_dir), salt_chunk=10_000, n_parts=16)
+    return ds.select_columns(["conv_id", "turn_idx", "content_kind", "extracted_text", "row_h"])
+
+
+def _extract_corpus(sf_dir: str):
+    """Flagship over the synthetic transcript corpus (all three payload
+    families incl. statement dialects); sf_dir scales the corpus size."""
+    import ray.data
+
+    from bank_statement_pdf_parser_ray.pipelines.flagship import run_flagship
+    from bank_statement_pdf_parser_ray.sources.corpus import gen_corpus
+
+    n_convs = {"sf0.001": 30, "sf0.01": 120, "sf0.1": 400}.get(sf_dir.rstrip("/").split("/")[-1], 60)
+    src = ray.data.from_arrow(gen_corpus(n_convs, seed=42, mega_turns=200))
+    ds = run_flagship(src, salt_chunk=64, n_parts=16)
+    return ds.select_columns(
+        ["conv_id", "turn_idx", "content_kind", "dialect", "balance_ok", "extracted_text"]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from bank_statement_pdf_parser_ray.pipelines import datapipe as dp
+    from bank_statement_pdf_parser_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship extraction (oracle-equality checked in pytest; rows-only here)
+        "extract_corpus": _extract_corpus,
+        "extract_documents": _extract_documents,
+        # relational / SQL-checkable operators
+        "lineitem_agg": q.lineitem_agg,
+        "filter_highvalue": q.filter_highvalue,
+        "topk_users": q.topk_users,
+        "events_windowed": q.events_windowed,
+        "events_ordered": q.events_ordered,
+        "broadcast_join": q.broadcast_join,
+        "distinct_langs": q.distinct_langs,
+        "json_props_sum": q.json_props_sum,
+        # text analysis
+        "normalize_ws": dp.normalize_ws,
+        "row_hash_md5": dp.row_hash_md5,
+        "token_count": dp.token_count,
+        "token_count_bpe": dp.token_count_bpe,
+        "quality_score": dp.quality_score,
+        "langid": dp.langid,
+        "doc_fingerprint": dp.doc_fingerprint,
+        # dedup family
+        "exact_dedup": dp.exact_dedup,
+        "minhash_candidates": dp.minhash_candidates,
+        "minhash_verified": dp.minhash_verified,
+        "simhash": dp.simhash,
+        "ngram_jaccard_pairs": dp.ngram_jaccard_pairs,
+        # similarity search
+        "knn_cosine": dp.knn_cosine,
+        "knn_cosine_lsh": dp.knn_cosine_lsh,
+        # multimodal plumbing (decode stubbed, see MediaDecodeActor)
+        "media_features": dp.media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from bank_statement_pdf_parser_ray.pipelines import queries as q
+
+    return {
+        "lineitem_agg": q.LINEITEM_AGG_SQL,
+        "filter_highvalue": q.FILTER_HIGHVALUE_SQL,
+        "topk_users": q.TOPK_USERS_SQL,
+        "events_windowed": q.EVENTS_WINDOWED_SQL,
+        "events_ordered": q.EVENTS_ORDERED_SQL,
+        "broadcast_join": q.BROADCAST_JOIN_SQL,
+        "distinct_langs": q.DISTINCT_LANGS_SQL,
+        "json_props_sum": q.JSON_PROPS_SUM_SQL,
+        "normalize_ws": (
+            "SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm_text FROM documents"
+        ),
+        "row_hash_md5": "SELECT doc_id, md5(text) AS h FROM documents",
+        "token_count": (
+            "SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens "
+            "FROM documents"
+        ),
+        "quality_score": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+            "CAST(CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens, "
+            "CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct "
+            "FROM documents"
+        ),
+        "exact_dedup": "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+        "knn_cosine": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)), "
+            "s AS (SELECT q.qid AS query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS sim "
+            "      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid) "
+            "SELECT query_id, vec_id, rank FROM ("
+            "  SELECT query_id, vec_id, "
+            "         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank "
+            "  FROM s) WHERE rank <= 5"
+        ),
+        # rows-only (non-SQL-expressible): extract_corpus, extract_documents,
+        # langid, doc_fingerprint, minhash_*, simhash, ngram_jaccard_pairs,
+        # token_count_bpe, knn_cosine_lsh, media_features
+    }

@@ -1,0 +1,517 @@
+"""Large-scale training-data operators over the shared `documents` /
+`embeddings` tables (driver-mandated components beyond SURVEY.md §2:
+dedup families, similarity search, text analysis, multimodal plumbing).
+
+Every operator is a function ``sf_dir -> Dataset | pyarrow.Table`` and is
+registered in ``__ray_entry__.queries()``. Scale notes per operator
+docstring; all hot paths are vectorized (pyarrow.compute / numpy) or
+amortize state in actor pools.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from bank_statement_pdf_parser_ray.core.hashing import fingerprint as _fingerprint
+from bank_statement_pdf_parser_ray.core.hashing import stable_hash64
+
+
+def _docs(sf_dir: str, columns: list[str]) -> "ray.data.Dataset":
+    # prune at the read: only the needed columns leave storage
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def normalize_ws(sf_dir: str) -> "ray.data.Dataset":
+    """M7-lite whitespace collapse, SQL-checkable (oracle uses
+    trim(regexp_replace(text,'\\s+',' ','g')))."""
+
+    def f(t: pa.Table) -> pa.Table:
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(t.column("text"), pattern=r"\s+", replacement=" ")
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "norm_text": norm})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def row_hash_md5(sf_dir: str) -> "ray.data.Dataset":
+    """F5 content hashing (md5 hex to match the DuckDB oracle)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"), "h": pa.array(hs, pa.string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_count(sf_dir: str) -> "ray.data.Dataset":
+    """Whitespace token counting (vectorized regex count)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t.column("text"), pattern=r"\S+")
+        return pa.table({"doc_id": t.column("doc_id"), "n_tokens": pc.cast(n, pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_score(sf_dir: str) -> "ray.data.Dataset":
+    """Quality signals: length, token count, punctuation count, mean
+    token length — all Arrow kernels, SQL-checkable."""
+
+    def f(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        n_tokens = pc.cast(pc.count_substring_regex(text, pattern=r"\S+"), pa.int64())
+        n_punct = pc.cast(pc.count_substring_regex(text, pattern=r"[.,;:!?]"), pa.int64())
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chars": n_chars,
+                "n_tokens": n_tokens,
+                "n_punct": n_punct,
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_BPE_ISH_RX = re.compile(r"[A-Za-z]+|\d{1,3}|[^\sA-Za-z\d]")
+
+
+def token_count_bpe(sf_dir: str) -> "ray.data.Dataset":
+    """BPE-ish token counting (letters runs / short digit runs / single
+    punctuation — the usual pre-tokenizer shape). Rows-only check."""
+
+    def f(t: pa.Table) -> pa.Table:
+        n = [len(_BPE_ISH_RX.findall(s)) for s in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"), "n_bpe_tokens": pa.array(n, pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class LangIdActor:
+    """Language-ID n-gram heuristic as a warm-state actor pool stage:
+    stopword tables + script ranges built once per actor (A1 pattern)."""
+
+    STOPWORDS = {
+        "en": {"the", "and", "of", "to", "a", "in", "is", "for", "with", "that"},
+        "es": {"el", "la", "de", "que", "y", "en", "un", "los", "por", "con"},
+        "fr": {"le", "la", "de", "et", "un", "les", "des", "en", "du", "que"},
+        "de": {"der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "ein"},
+    }
+
+    def __init__(self) -> None:
+        self.word_rx = re.compile(r"[a-zàâäéèêëîïôöùûüßáíóúñ]+")
+        self.cjk_rx = re.compile(r"[一-鿿]")
+
+    def _classify(self, text: str) -> str:
+        if self.cjk_rx.search(text):
+            return "zh"
+        words = self.word_rx.findall(text.lower())
+        if not words:
+            return "und"
+        best, best_n = "und", 0
+        for lang, stops in self.STOPWORDS.items():
+            n = sum(1 for w in words if w in stops)
+            if n > best_n:
+                best, best_n = lang, n
+        return best if best_n else "en"
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        preds = [self._classify(s) for s in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"), "lang_pred": pa.array(preds, pa.string())})
+
+
+def langid(sf_dir: str) -> "ray.data.Dataset":
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        LangIdActor, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+    )
+
+
+def doc_fingerprint(sf_dir: str) -> "ray.data.Dataset":
+    """Rolling-hash document fingerprint (winnowing-style min k-gram hash)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        fps = [_fingerprint(s) for s in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"), "fp": pa.array(fps, pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication family
+# ---------------------------------------------------------------------------
+
+def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """Exact dedup: keep min doc_id per distinct text.
+
+    Scale path: group on a 64-bit content hash (shuffles 8-byte keys,
+    not payloads), min(doc_id) per group, then the survivor rows are
+    re-read by id — here the text rides along because payloads are tiny.
+    """
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        hs = pa.array([stable_hash64(s) for s in t.column("text").to_pylist()], pa.int64())
+        return t.append_column("text_h", hs)
+
+    def first_per_group(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("doc_id", "ascending")])
+        return g.slice(0, 1).select(["doc_id", "text"])
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby("text_h").map_groups(first_per_group, batch_format="pyarrow")
+
+
+def _shingles(text: str, k: int = 3) -> set[int]:
+    """Word k-gram shingle hashes."""
+    ws = text.split()
+    if len(ws) < k:
+        return {stable_hash64(text)}
+    return {stable_hash64(" ".join(ws[i : i + k])) for i in range(len(ws) - k + 1)}
+
+
+_MINHASH_PERMS = 64
+_LSH_BANDS = 16  # 16 bands x 4 rows
+_MH_PRIME = (1 << 61) - 1
+_RNG = np.random.RandomState(12345)
+# 31-bit coefficients x 32-bit shingle hashes keep a*x+b inside uint64
+_PERM_A = _RNG.randint(1, 1 << 31, size=_MINHASH_PERMS).astype(np.uint64)
+_PERM_B = _RNG.randint(0, 1 << 31, size=_MINHASH_PERMS).astype(np.uint64)
+
+
+def _minhash_sig(sh: set[int]) -> np.ndarray:
+    x = (np.fromiter(sh, dtype=np.uint64) & np.uint64(0xFFFFFFFF))[:, None]  # (n, 1)
+    vals = (x * _PERM_A + _PERM_B) % np.uint64(_MH_PRIME)  # vectorized over all perms
+    return np.min(vals, axis=0).astype(np.int64)
+
+
+class MinHashActor:
+    """Shingle -> MinHash signature -> LSH band keys; signatures computed
+    batched with numpy, band keys emitted as exploded rows for the
+    (band_id, band_hash) groupby."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows_per_band = _MINHASH_PERMS // _LSH_BANDS
+        doc_ids, band_ids, band_hashes = [], [], []
+        for doc_id, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            sig = _minhash_sig(_shingles(text))
+            for b in range(_LSH_BANDS):
+                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                band_hashes.append(stable_hash64(",".join(map(str, chunk.tolist()))))
+                band_ids.append(b)
+                doc_ids.append(doc_id)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "band_id": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(band_hashes, pa.int64()),
+            }
+        )
+
+
+def minhash_candidates(sf_dir: str) -> "ray.data.Dataset":
+    """MinHash+LSH near-dup candidate pairs: shingle -> minhash -> band
+    -> bucket groupby -> pairs (doc_a < doc_b), deduped across bands.
+
+    Scale: the shuffle moves only (band_id, band_hash, doc_id) triples;
+    candidate verification (exact Jaccard) happens in
+    ``minhash_verified`` on the tiny candidate set.
+    """
+
+    def pairs_per_bucket(g: pa.Table) -> pa.Table:
+        ids = sorted(g.column("doc_id").to_pylist())
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pa.table({"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())})
+
+    def bucket_key(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t.column("band_id"), pa.string()),
+            pc.cast(t.column("band_hash"), pa.string()),
+            ":",
+        )
+        return t.append_column("bucket", key)
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        MinHashActor, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+    )
+    ds = ds.map_batches(bucket_key, batch_format="pyarrow", zero_copy_batch=True)
+    cand = ds.groupby("bucket").map_groups(pairs_per_bucket, batch_format="pyarrow")
+
+    def dedup_pairs(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    def pair_key(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t.column("doc_a"), pa.string()), pc.cast(t.column("doc_b"), pa.string()), "-"
+        )
+        return t.append_column("pk", key)
+
+    cand = cand.map_batches(pair_key, batch_format="pyarrow", zero_copy_batch=True)
+    return cand.groupby("pk").map_groups(dedup_pairs, batch_format="pyarrow").drop_columns(["pk"])
+
+
+def minhash_verified(sf_dir: str, threshold: float = 0.8) -> pa.Table:
+    """Candidates + exact Jaccard verification. The candidate set is
+    small by construction, so verification broadcasts the needed texts."""
+    cand = minhash_candidates(sf_dir).to_pandas()
+    if cand.empty:
+        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
+    need = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
+    import pyarrow.dataset as pads
+
+    t = (
+        pads.dataset(f"{sf_dir}/documents.parquet")
+        .to_table(columns=["doc_id", "text"], filter=pc.field("doc_id").isin(need))
+    )
+    texts = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    keep_a, keep_b = [], []
+    for a, b in zip(cand["doc_a"], cand["doc_b"]):
+        sa, sb = _shingles(texts[a]), _shingles(texts[b])
+        j = len(sa & sb) / max(1, len(sa | sb))
+        if j >= threshold:
+            keep_a.append(int(a))
+            keep_b.append(int(b))
+    return pa.table({"doc_a": pa.array(keep_a, pa.int64()), "doc_b": pa.array(keep_b, pa.int64())})
+
+
+def simhash(sf_dir: str) -> "ray.data.Dataset":
+    """64-bit SimHash over word hashes (weighted bit voting), masked to
+    63 bits for int64 transport."""
+
+    def f(t: pa.Table) -> pa.Table:
+        out = []
+        for text in t.column("text").to_pylist():
+            words = text.split()
+            if not words:
+                out.append(0)
+                continue
+            hs = np.array([stable_hash64(w) for w in words], dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(63, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
+            votes = bits.sum(axis=0) * 2 - len(words)
+            sh = 0
+            for i in range(63):
+                if votes[i] > 0:
+                    sh |= 1 << i
+            out.append(sh)
+        return pa.table({"doc_id": t.column("doc_id"), "simhash": pa.array(out, pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, sample: int = 256) -> pa.Table:
+    """n-gram Jaccard similarity over a bounded sample of document pairs
+    (all-pairs is quadratic — the scale path is minhash_candidates; this
+    operator is the exact small-side variant). Deterministic sample:
+    lowest `sample` doc_ids."""
+    import pyarrow.dataset as pads
+
+    t = (
+        pads.dataset(f"{sf_dir}/documents.parquet")
+        .to_table(columns=["doc_id", "text"], filter=pc.field("doc_id") < sample)
+    )
+    ids = t.column("doc_id").to_pylist()
+    shingle_sets = [_shingles(s) for s in t.column("text").to_pylist()]
+    a_out, b_out, j_out = [], [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            inter = len(shingle_sets[i] & shingle_sets[j])
+            if not inter:
+                continue
+            jac = inter / len(shingle_sets[i] | shingle_sets[j])
+            if jac >= threshold:
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+                j_out.append(round(jac, 6))
+    return pa.table(
+        {
+            "doc_a": pa.array(a_out, pa.int64()),
+            "doc_b": pa.array(b_out, pa.int64()),
+            "jaccard": pa.array(j_out, pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def _query_matrix(sf_dir: str, query_ids: tuple[int, ...]) -> tuple[np.ndarray, list[int]]:
+    import pyarrow.dataset as pads
+
+    t = (
+        pads.dataset(f"{sf_dir}/embeddings.parquet")
+        .to_table(columns=["vec_id", "embedding"], filter=pc.field("vec_id").isin(list(query_ids)))
+    )
+    ids = t.column("vec_id").to_pylist()
+    q = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return q, ids
+
+
+def knn_cosine(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2), k: int = 5) -> pa.Table:
+    """Brute-force cosine top-k: broadcast the query matrix once
+    (ray.put), numpy matmul per batch, per-batch partial top-k, exact
+    final merge of the tiny candidate set on the driver.
+
+    Scale: each batch ships only k rows per query to the driver; the
+    query matrix is read once per worker from the object store.
+    """
+    q, qids = _query_matrix(sf_dir, query_ids)
+    q_ref = ray.put(q)
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        vec_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = m @ qm.T  # (batch, n_queries)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            take = min(k + 1, len(col))  # +1: the query itself may be in-batch
+            idx = np.argpartition(-col, take - 1)[:take]
+            for i in idx:
+                out_q.append(qids[qi])
+                out_v.append(int(vec_ids[i]))
+                out_s.append(float(col[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cand = ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096).to_pandas()
+    cand = cand[cand["query_id"] != cand["vec_id"]]
+    cand = cand.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
+    top = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(top[["query_id", "vec_id", "rank"]], preserve_index=False)
+
+
+def knn_cosine_lsh(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2), k: int = 5, n_planes: int = 8) -> pa.Table:
+    """LSH-bucketed ANN variant (the 100TB path): random-hyperplane
+    signatures bucket vectors; only buckets matching a query's signature
+    are scanned. Approximate — rows-only check."""
+    q, qids = _query_matrix(sf_dir, query_ids)
+    rng = np.random.RandomState(7)
+    dim = q.shape[1]
+    planes = rng.randn(n_planes, dim)
+    q_sig_arr = (q @ planes.T > 0).astype(np.int8)
+    planes_ref = ray.put(planes)
+    q_ref = ray.put((q, qids, q_sig_arr))
+
+    def bucket_scan(t: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        qm, qid_list, qsigs = ray.get(q_ref)
+        vec_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sigs = (m @ pl.T > 0).astype(np.int8)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qid_list)):
+            mask = (sigs == qsigs[qi]).all(axis=1)  # same bucket only
+            if not mask.any():
+                continue
+            sims = m[mask] @ qm[qi]
+            ids = vec_ids[mask]
+            take = min(k + 1, len(sims))
+            idx = np.argpartition(-sims, take - 1)[:take]
+            for i in idx:
+                out_q.append(qid_list[qi])
+                out_v.append(int(ids[i]))
+                out_s.append(float(sims[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cand = ds.map_batches(bucket_scan, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096).to_pandas()
+    cand = cand[cand["query_id"] != cand["vec_id"]]
+    cand = cand.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
+    top = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(top[["query_id", "vec_id", "rank"]], preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (decode stubbed — no image/audio libs in env)
+# ---------------------------------------------------------------------------
+
+class MediaDecodeActor:
+    """Actor-pool stage for opaque binary media columns: schema, batch
+    sizing and output layout are real; the decode kernel is a
+    deterministic fake (no image/audio libraries ship in this
+    environment — a real deployment drops PIL/ffmpeg into `_decode`).
+    """
+
+    def __init__(self, target_size: tuple[int, int] = (32, 32)) -> None:
+        self.target = target_size
+
+    def _decode(self, blob: bytes) -> np.ndarray:
+        # STUB: deterministic fake decode — a real build would use an
+        # image library here. Derives a target-sized float32 "image"
+        # from the payload bytes so the plumbing is testable.
+        h, w = self.target
+        if not blob:
+            return np.zeros((h, w), dtype=np.float32)
+        arr = np.frombuffer(blob, dtype=np.uint8)
+        reps = int(np.ceil(h * w / len(arr)))
+        return (np.tile(arr, reps)[: h * w].reshape(h, w) / 255.0).astype(np.float32)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        feats, widths, heights, n_bytes = [], [], [], []
+        for blob in t.column("media").to_pylist():
+            img = self._decode(blob or b"")
+            feats.append(img.mean(axis=0).tolist())  # column-mean feature vector
+            heights.append(img.shape[0])
+            widths.append(img.shape[1])
+            n_bytes.append(len(blob or b""))
+        return pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "n_bytes": pa.array(n_bytes, pa.int64()),
+                "height": pa.array(heights, pa.int32()),
+                "width": pa.array(widths, pa.int32()),
+                "feature": pa.array(feats, pa.list_(pa.float32())),
+            }
+        )
+
+
+def media_features(sf_dir: str) -> "ray.data.Dataset":
+    """Multimodal pipeline demo: synthesize an opaque binary media
+    column from document bytes (deterministic), then run the actor-pool
+    decode/feature stage with small batches (large binary payloads =>
+    small batch_size, SURVEY §4 memory row)."""
+
+    def to_media(t: pa.Table) -> pa.Table:
+        blobs = [s.encode("utf-8")[:4096] for s in t.column("text").to_pylist()]
+        return pa.table({"media_id": t.column("doc_id"), "media": pa.array(blobs, pa.binary())})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
+        MediaDecodeActor, batch_format="pyarrow", zero_copy_batch=True, batch_size=64, concurrency=2
+    )

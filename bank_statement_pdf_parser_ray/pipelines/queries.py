@@ -1,0 +1,238 @@
+"""SQL-checkable relational pipelines over the driver-shared tables
+(SURVEY.md §2.5 G1/G2, §2.6 O1/O2, §2.4 J1-broadcast, §2.9 windows;
+FIXTURES.md §B maps each engine operator to its natural host table).
+
+Each function takes ``sf_dir`` and returns a Dataset / DataFrame /
+pyarrow Table whose column NAMES match the paired oracle_sql exactly
+(driver hashes values under sorted column names). Float aggregates are
+rounded on BOTH sides so summation order can't flip the hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+
+def _read(sf_dir: str, table: str, columns: list[str]) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def lineitem_agg(sf_dir: str) -> pd.DataFrame:
+    """G2-style grouped aggregate with PARTIAL pre-aggregation: each
+    batch combines into one row per key BEFORE the shuffle, so the
+    all-to-all moves O(keys x blocks) rows, not O(rows) (ray_guide
+    "Aggregation at scale")."""
+    from ray.data.aggregate import Count, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        t = t.append_column("rev", rev)
+        g = pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("rev", "sum"), ("l_quantity", "count")]
+        )
+        return g.rename_columns(["l_returnflag", "l_linestatus", "p_qty", "p_rev", "p_n"])
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+    ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = (
+        ds.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("p_qty", alias_name="sum_qty"), Sum("p_rev", alias_name="sum_rev"), Sum("p_n", alias_name="n_rows"))
+        .to_pandas()
+    )
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["sum_rev"] = out["sum_rev"].round(2)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out
+
+
+LINEITEM_AGG_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                   AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_rev,
+       count(*)                                                    AS n_rows
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def filter_highvalue(sf_dir: str) -> "ray.data.Dataset":
+    """M10 row predicate as a vectorized Arrow filter inside map_batches
+    (cheaper than per-row ds.filter)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater(t.column("l_quantity"), pa.scalar(45.0)),
+            pc.less(t.column("l_discount"), pa.scalar(0.02)),
+        )
+        return t.filter(mask).select(["l_orderkey", "l_linenumber", "l_quantity", "l_discount"])
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity", "l_discount"])
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+FILTER_HIGHVALUE_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.02
+"""
+
+
+def topk_users(sf_dir: str) -> pd.DataFrame:
+    """O2 top-k with deterministic tie-break (count desc, user_id asc)."""
+    from ray.data.aggregate import Count
+
+    out = (
+        _read(sf_dir, "events", ["user_id"])
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n"))
+        .sort(["n", "user_id"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+TOPK_USERS_SQL = """
+SELECT user_id, count(*) AS n FROM events
+GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
+"""
+
+
+def events_windowed(sf_dir: str) -> pd.DataFrame:
+    """Streaming-shaped tumbling window (1h) per user: the window key is
+    computed vectorized, then ONE partial-pre-aggregated groupby — no
+    per-event shuffle of raw rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        secs = pc.divide(pc.cast(t.column("ts"), pa.int64()), 1_000_000)
+        win = pc.cast(pc.floor(pc.divide(pc.cast(secs, pa.float64()), 3600.0)), pa.int64())
+        t = t.append_column("window_h", win)
+        g = pa.TableGroupBy(t, ["user_id", "window_h"]).aggregate([("value", "sum"), ("value", "count")])
+        return g.rename_columns(["user_id", "window_h", "p_sum", "p_n"])
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = (
+        ds.groupby(["user_id", "window_h"])
+        .aggregate(Sum("p_sum", alias_name="sum_value"), Sum("p_n", alias_name="n_events"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(2)
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+EVENTS_WINDOWED_SQL = """
+SELECT user_id,
+       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS window_h,
+       round(sum(value), 2)                    AS sum_value,
+       count(*)                                AS n_events
+FROM events GROUP BY user_id, window_h
+"""
+
+
+def events_ordered(sf_dir: str) -> "ray.data.Dataset":
+    """O1 analogue on the shared tables: per-user stable ordering by
+    (ts, event_id) realized as a groupby(user_id).map_groups sort; the
+    emitted row number makes the ordering hash-visible."""
+
+    def number(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        g["rn"] = np.arange(1, len(g) + 1, dtype="int64")
+        return g[["event_id", "user_id", "rn"]]
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return ds.groupby("user_id").map_groups(number, batch_format="pandas")
+
+
+EVENTS_ORDERED_SQL = """
+SELECT event_id, user_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+FROM events
+"""
+
+
+def broadcast_join(sf_dir: str) -> pd.DataFrame:
+    """J1-style broadcast lookup join: the small side (customer ->
+    mktsegment) is ray.put once and read inside each batch — no shuffle
+    of the big side (ray_guide "Joins and lookups")."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.dataset as pads
+
+    cust = pads.dataset(f"{sf_dir}/customer.parquet").to_table(columns=["c_custkey", "c_mktsegment"])
+    lut = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist()))
+    lut_ref = ray.put(lut)
+
+    class SegmentJoin:
+        def __init__(self) -> None:
+            self.lut = ray.get(lut_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            seg = [self.lut.get(k, "") for k in t.column("o_custkey").to_pylist()]
+            t = t.append_column("c_mktsegment", pa.array(seg, pa.string()))
+            g = pa.TableGroupBy(t, ["c_mktsegment"]).aggregate([("o_totalprice", "sum"), ("o_totalprice", "count")])
+            return g.rename_columns(["c_mktsegment", "p_sum", "p_n"])
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    ds = ds.map_batches(SegmentJoin, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+    from ray.data.aggregate import Sum as _Sum
+
+    out = (
+        ds.groupby("c_mktsegment")
+        .aggregate(_Sum("p_sum", alias_name="total_price"), _Sum("p_n", alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["total_price"] = out["total_price"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out
+
+
+BROADCAST_JOIN_SQL = """
+SELECT c_mktsegment, round(sum(o_totalprice), 2) AS total_price, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def distinct_langs(sf_dir: str) -> pd.DataFrame:
+    """D-family distinct over one column (shuffle of unique values only)."""
+    vals = _read(sf_dir, "documents", ["lang"]).unique("lang")
+    return pd.DataFrame({"lang": sorted(vals)})
+
+
+DISTINCT_LANGS_SQL = "SELECT DISTINCT lang FROM documents"
+
+
+def json_props_sum(sf_dir: str) -> pd.DataFrame:
+    """F6 json_get over events.props: vectorized JSON field extraction
+    then grouped sum (props is a JSON string like {"k": 87})."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        extracted = pc.extract_regex(t.column("props"), pattern=r'"k":\s*(?P<k>-?\d+)')
+        if isinstance(extracted, pa.ChunkedArray):
+            extracted = extracted.combine_chunks()
+        ks = pc.cast(pc.struct_field(extracted, "k"), pa.int64())
+        t2 = pa.table({"event_type": t.column("event_type"), "k": ks})
+        g = pa.TableGroupBy(t2, ["event_type"]).aggregate([("k", "sum")])
+        return g.rename_columns(["event_type", "p_sum"])
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+    ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.groupby("event_type").aggregate(Sum("p_sum", alias_name="sum_k")).to_pandas()
+    out["sum_k"] = out["sum_k"].astype("int64")
+    return out
+
+
+JSON_PROPS_SUM_SQL = """
+SELECT event_type, CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type
+"""

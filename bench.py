@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Bench harness (driver contract): runs the headline pipelines and prints
+ONE JSON line. `--scaling` runs the headline job at num_cpus=8 and 32 in
+fresh processes and reports throughput at both + scaling efficiency
+(the sandbox evidence for the N vs 4N cluster criterion, BASELINE.md §2).
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32).
+This script OWNS its Ray session (init/shutdown) — library code never does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_CONVS = int(os.environ.get("BSPP_BENCH_CONVS", "4000"))
+BENCH_SEED = 42
+BENCH_MEGA = 2000
+
+
+def _corpus_path() -> str:
+    """Seeded bench transcript corpus, generated DISTRIBUTED once and
+    cached on disk (identical across runs/CPU levels: per-conversation
+    determinism, sources/corpus.py)."""
+    import ray
+
+    path = f"/tmp/bspp_bench_corpus_{BENCH_CONVS}_{BENCH_SEED}"
+    if os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path)):
+        return path
+    import pyarrow as pa
+
+    import ray.data
+
+    from bank_statement_pdf_parser_ray.schema import INPUT_SCHEMA
+    from bank_statement_pdf_parser_ray.sources.corpus import gen_conversation
+
+    def gen(batch) -> "pa.Table":
+        rows = []
+        for i in batch["id"]:
+            rows.extend(gen_conversation(BENCH_SEED, int(i), BENCH_MEGA if int(i) == 0 else 0))
+        cols = {name: [r[name] for r in rows] for name in INPUT_SCHEMA.names}
+        return pa.Table.from_pydict(cols, schema=INPUT_SCHEMA)
+
+    tmp = path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ray.data.range(BENCH_CONVS).map_batches(gen, batch_size=64).write_parquet(tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from bank_statement_pdf_parser_ray.pipelines.flagship import run_flagship
+
+    corpus = _corpus_path()
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    import pyarrow.dataset as pads
+
+    pads.dataset(corpus).to_table()
+
+    out_dir = f"/tmp/bspp_bench_out_{os.getpid()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    summary = run_flagship(corpus, out_dir, salt_chunk=512, n_parts=max(2 * NUM_CPUS, 16))
+    headline_sec = time.perf_counter() - t0
+    turns = summary["rows_written"]
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # per-query timings over the shared sf tables
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entry_mod
+
+    qfns = entry_mod.queries()
+    bench_queries = [
+        "extract_documents",
+        "lineitem_agg",
+        "filter_highvalue",
+        "topk_users",
+        "events_windowed",
+        "events_ordered",
+        "broadcast_join",
+        "json_props_sum",
+        "normalize_ws",
+        "token_count",
+        "quality_score",
+        "langid",
+        "exact_dedup",
+        "minhash_candidates",
+        "simhash",
+        "knn_cosine",
+        "media_features",
+    ]
+    qtimes = {}
+    for name in bench_queries:
+        t0 = time.perf_counter()
+        res = qfns[name](SF_DIR)
+        if hasattr(res, "materialize"):
+            res = res.materialize()
+            res.count()
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "flagship_extract_sec",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "turns": turns,
+        "turns_per_sec": round(turns / headline_sec, 1),
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "turns_per_sec_8": lo["turns_per_sec"],
+        "turns_per_sec_32": hi["turns_per_sec"],
+        "turns": lo["turns"],
+        "note": "1 physical CPU sandbox: measures scheduling/shuffle overhead ratio, see BASELINE.md",
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))
