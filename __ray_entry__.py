@@ -76,6 +76,31 @@ def _extract_corpus(sf_dir: str):
     )
 
 
+def _corpus_flagship(sf_dir: str):
+    import ray.data
+
+    from bank_statement_pdf_parser_ray.pipelines.flagship import run_flagship
+    from bank_statement_pdf_parser_ray.sources.corpus import gen_corpus
+
+    n_convs = {"sf0.001": 30, "sf0.01": 120, "sf0.1": 400}.get(sf_dir.rstrip("/").split("/")[-1], 60)
+    src = ray.data.from_arrow(gen_corpus(n_convs, seed=42, mega_turns=200))
+    return run_flagship(src, salt_chunk=64, n_parts=16)
+
+
+def _corpus_transactions(sf_dir: str):
+    """The reference's final artifact: one standardized row per
+    transaction (README.md:2 'clean, standardized' output)."""
+    from bank_statement_pdf_parser_ray.stages.transactions import transactions_table
+
+    return transactions_table(_corpus_flagship(sf_dir))
+
+
+def _corpus_rollup(sf_dir: str):
+    from bank_statement_pdf_parser_ray.stages.metrics import conv_rollup
+
+    return conv_rollup(_corpus_flagship(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from bank_statement_pdf_parser_ray.pipelines import datapipe as dp
     from bank_statement_pdf_parser_ray.pipelines import queries as q
@@ -84,6 +109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship extraction (oracle-equality checked in pytest; rows-only here)
         "extract_corpus": _extract_corpus,
         "extract_documents": _extract_documents,
+        "corpus_transactions": _corpus_transactions,
+        "corpus_rollup": _corpus_rollup,
         # relational / SQL-checkable operators
         "lineitem_agg": q.lineitem_agg,
         "filter_highvalue": q.filter_highvalue,

@@ -1,0 +1,73 @@
+"""CLI entry point — the reference-parity surface
+(/root/reference/README.md:2 is a CLI tool: statement in, standardized
+table out). Here: transcript parquet in, extracted parquet (+ optional
+standardized transaction spreadsheet) out, resumable.
+
+Usage:
+  python -m bank_statement_pdf_parser_ray run \
+      --input /path/to/transcripts_parquet \
+      --out /tmp/extracted [--spreadsheet /tmp/txns.csv] \
+      [--n-parts 64] [--salt-chunk 10000] [--num-cpus N]
+
+Owns its Ray session (init/shutdown) — the only library-adjacent code
+allowed to (driver contract forbids it inside __ray_entry__/pipelines).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="bank_statement_pdf_parser_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    runp = sub.add_parser("run", help="run the flagship extraction job")
+    runp.add_argument("--input", required=True, help="input transcript parquet dir/file")
+    runp.add_argument("--out", required=True, help="output root (partitioned parquet + manifest)")
+    runp.add_argument("--spreadsheet", default=None, help="also export the standardized transaction table (csv/xlsx)")
+    runp.add_argument("--n-parts", type=int, default=64)
+    runp.add_argument("--salt-chunk", type=int, default=10_000)
+    runp.add_argument("--num-cpus", type=int, default=None)
+    runp.add_argument("--metrics", action="store_true", help="print G2 job metrics JSON")
+    args = p.parse_args(argv)
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    try:
+        from bank_statement_pdf_parser_ray.pipelines.flagship import build_extracted, run_flagship
+
+        summary = run_flagship(
+            args.input, args.out, n_parts=args.n_parts, salt_chunk=args.salt_chunk
+        )
+        out = {"summary": summary}
+        if args.spreadsheet or args.metrics:
+            ds = build_extracted(args.input, n_parts=args.n_parts, salt_chunk=args.salt_chunk)
+            if args.spreadsheet:
+                from bank_statement_pdf_parser_ray.sources.writers import write_spreadsheet
+                from bank_statement_pdf_parser_ray.stages.transactions import transactions_table
+
+                out["spreadsheet"] = write_spreadsheet(transactions_table(ds), args.spreadsheet)
+            if args.metrics:
+                from bank_statement_pdf_parser_ray.stages.metrics import job_metrics
+
+                out["metrics"] = job_metrics(ds)
+        print(json.dumps(out))
+        return 0
+    finally:
+        if owns_session:
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -90,12 +90,14 @@ def build_extracted(
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
+    # autoscaling pool (1, N): actors spawn with queue pressure instead of
+    # eagerly — N cold-starts don't serialize ahead of useful work
     ds = ds.map_batches(
         ExtractorActor,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency or _default_concurrency(),
+        concurrency=(1, concurrency or _default_concurrency()),
         num_cpus=1,
     )
     ds = restore_order(ds)

@@ -1,0 +1,82 @@
+"""Transactions explode, rollups, writers, CLI (SURVEY.md S2, G1/G2)."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from bank_statement_pdf_parser_ray.pipelines.flagship import build_extracted, run_flagship
+from bank_statement_pdf_parser_ray.stages.metrics import conv_rollup, job_metrics
+from bank_statement_pdf_parser_ray.stages.transactions import transactions_table
+from bank_statement_pdf_parser_ray.sources.writers import write_spreadsheet
+
+
+@pytest.fixture(scope="module")
+def extracted(tiny_corpus):
+    return run_flagship(ray.data.from_arrow(tiny_corpus), salt_chunk=25, n_parts=8)
+
+
+class TestTransactionsTable:
+    def test_explode_matches_oracle(self, extracted, tiny_expected):
+        txns = transactions_table(extracted).to_pandas()
+        n_expected = sum(len(t) for t in tiny_expected.column("transactions").to_pylist())
+        assert len(txns) == n_expected > 0
+        assert list(txns.columns) == [
+            "conv_id", "turn_idx", "txn_idx", "date", "description",
+            "debit", "credit", "balance", "dialect",
+        ]
+        # txn_idx is a contiguous 0..n-1 within each (conv_id, turn_idx)
+        for _, g in txns.groupby(["conv_id", "turn_idx"]):
+            assert sorted(g["txn_idx"].tolist()) == list(range(len(g)))
+        assert (txns["date"].str.match(r"\d{4}-\d{2}-\d{2}")).all()
+        assert set(txns["dialect"]) <= {"UOB", "DBS", "OCBC", "HDFC"}
+
+
+class TestRollups:
+    def test_conv_rollup(self, extracted, tiny_expected):
+        roll = conv_rollup(extracted).to_pandas().set_index("conv_id")
+        exp = tiny_expected.to_pandas().groupby("conv_id").size()
+        assert roll.loc["conv-00000000", "n_turns"] == exp["conv-00000000"] == 120
+        assert (roll["n_balance_violations"] == 0).all()
+
+    def test_job_metrics(self, extracted, tiny_expected):
+        m = job_metrics(extracted)
+        assert m["rows"] == tiny_expected.num_rows
+        assert m["errors"] == 0
+        assert m["pdf_layout"] > 0 and m["html"] > 0 and m["plain"] > 0
+        assert m["rows"] == m["pdf_layout"] + m["html"] + m["plain"]
+
+
+class TestWriters:
+    def test_spreadsheet_falls_back_to_csv(self, extracted, tmp_path):
+        out = write_spreadsheet(transactions_table(extracted), str(tmp_path / "t.xlsx"))
+        assert out.endswith(".csv")  # no openpyxl in this env
+        head = open(out).readline().strip()
+        assert head.startswith("conv_id,turn_idx,txn_idx,date")
+
+
+class TestCLI:
+    def test_run_command(self, tiny_corpus, tmp_path):
+        # drive main() in-process (session already owned by the test fixture)
+        import json
+
+        from bank_statement_pdf_parser_ray.__main__ import main
+
+        inp = tmp_path / "in.parquet"
+        pq.write_table(tiny_corpus, str(inp))
+        out_dir = str(tmp_path / "out")
+        sheet = str(tmp_path / "txns.csv")
+        rc = main(
+            [
+                "run", "--input", str(inp), "--out", out_dir,
+                "--spreadsheet", sheet, "--metrics",
+                "--n-parts", "4", "--salt-chunk", "50",
+            ]
+        )
+        assert rc == 0
+        import os
+
+        assert os.path.isdir(os.path.join(out_dir, "_manifest"))
+        assert os.path.exists(sheet)
