@@ -117,7 +117,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_users": q.topk_users,
         "events_windowed": q.events_windowed,
         "events_ordered": q.events_ordered,
+        "events_sessionized": q.events_sessionized,
         "broadcast_join": q.broadcast_join,
+        "hash_join_revenue": q.hash_join_revenue,
+        "sample_documents": q.sample_documents,
         "distinct_langs": q.distinct_langs,
         "json_props_sum": q.json_props_sum,
         # text analysis
@@ -151,7 +154,9 @@ def oracle_sql() -> dict[str, str]:
         "topk_users": q.TOPK_USERS_SQL,
         "events_windowed": q.EVENTS_WINDOWED_SQL,
         "events_ordered": q.EVENTS_ORDERED_SQL,
+        "events_sessionized": q.EVENTS_SESSIONIZED_SQL,
         "broadcast_join": q.BROADCAST_JOIN_SQL,
+        "hash_join_revenue": q.HASH_JOIN_REVENUE_SQL,
         "distinct_langs": q.DISTINCT_LANGS_SQL,
         "json_props_sum": q.JSON_PROPS_SUM_SQL,
         "normalize_ws": (

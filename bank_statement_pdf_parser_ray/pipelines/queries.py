@@ -236,3 +236,109 @@ JSON_PROPS_SUM_SQL = """
 SELECT event_type, CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
 """
+
+
+def events_sessionized(sf_dir: str) -> "ray.data.Dataset":
+    """Gap-based sessionization (streaming-shaped, SURVEY.md §2.9 /
+    ray_guide "Streaming-shaped workloads"): events of one user form a
+    new session whenever the gap to the previous event exceeds 30min.
+    Implemented as groupby(user_id).map_groups over the ts-sorted group;
+    SQL oracle uses a window-function cumulative sum of gap markers."""
+
+    GAP_US = 30 * 60 * 1_000_000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        ts_us = g["ts"].astype("int64")
+        new_sess = (ts_us - ts_us.shift(1)).fillna(GAP_US + 1) > GAP_US
+        g["session_id"] = new_sess.cumsum().astype("int64")
+        out = (
+            g.groupby("session_id")
+            .agg(
+                user_id=("user_id", "first"),
+                n_events=("event_id", "size"),
+                sum_value=("value", "sum"),
+            )
+            .reset_index()
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        out["sum_value"] = out["sum_value"].round(2)
+        return out[["user_id", "session_id", "n_events", "sum_value"]]
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+EVENTS_SESSIONIZED_SQL = """
+WITH marked AS (
+  SELECT user_id, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, value,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def hash_join_revenue(sf_dir: str) -> pd.DataFrame:
+    """Large-large distributed hash join (SURVEY.md §2.4 J2 scale path):
+    orders JOIN customer on custkey via Dataset.join (hash-partitioned
+    on the key), then nation name attached via broadcast lookup and a
+    partial-pre-aggregated groupby. Broadcast handles the small side;
+    Dataset.join handles the big-big pair."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.dataset as pads
+
+    nation = pads.dataset(f"{sf_dir}/nation.parquet").to_table(columns=["n_nationkey", "n_name"])
+    nlut = dict(zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist()))
+    nlut_ref = ray.put(nlut)
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=16,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        lut = ray.get(nlut_ref)
+        names = [lut[k] for k in t.column("c_nationkey").to_pylist()]
+        t2 = pa.table({"n_name": pa.array(names, pa.string()), "o_totalprice": t.column("o_totalprice")})
+        g = pa.TableGroupBy(t2, ["n_name"]).aggregate([("o_totalprice", "sum"), ("o_totalprice", "count")])
+        return g.rename_columns(["n_name", "p_sum", "p_n"])
+
+    joined = joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = (
+        joined.groupby("n_name")
+        .aggregate(Sum("p_sum", alias_name="revenue"), Sum("p_n", alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out
+
+
+HASH_JOIN_REVENUE_SQL = """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def sample_documents(sf_dir: str) -> "ray.data.Dataset":
+    """O3 seeded sampling (dev-time subsetting). Deterministic given the
+    seed but not SQL-reproducible -> rows-only check."""
+    return _read(sf_dir, "documents", ["doc_id", "lang"]).random_sample(0.1, seed=42)
