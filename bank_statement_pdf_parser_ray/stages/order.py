@@ -37,3 +37,23 @@ def restore_order(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Requires the ``group_key`` column (stages/keys.add_keys)."""
     out = ds.groupby("group_key").map_groups(_sort_dedup_group, batch_format="pyarrow")
     return out.drop_columns(["group_key", "salt"])
+
+
+def split_quarantine(ds: "ray.data.Dataset") -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """M10 quarantine side output (SURVEY.md §2.2 M10): rows whose
+    extraction degraded (``error`` != "") are split to a quarantine
+    dataset for inspection; clean rows continue. Both are lazy views
+    over the same upstream (vectorized Arrow filters, no shuffle)."""
+    import pyarrow.compute as pc
+
+    ok = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("error"), "")),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    bad = ds.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("error"), "")),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return ok, bad
