@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dp.ngram_jaccard_pairs,
         # similarity search
         "knn_cosine": dp.knn_cosine,
+        "embedding_neardup": dp.embedding_neardup,
         "knn_cosine_lsh": dp.knn_cosine_lsh,
         # multimodal plumbing (decode stubbed, see MediaDecodeActor)
         "media_features": dp.media_features,
@@ -146,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from bank_statement_pdf_parser_ray.pipelines import datapipe as dp
     from bank_statement_pdf_parser_ray.pipelines import queries as q
 
     return {
@@ -176,6 +178,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "exact_dedup": "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+        "embedding_neardup": dp.EMBEDDING_NEARDUP_SQL,
         "knn_cosine": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)), "
             "s AS (SELECT q.qid AS query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS sim "

@@ -156,5 +156,8 @@ def strip_html(payload: str) -> tuple[str, list[tuple[int, int, str]]]:
     """
     kept = [b for b in parse_blocks(payload) if keep_block(b)]
     spans = [(b.start, b.end, "content") for b in kept if b.start >= 0]
-    text = "\n\n".join(normalize_text(_htmlmod.unescape(b.text)) for b in kept)
+    # single normalize pass over the join — normalize_text is idempotent
+    # and join-compatible, so this equals per-block normalization
+    # (guarded by tests/test_golden.py)
+    text = "\n\n".join(_htmlmod.unescape(b.text) for b in kept)
     return normalize_text(text), spans

@@ -515,3 +515,50 @@ def media_features(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(
         MediaDecodeActor, batch_format="pyarrow", zero_copy_batch=True, batch_size=64, concurrency=2
     )
+
+
+def embedding_neardup(sf_dir: str, threshold: float = 0.4) -> "ray.data.Dataset":
+    """Embedding-cosine near-dup pairs: all (a < b) with cosine >= τ.
+
+    Scale shape: the comparison side is broadcast once (ray.put of the
+    normalized matrix) and each batch does one blocked matmul against
+    it — O(n²) work split row-blockwise, O(n·d) memory per worker. For
+    corpora where the broadcast side no longer fits, the LSH-bucketed
+    path (knn_cosine_lsh / minhash_candidates) is the pre-filter and
+    this operator verifies only candidate buckets. SQL-checkable
+    (DuckDB list_cosine_similarity self-join); τ sits in a density gap
+    so float-path differences cannot flip membership.
+    """
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(columns=["vec_id", "embedding"])
+    all_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    ref = ray.put((all_ids, m))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_all, mat = ray.get(ref)
+        b_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        b = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        b /= np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-30)
+        sims = b @ mat.T
+        bi, aj = np.nonzero(sims >= threshold)
+        va, vb = b_ids[bi], ids_all[aj]
+        keep = va < vb  # each unordered pair exactly once
+        return pa.table(
+            {
+                "vec_a": pa.array(va[keep], pa.int64()),
+                "vec_b": pa.array(vb[keep], pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True, batch_size=2048)
+
+
+EMBEDDING_NEARDUP_SQL = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+"""

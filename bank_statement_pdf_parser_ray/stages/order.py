@@ -34,7 +34,15 @@ def _sort_dedup_group(group: pa.Table) -> pa.Table:
 
 
 def restore_order(ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Requires the ``group_key`` column (stages/keys.add_keys)."""
+    """Requires the ``group_key`` column (stages/keys.add_keys).
+
+    Shuffle strategy: Ray Data's default sort-based pull shuffle. The
+    alternative ``DataContext.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE``
+    (2.46+) avoids the global sort and may win on a real multi-node
+    cluster, but it spawns one aggregator actor per partition — measured
+    on the single-core sandbox it oversubscribes and loses badly, so the
+    default stays sort-based; flip the context flag cluster-side to A/B.
+    """
     out = ds.groupby("group_key").map_groups(_sort_dedup_group, batch_format="pyarrow")
     return out.drop_columns(["group_key", "salt"])
 

@@ -99,7 +99,9 @@ def run_bench() -> dict:
         "topk_users",
         "events_windowed",
         "events_ordered",
+        "events_sessionized",
         "broadcast_join",
+        "hash_join_revenue",
         "json_props_sum",
         "normalize_ws",
         "token_count",
