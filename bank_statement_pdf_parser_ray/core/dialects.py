@@ -85,15 +85,32 @@ DIALECTS: dict[str, DialectConfig] = {
 }
 
 
+# Fallback for statements from unknown issuers: any date+amount columns
+# recognized by the shared synonym table; date format resolved by the
+# multi-format F1 parser. Stream is probed after lattice (statement.py).
+GENERIC = DialectConfig(
+    name="GENERIC",
+    bank_rx=re.compile(r"(?!)"),  # never matched by keyword
+    table_kind="stream",
+    header_rx=re.compile(
+        r"(?i)^.*\bdate\b.*\b(balance|withdrawal|deposit|debit|credit|amount)\b.*$", re.M
+    ),
+)
+
+
 def detect_dialect(lines: list[str]) -> DialectConfig | None:
-    """J1 dialect-config lookup: first bank keyword in the payload wins."""
+    """J1 dialect-config lookup: first bank keyword in the payload wins;
+    unknown issuers with a recognizable table header get GENERIC."""
     probe = "\n".join(lines[:12])
     for cfg in DIALECTS.values():
         if cfg.bank_rx.search(probe):
             return cfg
-    for cfg in DIALECTS.values():  # fall back to a header match anywhere
-        if cfg.header_rx.search("\n".join(lines)):
-            return cfg
+    # No issuer keyword: per-dialect header patterns overlap too much to
+    # pick a bank from them, so any recognizable table header => GENERIC
+    # (column roles come from the shared synonym table either way).
+    full = "\n".join(lines)
+    if GENERIC.header_rx.search(full):
+        return GENERIC
     return None
 
 

@@ -41,12 +41,14 @@ def extract_statement(payload: str) -> dict[str, Any]:
 
     table: T.Table | None = None
     if cfg is not None:
-        if cfg.table_kind == "lattice":
+        has_grid = any(T.is_border(ln) for ln in lines)
+        if cfg.table_kind == "lattice" or has_grid:
+            # a ruling grid always wins (camelot semantics: lattice beats
+            # stream when rulings exist) — also the GENERIC-dialect path
             table = T.find_lattice_table(lines)
-        else:
+        if table is None:
             table = T.find_stream_table(lines, cfg.header_rx)
     if table is None:
-        # no table found: fall back to lattice-then-stream generic probe
         table = T.find_lattice_table(lines)
 
     spans: list[tuple[int, int, str]] = []

@@ -164,3 +164,39 @@ class TestRouting:
     def test_extractor_never_raises(self):
         out = extract_payload("+--+\n| broken | grid\nPage 1 of 1")
         assert out["extractor_version"]
+
+
+GENERIC_STREAM = """ACME COMMUNITY CREDIT UNION
+Monthly Account Statement
+
+Date                    Description                     Debit               Credit          Balance
+03/06/2024              OPENING DEPOSIT                                    1,000.00        1,000.00
+18/06/2024              COFFEE SHOP                        12.50                             987.50
+
+Page 1 of 1"""
+
+
+class TestGenericDialect:
+    def test_unknown_issuer_still_parses(self):
+        out = extract_statement(GENERIC_STREAM)
+        assert out["dialect"] == "GENERIC"
+        t = out["transactions"]
+        assert len(t) == 2
+        assert t[0] == {"date": "2024-06-03", "description": "OPENING DEPOSIT", "debit": "", "credit": "1000.00", "balance": "1000.00"}
+        assert out["balance_ok"] is True
+
+    def test_generic_lattice_grid_wins(self):
+        grid = GENERIC_STREAM.replace(
+            "Date                    Description                     Debit               Credit          Balance\n"
+            "03/06/2024              OPENING DEPOSIT                                    1,000.00        1,000.00\n"
+            "18/06/2024              COFFEE SHOP                        12.50                             987.50",
+            "+------------+------------------+----------+----------+----------+\n"
+            "| Date       | Description      | Debit    | Credit   | Balance  |\n"
+            "+------------+------------------+----------+----------+----------+\n"
+            "| 03/06/2024 | OPENING DEPOSIT  |          | 1,000.00 | 1,000.00 |\n"
+            "+------------+------------------+----------+----------+----------+",
+        )
+        out = extract_statement(grid)
+        assert out["dialect"] == "GENERIC"
+        assert len(out["transactions"]) == 1
+        assert out["transactions"][0]["credit"] == "1000.00"
