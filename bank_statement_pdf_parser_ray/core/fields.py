@@ -27,7 +27,9 @@ _DMY_NUM_RX = re.compile(r"^\s*(\d{1,2})[/\-.](\d{1,2})[/\-.](\d{2}|\d{4})\s*$")
 # DD MMM YYYY / DD MMM / DD-MMM-YY
 _DMY_NAME_RX = re.compile(r"(?i)^\s*(\d{1,2})[ \-]([a-z]{3})[a-z]*\.?(?:[ \-](\d{2}|\d{4}))?\s*$")
 
-_AMOUNT_RX = re.compile(r"^\(?\s*-?\s*\d{1,3}(?:,\d{3})*(?:\.\d+)?|^\(?\s*-?\s*\d+(?:\.\d+)?")
+_CRDR_RX = re.compile(r"(?i)\b(cr|dr)\.?\s*$")
+_CCY_RX = re.compile(r"(?i)^(s\$|sgd|inr|rs\.?|\$|usd)\s*")
+_NUM_RX = re.compile(r"\d+(\.\d+)?")
 
 
 def _expand_year(y: str, default_year: int | None = None) -> int | None:
@@ -73,17 +75,17 @@ def parse_amount(raw: str) -> str:
     if s.startswith("(") and s.endswith(")"):
         neg = True
         s = s[1:-1].strip()
-    m = re.search(r"(?i)\b(cr|dr)\.?\s*$", s)
+    m = _CRDR_RX.search(s)
     if m:
         if m.group(1).lower() == "dr":
             neg = True
         s = s[: m.start()].strip()
-    s = re.sub(r"(?i)^(s\$|sgd|inr|rs\.?|\$|usd)\s*", "", s)
+    s = _CCY_RX.sub("", s)
     if s.startswith("-"):
         neg = True
         s = s[1:].strip()
     s = s.replace(",", "")
-    if not re.fullmatch(r"\d+(\.\d+)?", s):
+    if not _NUM_RX.fullmatch(s):
         return ""
     return ("-" + s) if neg else s
 

@@ -22,6 +22,8 @@ _HWS_RX = re.compile(r"[ \t ]+")
 _EOL_RX = re.compile("\\r\\n?|\\u2028|\\u2029")
 # 3+ newlines -> exactly 2 (paragraph break).
 _MULTI_NL_RX = re.compile(r"\n{3,}")
+_NL_SPACE_RX = re.compile(r" ?\n ?")
+_ANY_WS_RX = re.compile(r"\s+")
 
 
 def nfkc(text: str) -> str:
@@ -42,7 +44,7 @@ def normalize_text(text: str) -> str:
     t = _CTRL_RX.sub("", t)
     t = _HWS_RX.sub(" ", t)
     # strip spaces around newlines
-    t = re.sub(r" ?\n ?", "\n", t)
+    t = _NL_SPACE_RX.sub("\n", t)
     t = _MULTI_NL_RX.sub("\n\n", t)
     return t.strip()
 
@@ -53,4 +55,4 @@ def collapse_ws(text: str) -> str:
     Matches DuckDB ``trim(regexp_replace(text, '\\s+', ' ', 'g'))`` so the
     driver-contract query ``normalize_ws`` is SQL-checkable.
     """
-    return re.sub(r"\s+", " ", text).strip()
+    return _ANY_WS_RX.sub(" ", text).strip()

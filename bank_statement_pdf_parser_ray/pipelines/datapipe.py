@@ -185,15 +185,19 @@ def _shingles(text: str, k: int = 3) -> set[int]:
 
 _MINHASH_PERMS = 64
 _LSH_BANDS = 16  # 16 bands x 4 rows
-_MH_PRIME = (1 << 61) - 1
+# Carter-Wegman over the Mersenne prime 2^31-1: with x < 2^31 the product
+# a*x+b (< 2^62, fits uint64) wraps the modulus ~2^31 times, giving real
+# min-wise mixing. (A 2^61-1 modulus with 32-bit x barely wraps, leaving
+# the hash near-monotone in x and the signature agreement far below the
+# true Jaccard — caught by tests/test_datapipe.py's planted fixture.)
+_MH_PRIME = (1 << 31) - 1
 _RNG = np.random.RandomState(12345)
-# 31-bit coefficients x 32-bit shingle hashes keep a*x+b inside uint64
-_PERM_A = _RNG.randint(1, 1 << 31, size=_MINHASH_PERMS).astype(np.uint64)
-_PERM_B = _RNG.randint(0, 1 << 31, size=_MINHASH_PERMS).astype(np.uint64)
+_PERM_A = _RNG.randint(1, _MH_PRIME, size=_MINHASH_PERMS).astype(np.uint64)
+_PERM_B = _RNG.randint(0, _MH_PRIME, size=_MINHASH_PERMS).astype(np.uint64)
 
 
 def _minhash_sig(sh: set[int]) -> np.ndarray:
-    x = (np.fromiter(sh, dtype=np.uint64) & np.uint64(0xFFFFFFFF))[:, None]  # (n, 1)
+    x = (np.fromiter(sh, dtype=np.uint64) & np.uint64(0x7FFFFFFF))[:, None]  # (n, 1)
     vals = (x * _PERM_A + _PERM_B) % np.uint64(_MH_PRIME)  # vectorized over all perms
     return np.min(vals, axis=0).astype(np.int64)
 

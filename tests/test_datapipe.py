@@ -1,0 +1,114 @@
+"""Training-data operators: planted-fixture tests (the shared sf tables
+contain no near-duplicates, so dedup recall is exercised here)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from bank_statement_pdf_parser_ray.pipelines import datapipe as dp
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    """documents.parquet with planted near/exact dups + embeddings.parquet
+    with planted high-cosine pairs."""
+    d = tmp_path_factory.mktemp("planted")
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the rain falls gently on the old roof "
+        "of the house near the river where children play every afternoon"
+    )
+    other = (
+        "completely different content about distributed systems and arrow "
+        "columnar formats streaming execution backpressure and object stores "
+        "with zero copy batches flowing through typed pipelines at scale"
+    )
+    near = base.replace("lazy dog", "sleepy dog")  # high word-3-gram overlap
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": [base, near, other, base, "tiny"],
+            "lang": ["en"] * 5,
+            "source": ["s"] * 5,
+            "n_chars": pa.array([len(base), len(near), len(other), len(base), 4], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(d / "documents.parquet"))
+
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(6, 16).astype(np.float32)
+    vecs[1] = vecs[0] + rng.randn(16).astype(np.float32) * 0.05  # near-dup pair (0,1)
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(6), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array([0] * 6, pa.int32()),
+        }
+    )
+    pq.write_table(emb, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+class TestMinHash:
+    def test_finds_planted_near_dup(self, planted_dir):
+        verified = dp.minhash_verified(planted_dir, threshold=0.5)
+        pairs = set(zip(verified.column("doc_a").to_pylist(), verified.column("doc_b").to_pylist()))
+        assert (0, 1) in pairs  # near-dup survives Jaccard verification
+        assert (0, 3) in pairs  # exact dup
+        assert not any(2 in p for p in pairs)  # unrelated doc never pairs
+
+    def test_candidates_superset_of_verified(self, planted_dir):
+        cand = dp.minhash_candidates(planted_dir).to_pandas()
+        cpairs = set(zip(cand["doc_a"], cand["doc_b"]))
+        v = dp.minhash_verified(planted_dir, threshold=0.5)
+        vpairs = set(zip(v.column("doc_a").to_pylist(), v.column("doc_b").to_pylist()))
+        assert vpairs <= cpairs
+
+
+class TestSimHash:
+    def test_near_dup_small_hamming(self, planted_dir):
+        sh = dp.simhash(planted_dir).to_pandas().set_index("doc_id")["simhash"]
+        ham = bin(int(sh[0]) ^ int(sh[1])).count("1")
+        ham_far = bin(int(sh[0]) ^ int(sh[2])).count("1")
+        assert sh[0] == sh[3]  # identical text -> identical simhash
+        assert ham < ham_far  # near-dup closer than unrelated
+
+
+class TestEmbeddingOps:
+    def test_neardup_pair_found(self, planted_dir):
+        pairs = dp.embedding_neardup(planted_dir, threshold=0.9).to_pandas()
+        assert (0, 1) in set(zip(pairs["vec_a"], pairs["vec_b"]))
+
+    def test_knn_matches_numpy_bruteforce(self, planted_dir):
+        import pyarrow.dataset as pads
+
+        got = dp.knn_cosine(planted_dir, query_ids=(0,), k=3).to_pandas()
+        t = pads.dataset(f"{planted_dir}/embeddings.parquet").to_table()
+        m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m[0]
+        order = [i for i in np.argsort(-sims) if i != 0][:3]
+        assert got["vec_id"].tolist() == [int(i) for i in order]
+        assert got["rank"].tolist() == [1, 2, 3]
+
+
+class TestExactDedup:
+    def test_keeps_min_doc_id(self, planted_dir):
+        out = dp.exact_dedup(planted_dir).to_pandas()
+        assert 3 not in out["doc_id"].tolist()  # dup of doc 0 dropped
+        assert 0 in out["doc_id"].tolist()
+        assert len(out) == 4
+
+
+class TestMediaPlumbing:
+    def test_features_shape(self, planted_dir):
+        out = dp.media_features(planted_dir).to_pandas()
+        assert len(out) == 5
+        assert (out["height"] == 32).all() and (out["width"] == 32).all()
+        assert out["feature"].map(len).eq(32).all()
+        # deterministic fake decode: same text -> same feature
+        f0 = out.set_index("media_id")["feature"]
+        assert list(f0[0]) == list(f0[3])
