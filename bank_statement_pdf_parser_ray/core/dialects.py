@@ -149,9 +149,19 @@ class MatchResult:
     balance_ok: bool = True
 
 
-def match_rows(rows: list[list[str]], col_roles: dict[int, str], cfg: DialectConfig) -> MatchResult:
-    """The shared M5/M8 row-matching engine over raw table rows."""
-    res = MatchResult()
+def match_rows(
+    rows: list[list[str]],
+    col_roles: dict[int, str],
+    cfg: DialectConfig,
+    into: MatchResult | None = None,
+) -> MatchResult:
+    """The shared M5/M8 row-matching engine over raw table rows.
+
+    Pass ``into`` to accumulate across the page-continued tables of one
+    statement: the balance chain (G3) and description continuations run
+    across table boundaries; the final call's validation covers the
+    whole accumulated stream."""
+    res = into if into is not None else MatchResult()
     for cells in rows:
         by_role = {role: (cells[i] if i < len(cells) else "") for i, role in col_roles.items()}
         raw_date = by_role.get("date", "")

@@ -24,6 +24,10 @@ from __future__ import annotations
 import re
 
 _PAGE_FOOTER_RX = re.compile(r"(?i)^\s*page\s+\d+\s+of\s+\d+\s*$")
+# Table-looking lines (lattice borders / cell rows) never belong to the
+# repeated page header — a table may continue on page 2 directly under
+# the repeated bank header, and its border/header rows must survive.
+_TABLEISH_RX = re.compile(r"^\s*[+|]")
 
 Line = tuple[int, str]  # (raw_offset, right-stripped text)
 
@@ -48,6 +52,8 @@ def split_pages(payload: str) -> list[list[Line]]:
 def _leading_nonblank(lines: list[Line], k: int) -> list[str]:
     out: list[str] = []
     for _, ln in lines:
+        if _TABLEISH_RX.match(ln):
+            break
         if ln.strip():
             out.append(ln)
         if len(out) >= k:

@@ -4,13 +4,19 @@ The per-payload analogue of the reference tool's whole run
 (/root/reference/README.md:2): layout text -> table detect -> dialect
 row match -> continuation merge -> noise filter -> standardized rows.
 
+Multi-page statements are the norm: a transaction table may continue
+across pages, each continuation under a repeated column header. All
+tables are detected in document order and their rows concatenated into
+ONE standardized transaction stream (the balance chain runs across
+pages, so G3 validation spans them).
+
 Output contract (one payload):
-- ``extracted_text`` — the cleaned statement body where the table region
+- ``extracted_text`` — the cleaned statement body where each table region
   is replaced by one canonical line per transaction
   ``date | description | debit | credit | balance`` (empty fields stay
   empty), M7-normalized. This is the per-turn text-equality field.
 - ``transactions`` — the standardized row list (string-typed; SURVEY §1.2).
-- ``spans`` — (start, end, kind) into the RAW payload: "table" for the
+- ``spans`` — (start, end, kind) into the RAW payload: "table" for each
   detected table region, "body" for the full kept-line region.
 - ``dialect`` / ``balance_ok`` — J1 verdict and G3 validation.
 """
@@ -22,6 +28,7 @@ from typing import Any
 from bank_statement_pdf_parser_ray.core import tables as T
 from bank_statement_pdf_parser_ray.core.dialects import (
     DialectConfig,
+    MatchResult,
     detect_dialect,
     map_columns,
     match_rows,
@@ -34,22 +41,37 @@ def _canonical_txn_line(t: dict[str, str]) -> str:
     return " | ".join([t["date"], t["description"], t["debit"], t["credit"], t["balance"]])
 
 
+def _find_tables(lines: list[str], cfg: DialectConfig | None) -> list[T.Table]:
+    """All tables in document order (a statement's table continues across
+    pages under repeated headers). Indices are absolute into ``lines``."""
+    tables: list[T.Table] = []
+    pos = 0
+    while pos < len(lines):
+        rest = lines[pos:]
+        tbl: T.Table | None = None
+        if cfg is not None:
+            has_grid = any(T.is_border(ln) for ln in rest)
+            if cfg.table_kind == "lattice" or has_grid:
+                # a ruling grid wins (camelot semantics: lattice beats stream)
+                tbl = T.find_lattice_table(rest)
+            if tbl is None:
+                tbl = T.find_stream_table(rest, cfg.header_rx)
+        else:
+            tbl = T.find_lattice_table(rest)
+        if tbl is None:
+            break
+        tables.append(
+            T.Table(tbl.header, tbl.rows, tbl.start_line + pos, tbl.end_line + pos)
+        )
+        pos = tbl.end_line + pos
+    return tables
+
+
 def extract_statement(payload: str) -> dict[str, Any]:
     lines_off = extract_lines(payload)
     lines = [ln for _, ln in lines_off]
     cfg: DialectConfig | None = detect_dialect(lines)
-
-    table: T.Table | None = None
-    if cfg is not None:
-        has_grid = any(T.is_border(ln) for ln in lines)
-        if cfg.table_kind == "lattice" or has_grid:
-            # a ruling grid always wins (camelot semantics: lattice beats
-            # stream when rulings exist) — also the GENERIC-dialect path
-            table = T.find_lattice_table(lines)
-        if table is None:
-            table = T.find_stream_table(lines, cfg.header_rx)
-    if table is None:
-        table = T.find_lattice_table(lines)
+    tables = _find_tables(lines, cfg)
 
     spans: list[tuple[int, int, str]] = []
     if lines_off:
@@ -59,20 +81,32 @@ def extract_statement(payload: str) -> dict[str, Any]:
 
     txns: list[dict[str, str]] = []
     balance_ok = True
-    out_lines: list[str]
-    if table is not None and cfg is not None:
-        roles = map_columns(table.header)
-        res = match_rows(table.rows, roles, cfg)
+    if tables and cfg is not None:
+        # concatenate all tables into one match stream (per-table header
+        # mapping; continuation rows still merge within their table run)
+        res = MatchResult()
+        for tbl in tables:
+            roles = map_columns(tbl.header)
+            match_rows(tbl.rows, roles, cfg, into=res)
         txns = [t.as_dict() for t in res.transactions]
         balance_ok = res.balance_ok
-        ts = lines_off[table.start_line][0]
-        last = lines_off[table.end_line - 1]
-        spans.append((ts, last[0] + len(last[1]), "table"))
-        out_lines = [ln for _, ln in lines_off[: table.start_line]]
-        if res.opening_balance:
-            out_lines.append(f"BALANCE B/F | | | | {res.opening_balance}")
-        out_lines.extend(_canonical_txn_line(t) for t in txns)
-        out_lines.extend(ln for _, ln in lines_off[table.end_line :])
+
+        out_lines: list[str] = []
+        cursor = 0
+        first_table = True
+        for tbl in tables:
+            out_lines.extend(ln for _, ln in lines_off[cursor : tbl.start_line])
+            if first_table:
+                if res.opening_balance:
+                    out_lines.append(f"BALANCE B/F | | | | {res.opening_balance}")
+                out_lines.extend(_canonical_txn_line(t) for t in txns)
+                first_table = False
+            # later table regions collapse into the first (already emitted)
+            ts = lines_off[tbl.start_line][0]
+            last = lines_off[tbl.end_line - 1]
+            spans.append((ts, last[0] + len(last[1]), "table"))
+            cursor = tbl.end_line
+        out_lines.extend(ln for _, ln in lines_off[cursor:])
     else:
         out_lines = lines
 

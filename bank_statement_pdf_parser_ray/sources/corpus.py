@@ -185,7 +185,7 @@ _STREAM_COLS = {
 }
 
 
-def _render_stream(dialect: str, year: int, opening: int, txns, rng: random.Random) -> list[str]:
+def _render_stream(dialect: str, year: int, opening: int, txns, rng: random.Random, with_bf: bool = True) -> list[str]:
     names, starts, redges = _STREAM_COLS[dialect]
     suffix = dialect == "OCBC"  # CR/DR suffix on balance
 
@@ -204,7 +204,7 @@ def _render_stream(dialect: str, year: int, opening: int, txns, rng: random.Rand
 
     hdr = line([(starts[i], names[i]) for i in range(5)])
     lines = [hdr]
-    if rng.random() < 0.5:
+    if with_bf and rng.random() < 0.5:
         btxt = _fmt_amt(opening) + (" CR" if suffix else "")
         lines.append(line([(starts[1], "BALANCE B/F"), (redges[2] - len(btxt), btxt)]))
     for day, month, desc, debit, credit, bal in txns:
@@ -233,7 +233,7 @@ _LATTICE_COLS = {
 }
 
 
-def _render_lattice(dialect: str, year: int, opening: int, txns, rng: random.Random) -> list[str]:
+def _render_lattice(dialect: str, year: int, opening: int, txns, rng: random.Random, with_bf: bool = True) -> list[str]:
     names = _LATTICE_COLS[dialect]
     widths = [12, 24, 14, 14, 16]
     paren = dialect == "HDFC"  # parenthesized negative balances
@@ -250,7 +250,7 @@ def _render_lattice(dialect: str, year: int, opening: int, txns, rng: random.Ran
         return _fmt_amt(bal)
 
     lines = [border(), row(names), border()]
-    if rng.random() < 0.5:
+    if with_bf and rng.random() < 0.5:
         lines.append(row(["", "BALANCE B/F", "", "", bal_txt(opening)]))
         lines.append(border())
     for day, month, desc, debit, credit, bal in txns:
@@ -283,17 +283,19 @@ def gen_statement(rng: random.Random) -> str:
         f"Statement Period: 01 Jan {year} to 31 Dec {year}",
         "",
     ]
-    if dialect in _STREAM_COLS:
-        table = _render_stream(dialect, year, opening, txns, rng)
-    else:
-        table = _render_lattice(dialect, year, opening, txns, rng)
+    render = _render_stream if dialect in _STREAM_COLS else _render_lattice
     closing = ["", "End of Statement", "Please retain this statement for your records."]
-    two_pages = rng.random() < 0.3
+    two_pages = rng.random() < 0.3 and len(txns) >= 4
     if two_pages:
-        page1 = header + table + ["", "Page 1 of 2"]
-        page2 = header[:2] + [""] + closing + ["Page 2 of 2"]
+        # the table continues on page 2 under a repeated column header —
+        # the normal shape of a real multi-page statement
+        cut = len(txns) // 2
+        t1 = render(dialect, year, opening, txns[:cut], rng)
+        t2 = render(dialect, year, opening, txns[cut:], rng, with_bf=False)
+        page1 = header + t1 + ["", "Page 1 of 2"]
+        page2 = header[:2] + [""] + t2 + closing + ["Page 2 of 2"]
         return "\n".join(page1) + "\f" + "\n".join(page2)
-    return "\n".join(header + table + closing + ["", "Page 1 of 1"])
+    return "\n".join(header + render(dialect, year, opening, txns, rng) + closing + ["", "Page 1 of 1"])
 
 
 # --- conversation assembly ---------------------------------------------------

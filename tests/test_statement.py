@@ -200,3 +200,38 @@ class TestGenericDialect:
         assert out["dialect"] == "GENERIC"
         assert len(out["transactions"]) == 1
         assert out["transactions"][0]["credit"] == "1000.00"
+
+
+PAGE_CONTINUED = """DBS BANK LTD
+Account Statement
+
++--------------+--------------------------+----------------+----------------+------------------+
+| Date         | Transaction Details      | Debit          | Credit         | Balance          |
++--------------+--------------------------+----------------+----------------+------------------+
+| 05/01/2024   | OPENING CREDIT           |                | 1,000.00       | 1,000.00         |
++--------------+--------------------------+----------------+----------------+------------------+
+
+Page 1 of 2\fDBS BANK LTD
+Account Statement
+
++--------------+--------------------------+----------------+----------------+------------------+
+| Date         | Transaction Details      | Debit          | Credit         | Balance          |
++--------------+--------------------------+----------------+----------------+------------------+
+| 20/01/2024   | CARD PAYMENT             | 250.00         |                | 750.00           |
++--------------+--------------------------+----------------+----------------+------------------+
+
+End of Statement
+Page 2 of 2"""
+
+
+class TestPageContinuedTable:
+    def test_rows_concatenated_across_pages(self):
+        out = extract_statement(PAGE_CONTINUED)
+        t = out["transactions"]
+        assert [x["date"] for x in t] == ["2024-01-05", "2024-01-20"]
+        assert out["balance_ok"] is True  # chain 1000.00 -> 750.00 spans the page break
+        assert len([sp for sp in out["spans"] if sp[2] == "table"]) == 2
+
+    def test_balance_chain_violation_across_pages(self):
+        bad = PAGE_CONTINUED.replace("750.00", "751.00")
+        assert extract_statement(bad)["balance_ok"] is False
