@@ -137,7 +137,7 @@ class LangIdActor:
 
 def langid(sf_dir: str) -> "ray.data.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        LangIdActor, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+        LangIdActor, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 2)
     )
 
 
@@ -253,7 +253,7 @@ def minhash_candidates(sf_dir: str) -> "ray.data.Dataset":
         return t.append_column("bucket", key)
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        MinHashActor, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+        MinHashActor, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 2)
     )
     ds = ds.map_batches(bucket_key, batch_format="pyarrow", zero_copy_batch=True)
     cand = ds.groupby("bucket").map_groups(pairs_per_bucket, batch_format="pyarrow")
@@ -271,28 +271,60 @@ def minhash_candidates(sf_dir: str) -> "ray.data.Dataset":
     return cand.groupby("pk").map_groups(dedup_pairs, batch_format="pyarrow").drop_columns(["pk"])
 
 
-def minhash_verified(sf_dir: str, threshold: float = 0.8) -> pa.Table:
-    """Candidates + exact Jaccard verification. The candidate set is
-    small by construction, so verification broadcasts the needed texts."""
-    cand = minhash_candidates(sf_dir).to_pandas()
-    if cand.empty:
-        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
-    need = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
-    import pyarrow.dataset as pads
+class JaccardVerifier:
+    """Distributed exact-Jaccard verification of candidate pairs: each
+    batch of (doc_a, doc_b) selectively reads ONLY the texts it needs
+    (parquet predicate pushdown on doc_id), shingles them once per
+    batch, and keeps pairs >= threshold. No driver-side collection —
+    the candidate Dataset streams through an actor pool and the
+    verified pairs stream out (SCALE.md §8 scale path)."""
 
-    t = (
-        pads.dataset(f"{sf_dir}/documents.parquet")
-        .to_table(columns=["doc_id", "text"], filter=pc.field("doc_id").isin(need))
+    def __init__(self, docs_path: str, threshold: float) -> None:
+        import pyarrow.dataset as pads
+
+        self.dataset = pads.dataset(docs_path, format="parquet")
+        self.threshold = threshold
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        a_ids = t.column("doc_a").to_pylist()
+        b_ids = t.column("doc_b").to_pylist()
+        need = sorted(set(a_ids) | set(b_ids))
+        got = self.dataset.to_table(columns=["doc_id", "text"], filter=pc.field("doc_id").isin(need))
+        sh = {
+            i: _shingles(s)
+            for i, s in zip(got.column("doc_id").to_pylist(), got.column("text").to_pylist())
+        }
+        keep_a, keep_b = [], []
+        for a, b in zip(a_ids, b_ids):
+            sa, sb = sh.get(a), sh.get(b)
+            if sa is None or sb is None:
+                continue
+            if len(sa & sb) / max(1, len(sa | sb)) >= self.threshold:
+                keep_a.append(a)
+                keep_b.append(b)
+        return pa.table({"doc_a": pa.array(keep_a, pa.int64()), "doc_b": pa.array(keep_b, pa.int64())})
+
+
+def minhash_verified(sf_dir: str, threshold: float = 0.8) -> pa.Table:
+    """MinHash+LSH candidates -> distributed exact-Jaccard verification."""
+    from functools import partial as _partial  # noqa: F401
+
+    cand = minhash_candidates(sf_dir)
+    verified = cand.map_batches(
+        JaccardVerifier,
+        fn_constructor_args=(f"{sf_dir}/documents.parquet", threshold),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=512,
+        concurrency=(1, 2),
     )
-    texts = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
-    keep_a, keep_b = [], []
-    for a, b in zip(cand["doc_a"], cand["doc_b"]):
-        sa, sb = _shingles(texts[a]), _shingles(texts[b])
-        j = len(sa & sb) / max(1, len(sa | sb))
-        if j >= threshold:
-            keep_a.append(int(a))
-            keep_b.append(int(b))
-    return pa.table({"doc_a": pa.array(keep_a, pa.int64()), "doc_b": pa.array(keep_b, pa.int64())})
+    out = verified.to_pandas()
+    return pa.table(
+        {
+            "doc_a": pa.array(out["doc_a"].astype("int64") if len(out) else [], pa.int64()),
+            "doc_b": pa.array(out["doc_b"].astype("int64") if len(out) else [], pa.int64()),
+        }
+    )
 
 
 def simhash(sf_dir: str) -> "ray.data.Dataset":
@@ -517,7 +549,7 @@ def media_features(sf_dir: str) -> "ray.data.Dataset":
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
     return ds.map_batches(
-        MediaDecodeActor, batch_format="pyarrow", zero_copy_batch=True, batch_size=64, concurrency=2
+        MediaDecodeActor, batch_format="pyarrow", zero_copy_batch=True, batch_size=64, concurrency=(1, 2)
     )
 
 
