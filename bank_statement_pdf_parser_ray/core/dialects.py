@@ -149,11 +149,25 @@ class MatchResult:
     balance_ok: bool = True
 
 
+_PERIOD_YEAR_RX = re.compile(r"(?i)statement period.*?\b(19|20)(\d{2})\b")
+
+
+def period_year(lines: list[str]) -> int | None:
+    """Default year for year-less dates ('05 Jan'), from the statement
+    period header line (F1 default_year source)."""
+    for ln in lines[:12]:
+        m = _PERIOD_YEAR_RX.search(ln)
+        if m:
+            return int(m.group(1) + m.group(2))
+    return None
+
+
 def match_rows(
     rows: list[list[str]],
     col_roles: dict[int, str],
     cfg: DialectConfig,
     into: MatchResult | None = None,
+    default_year: int | None = None,
 ) -> MatchResult:
     """The shared M5/M8 row-matching engine over raw table rows.
 
@@ -166,7 +180,7 @@ def match_rows(
         by_role = {role: (cells[i] if i < len(cells) else "") for i, role in col_roles.items()}
         raw_date = by_role.get("date", "")
         desc = collapse_ws(by_role.get("description", ""))
-        date = parse_date(raw_date, cfg.date_default_year)
+        date = parse_date(raw_date, default_year if default_year is not None else cfg.date_default_year)
         if _BALANCE_FWD_RX.search(desc):
             res.opening_balance = parse_amount(by_role.get("balance", ""))
             continue

@@ -32,6 +32,7 @@ from bank_statement_pdf_parser_ray.core.dialects import (
     detect_dialect,
     map_columns,
     match_rows,
+    period_year,
 )
 from bank_statement_pdf_parser_ray.core.layout import extract_lines
 from bank_statement_pdf_parser_ray.core.normalize import normalize_text
@@ -85,9 +86,10 @@ def extract_statement(payload: str) -> dict[str, Any]:
         # concatenate all tables into one match stream (per-table header
         # mapping; continuation rows still merge within their table run)
         res = MatchResult()
+        year = period_year(lines)
         for tbl in tables:
             roles = map_columns(tbl.header)
-            match_rows(tbl.rows, roles, cfg, into=res)
+            match_rows(tbl.rows, roles, cfg, into=res, default_year=year)
         txns = [t.as_dict() for t in res.transactions]
         balance_ok = res.balance_ok
 

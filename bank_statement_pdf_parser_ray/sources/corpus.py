@@ -122,8 +122,10 @@ def _fmt_amt(cents: int, commas: bool = True) -> str:
     return ("-" + s) if neg else s
 
 
-def _fmt_date(dialect: str, day: int, month: int, year: int) -> str:
+def _fmt_date(dialect: str, day: int, month: int, year: int, yearless: bool = False) -> str:
     if dialect == "UOB":
+        if yearless:  # F1 default-year fixture: '05 Jan', year from the period header
+            return f"{day:02d} {_MONTH_ABBR[month - 1]}"
         return f"{day:02d} {_MONTH_ABBR[month - 1]} {year}"
     if dialect == "DBS":
         return f"{day:02d}/{month:02d}/{year}"
@@ -185,7 +187,7 @@ _STREAM_COLS = {
 }
 
 
-def _render_stream(dialect: str, year: int, opening: int, txns, rng: random.Random, with_bf: bool = True) -> list[str]:
+def _render_stream(dialect: str, year: int, opening: int, txns, rng: random.Random, with_bf: bool = True, yearless: bool = False) -> list[str]:
     names, starts, redges = _STREAM_COLS[dialect]
     suffix = dialect == "OCBC"  # CR/DR suffix on balance
 
@@ -209,7 +211,7 @@ def _render_stream(dialect: str, year: int, opening: int, txns, rng: random.Rand
         lines.append(line([(starts[1], "BALANCE B/F"), (redges[2] - len(btxt), btxt)]))
     for day, month, desc, debit, credit, bal in txns:
         chunks = _wrap(desc, 22)
-        parts = [(starts[0], _fmt_date(dialect, day, month, year)), (starts[1], chunks[0])]
+        parts = [(starts[0], _fmt_date(dialect, day, month, year, yearless)), (starts[1], chunks[0])]
         if debit:
             s = _fmt_amt(debit)
             parts.append((redges[0] - len(s), s))
@@ -283,7 +285,13 @@ def gen_statement(rng: random.Random) -> str:
         f"Statement Period: 01 Jan {year} to 31 Dec {year}",
         "",
     ]
-    render = _render_stream if dialect in _STREAM_COLS else _render_lattice
+    yearless = dialect == "UOB" and rng.random() < 0.3
+
+    def render(d, y, o, tx, r, with_bf=True):
+        if d in _STREAM_COLS:
+            return _render_stream(d, y, o, tx, r, with_bf=with_bf, yearless=yearless)
+        return _render_lattice(d, y, o, tx, r, with_bf=with_bf)
+
     closing = ["", "End of Statement", "Please retain this statement for your records."]
     two_pages = rng.random() < 0.3 and len(txns) >= 4
     if two_pages:

@@ -235,3 +235,22 @@ class TestPageContinuedTable:
     def test_balance_chain_violation_across_pages(self):
         bad = PAGE_CONTINUED.replace("750.00", "751.00")
         assert extract_statement(bad)["balance_ok"] is False
+
+
+YEARLESS = """UOB   UNITED OVERSEAS BANK LIMITED
+Account Statement
+Statement Period: 01 Jan 2023 to 31 Dec 2023
+
+Date                    Description                     Withdrawal          Deposit         Balance
+05 Jan                  GIRO SALARY                                        5,000.00        5,000.00
+12 Feb                  CARD PURCHASE                     1,000.00                         4,000.00
+
+Page 1 of 1"""
+
+
+class TestYearlessDates:
+    def test_year_from_statement_period(self):
+        out = extract_statement(YEARLESS)
+        t = out["transactions"]
+        assert [x["date"] for x in t] == ["2023-01-05", "2023-02-12"]
+        assert out["balance_ok"] is True
