@@ -45,14 +45,16 @@ def main(argv: list[str] | None = None) -> int:
             logging_level="ERROR",
         )
     try:
-        from bank_statement_pdf_parser_ray.pipelines.flagship import build_extracted, run_flagship
+        from bank_statement_pdf_parser_ray.pipelines.flagship import read_extracted, run_flagship
 
         summary = run_flagship(
             args.input, args.out, n_parts=args.n_parts, salt_chunk=args.salt_chunk
         )
         out = {"summary": summary}
         if args.spreadsheet or args.metrics:
-            ds = build_extracted(args.input, n_parts=args.n_parts, salt_chunk=args.salt_chunk)
+            # read back the parquet this run just committed — never
+            # re-extract for the convenience outputs
+            ds = read_extracted(args.out)
             if args.spreadsheet:
                 from bank_statement_pdf_parser_ray.sources.writers import write_spreadsheet
                 from bank_statement_pdf_parser_ray.stages.transactions import transactions_table

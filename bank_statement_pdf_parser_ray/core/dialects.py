@@ -99,12 +99,19 @@ GENERIC = DialectConfig(
 
 
 def detect_dialect(lines: list[str]) -> DialectConfig | None:
-    """J1 dialect-config lookup: first bank keyword in the payload wins;
-    unknown issuers with a recognizable table header get GENERIC."""
+    """J1 dialect-config lookup: the bank keyword appearing EARLIEST in
+    the header probe wins (a DBS statement may mention 'transfer from
+    UOB' further down); unknown issuers with a recognizable table header
+    get GENERIC."""
     probe = "\n".join(lines[:12])
+    best: DialectConfig | None = None
+    best_pos = len(probe) + 1
     for cfg in DIALECTS.values():
-        if cfg.bank_rx.search(probe):
-            return cfg
+        m = cfg.bank_rx.search(probe)
+        if m and m.start() < best_pos:
+            best, best_pos = cfg, m.start()
+    if best is not None:
+        return best
     # No issuer keyword: per-dialect header patterns overlap too much to
     # pick a bank from them, so any recognizable table header => GENERIC
     # (column roles come from the shared synonym table either way).
@@ -149,17 +156,42 @@ class MatchResult:
     balance_ok: bool = True
 
 
-_PERIOD_YEAR_RX = re.compile(r"(?i)statement period.*?\b(19|20)(\d{2})\b")
+_PERIOD_RX = re.compile(
+    r"(?i)statement period:?\s*(?:\d{1,2}\s+)?([a-z]{3})[a-z]*\.?\s+((?:19|20)\d{2})"
+    r".*?(?:\d{1,2}\s+)?([a-z]{3})[a-z]*\.?\s+((?:19|20)\d{2})"
+)
+_PERIOD_YEAR_RX = re.compile(r"(?i)statement period.*?\b((?:19|20)\d{2})\b")
 
 
-def period_year(lines: list[str]) -> int | None:
-    """Default year for year-less dates ('05 Jan'), from the statement
-    period header line (F1 default_year source)."""
+def period_year(lines: list[str]):
+    """Year resolver for year-less dates ('05 Jan'), from the statement
+    period header (F1 default_year source).
+
+    Returns a ``month -> year`` callable so periods spanning a year
+    boundary resolve correctly: for '15 Dec 2023 to 14 Jan 2024',
+    month 12 -> 2023 and month 1 -> 2024. Falls back to a constant
+    resolver when only one year is present; None when no period line."""
     for ln in lines[:12]:
+        m = _PERIOD_RX.search(ln)
+        if m:
+            sm = _MONTHS_LOOKUP.get(m.group(1).lower())
+            sy, ey = int(m.group(2)), int(m.group(4))
+            if sm is None or sy == ey:
+                return lambda month: sy
+            return lambda month: sy if month >= sm else ey
         m = _PERIOD_YEAR_RX.search(ln)
         if m:
-            return int(m.group(1) + m.group(2))
+            y = int(m.group(1))
+            return lambda month: y
     return None
+
+
+_MONTHS_LOOKUP = {
+    m: i + 1
+    for i, m in enumerate(
+        ["jan", "feb", "mar", "apr", "may", "jun", "jul", "aug", "sep", "oct", "nov", "dec"]
+    )
+}
 
 
 def match_rows(
@@ -207,8 +239,14 @@ def match_rows(
 
 def _check_balances(res: MatchResult) -> bool:
     """G3 running-balance consistency within one payload:
-    balance[i] == balance[i-1] - debit[i] + credit[i]."""
+    balance[i] == balance[i-1] - debit[i] + credit[i].
+
+    A table with NO balance column at all is unvalidatable, not
+    inconsistent -> True (absence of data is not a violation); a
+    partially-present balance column (chain has holes) is a violation."""
     if not res.transactions:
+        return True
+    if all(not t.balance for t in res.transactions):
         return True
     prev = amount_cents(res.opening_balance) if res.opening_balance else None
     for t in res.transactions:

@@ -56,7 +56,14 @@ def parse_date(raw: str, default_year: int | None = None) -> str:
     if m:
         d = int(m.group(1))
         mo = _MONTHS.get(m.group(2).lower())
-        y = _expand_year(m.group(3) or "", default_year)
+        ys = m.group(3) or ""
+        if ys:
+            y = _expand_year(ys)
+        elif callable(default_year):
+            # month-aware resolver (statement periods spanning a year boundary)
+            y = default_year(mo) if mo else None
+        else:
+            y = default_year
         if mo and y and 1 <= d <= 31:
             return f"{y:04d}-{mo:02d}-{d:02d}"
     return ""

@@ -51,12 +51,16 @@ def _find_tables(lines: list[str], cfg: DialectConfig | None) -> list[T.Table]:
         rest = lines[pos:]
         tbl: T.Table | None = None
         if cfg is not None:
-            has_grid = any(T.is_border(ln) for ln in rest)
-            if cfg.table_kind == "lattice" or has_grid:
-                # a ruling grid wins (camelot semantics: lattice beats stream)
-                tbl = T.find_lattice_table(rest)
-            if tbl is None:
-                tbl = T.find_stream_table(rest, cfg.header_rx)
+            lat = T.find_lattice_table(rest)
+            stream = None if cfg.table_kind == "lattice" else T.find_stream_table(rest, cfg.header_rx)
+            # take whichever starts FIRST in document order; on overlap the
+            # ruling grid wins (camelot semantics: lattice beats stream) —
+            # but a grid far below a stream table (e.g. a boxed fee-summary
+            # after the transaction table) must not pre-empt it
+            if lat is not None and stream is not None:
+                tbl = lat if lat.start_line <= stream.start_line else stream
+            else:
+                tbl = lat or stream
         else:
             tbl = T.find_lattice_table(rest)
         if tbl is None:

@@ -89,9 +89,6 @@ def find_lattice_table(lines: list[str]) -> Table | None:
     return Table(header=merged[0], rows=merged[1:], start_line=start, end_line=end)
 
 
-_HEADER_TOKEN_RX = re.compile(r"\S+(?: \S+)*")  # tokens separated by 2+ spaces
-
-
 def stream_cuts(header_line: str) -> list[int]:
     """Column cut positions from a stream header line.
 

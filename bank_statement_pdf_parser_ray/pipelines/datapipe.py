@@ -128,7 +128,7 @@ class LangIdActor:
             n = sum(1 for w in words if w in stops)
             if n > best_n:
                 best, best_n = lang, n
-        return best if best_n else "en"
+        return best  # zero stopword hits -> "und", never a silent "en"
 
     def __call__(self, t: pa.Table) -> pa.Table:
         preds = [self._classify(s) for s in t.column("text").to_pylist()]

@@ -149,6 +149,36 @@ def run_flagship(
     manifest_dir = manifest_dir or os.path.join(out_dir, "_manifest")
     manifest = Manifest(manifest_dir)
     committed = frozenset(manifest.committed_parts())
+    if committed:
+        # resuming against a manifest written with different parameters
+        # silently corrupts the output (part ids from a different hash
+        # layout, a different input, or a different extractor) — refuse
+        prev = manifest.read(min(committed))
+        mismatches = {
+            k: (getattr(prev, k), v)
+            for k, v in {
+                "n_parts": n_parts,
+                "salt_chunk": salt_chunk,
+                "input": input_desc,
+                "extractor_version": EXTRACTOR_VERSION,
+            }.items()
+            if getattr(prev, k) != v
+        }
+        if mismatches:
+            raise ValueError(
+                f"checkpoint manifest at {manifest_dir} was written with different "
+                f"parameters {mismatches} (manifest value, current value); resume "
+                "with matching parameters or clear the manifest and output dir"
+            )
+    # clear orphaned staging dirs from crashed runs (their content is
+    # uncommitted by definition; leaving them would make recursive
+    # readers of out_dir see duplicate rows)
+    if os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            if name.startswith("_staging-"):
+                import shutil as _shutil
+
+                _shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
     ds = build_extracted(
         source,
         n_parts=n_parts,
@@ -192,3 +222,16 @@ def run_flagship(
         "parts_skipped": len(committed),
         "rows_written": rows,
     }
+
+
+def read_extracted(out_dir: str) -> "ray.data.Dataset":
+    """Read back a committed flagship output (the part=k dirs only —
+    never the manifest or any orphaned staging dir)."""
+    files = []
+    for d in sorted(os.listdir(out_dir)):
+        if d.startswith("part="):
+            sub = os.path.join(out_dir, d)
+            files.extend(
+                os.path.join(sub, f) for f in sorted(os.listdir(sub)) if f.endswith(".parquet")
+            )
+    return ray.data.read_parquet(files)

@@ -271,7 +271,7 @@ def events_sessionized(sf_dir: str) -> "ray.data.Dataset":
 
 EVENTS_SESSIONIZED_SQL = """
 WITH marked AS (
-  SELECT user_id, value,
+  SELECT user_id, value, ts, event_id,
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
               OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
   FROM events
@@ -279,7 +279,8 @@ WITH marked AS (
 ),
 sess AS (
   SELECT user_id, value,
-         CAST(sum(new_sess) OVER (PARTITION BY user_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM marked
 )
 SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS sum_value

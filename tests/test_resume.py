@@ -86,3 +86,25 @@ class TestResume:
         m2 = os.path.join(out2, "_manifest")
         entries2 = [json.load(open(os.path.join(m2, f))) for f in sorted(os.listdir(m2))]
         assert [e["checksum"] for e in entries] == [e["checksum"] for e in entries2]
+
+
+class TestResumeSafety:
+    def test_mismatched_params_refused(self, corpus_path, tmp_path):
+        out_dir = str(tmp_path / "mismatch")
+        run_flagship(corpus_path, out_dir, salt_chunk=25, n_parts=8)
+        with pytest.raises(ValueError, match="different\\s+parameters"):
+            run_flagship(corpus_path, out_dir, salt_chunk=25, n_parts=16)
+        with pytest.raises(ValueError, match="different\\s+parameters"):
+            run_flagship(corpus_path.replace(".parquet", "x.parquet"), out_dir, salt_chunk=25, n_parts=8)
+
+    def test_orphan_staging_cleared(self, corpus_path, tmp_path):
+        import pandas as pd
+
+        out_dir = str(tmp_path / "stalestage")
+        run_flagship(corpus_path, out_dir, salt_chunk=25, n_parts=8)
+        stale = os.path.join(out_dir, "_staging-99999")
+        os.makedirs(os.path.join(stale, "part=0"))
+        open(os.path.join(stale, "part=0", "junk.parquet"), "w").write("x")
+        s = run_flagship(corpus_path, out_dir, salt_chunk=25, n_parts=8)
+        assert s["parts_written"] == 0
+        assert not os.path.exists(stale)

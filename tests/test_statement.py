@@ -254,3 +254,50 @@ class TestYearlessDates:
         t = out["transactions"]
         assert [x["date"] for x in t] == ["2023-01-05", "2023-02-12"]
         assert out["balance_ok"] is True
+
+
+class TestReviewRegressions:
+    """Fixes from the round-1 code review (each repro'd before fixing)."""
+
+    def test_stream_table_not_preempted_by_later_grid(self):
+        # a boxed fee-summary AFTER the stream transaction table must not
+        # swallow the transactions
+        s = UOB_STREAM.replace(
+            "End of Statement",
+            "+----------+----------+\n| Fee Type | Amount   |\n+----------+----------+\n"
+            "| ANNUAL   | 10.00    |\n+----------+----------+\nEnd of Statement",
+        )
+        out = extract_statement(s)
+        assert len(out["transactions"]) == 3  # stream table still parsed first
+
+    def test_dialect_by_earliest_keyword(self):
+        s = DBS_LATTICE.replace(
+            "Account No: 555-001-002",
+            "Account No: 555-001-002 (incoming transfer from UOB account)",
+        )
+        assert extract_statement(s)["dialect"] == "DBS"
+
+    def test_period_spanning_year_boundary(self):
+        s = YEARLESS.replace(
+            "Statement Period: 01 Jan 2023 to 31 Dec 2023",
+            "Statement Period: 15 Dec 2022 to 14 Feb 2023",
+        )
+        out = extract_statement(s)
+        # Jan/Feb fall AFTER the December start -> end year 2023
+        assert [x["date"] for x in out["transactions"]] == ["2023-01-05", "2023-02-12"]
+        s2 = s.replace("05 Jan  ", "05 Dec  ")
+        out2 = extract_statement(s2)
+        assert out2["transactions"][0]["date"] == "2022-12-05"  # Dec -> start year
+
+    def test_no_balance_column_not_a_violation(self):
+        s = """ACME BANK
+Account Statement
+
+Date                    Description                     Debit               Credit
+03/06/2024              OPENING DEPOSIT                                    1,000.00
+18/06/2024              COFFEE SHOP                        12.50
+
+Page 1 of 1"""
+        out = extract_statement(s)
+        assert len(out["transactions"]) == 2
+        assert out["balance_ok"] is True  # absence of data != inconsistency
