@@ -31,7 +31,33 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("--salt-chunk", type=int, default=10_000)
     runp.add_argument("--num-cpus", type=int, default=None)
     runp.add_argument("--metrics", action="store_true", help="print G2 job metrics JSON")
+
+    # the reference tool's own workflow (README.md:2): ONE statement in,
+    # standardized transaction table out — pure core, no Ray session
+    parsep = sub.add_parser("parse", help="parse a single statement text file to a transaction table")
+    parsep.add_argument("statement", help="path to a statement text file")
+    parsep.add_argument("--out", default=None, help="write transactions to CSV (default: stdout JSON)")
     args = p.parse_args(argv)
+
+    if args.cmd == "parse":
+        from bank_statement_pdf_parser_ray.core.extract import extract_payload
+
+        with open(args.statement, encoding="utf-8") as f:
+            payload = f.read()
+        res = extract_payload(payload)
+        if args.out:
+            import csv
+
+            with open(args.out, "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=["date", "description", "debit", "credit", "balance"])
+                w.writeheader()
+                w.writerows(res["transactions"])
+            print(json.dumps({"transactions": len(res["transactions"]), "dialect": res["dialect"],
+                              "balance_ok": res["balance_ok"], "out": args.out}))
+        else:
+            print(json.dumps({"dialect": res["dialect"], "balance_ok": res["balance_ok"],
+                              "transactions": res["transactions"]}))
+        return 0
 
     import ray
 

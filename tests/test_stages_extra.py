@@ -80,3 +80,21 @@ class TestCLI:
 
         assert os.path.isdir(os.path.join(out_dir, "_manifest"))
         assert os.path.exists(sheet)
+
+
+class TestParseCLI:
+    def test_single_statement_parse(self, tmp_path):
+        from bank_statement_pdf_parser_ray.__main__ import main
+
+        stmt = tmp_path / "s.txt"
+        stmt.write_text(
+            "UOB   UNITED OVERSEAS BANK LIMITED\nAccount Statement\n\n"
+            "Date                    Description                     Withdrawal          Deposit         Balance\n"
+            "05 Jan 2024             GIRO SALARY                                        5,000.00        5,000.00\n"
+            "\nPage 1 of 1\n"
+        )
+        out = tmp_path / "t.csv"
+        assert main(["parse", str(stmt), "--out", str(out)]) == 0
+        lines = out.read_text().strip().splitlines()
+        assert lines[0] == "date,description,debit,credit,balance"
+        assert lines[1] == "2024-01-05,GIRO SALARY,,5000.00,5000.00"
