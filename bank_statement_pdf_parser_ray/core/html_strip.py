@@ -28,7 +28,8 @@ from bank_statement_pdf_parser_ray.core.normalize import normalize_text
 
 LINK_DENSITY_MAX = 0.5
 
-_TAG_RX = re.compile(r"<!--.*?-->|<[^>]*>", re.S)
+# one pass captures closing-slash and tag name; comments have no groups
+_TAG_RX = re.compile(r"<!--.*?-->|<(/?)\s*([a-zA-Z][a-zA-Z0-9]*)[^>]*>|<[^>]*>", re.S)
 
 _BLOCK_TAGS = frozenset(
     "html head body div p nav header footer aside section article main ul ol li "
@@ -38,8 +39,6 @@ _BLOCK_TAGS = frozenset(
 _CHROME_TAGS = frozenset(("nav", "header", "footer", "aside"))
 # Containers whose text content is never rendered.
 _RAW_SKIP_TAGS = frozenset(("script", "style", "head", "title"))
-
-_TAG_NAME_RX = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)")
 
 
 class Block(NamedTuple):
@@ -105,15 +104,12 @@ def parse_blocks(payload: str) -> list[Block]:
     for m in _TAG_RX.finditer(payload):
         add_text(payload[pos : m.start()], pos, m.start())
         pos = m.end()
-        tag = m.group(0)
-        if tag.startswith("<!--"):
+        name = m.group(2)
+        if name is None:  # comment or malformed tag — no name captured
             continue
-        nm = _TAG_NAME_RX.match(tag)
-        if not nm:
-            continue
-        name = nm.group(1).lower()
-        closing = tag.startswith("</")
-        self_closing = tag.endswith("/>") or name in ("br", "hr", "img", "input", "meta", "link")
+        name = name.lower()
+        closing = m.group(1) == "/"
+        self_closing = m.group(0).endswith("/>") or name in ("br", "hr", "img", "input", "meta", "link")
         if name in _RAW_SKIP_TAGS:
             if closing:
                 skip_depth = max(0, skip_depth - 1)
