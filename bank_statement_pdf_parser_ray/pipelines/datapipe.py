@@ -155,24 +155,58 @@ def doc_fingerprint(sf_dir: str) -> "ray.data.Dataset":
 # Deduplication family
 # ---------------------------------------------------------------------------
 
-def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
-    """Exact dedup: keep min doc_id per distinct text.
+class _FetchTexts:
+    """Selective re-read of survivor rows: each batch of doc_ids pulls
+    only its own texts via parquet predicate pushdown (same pattern as
+    JaccardVerifier)."""
 
-    Scale path: group on a 64-bit content hash (shuffles 8-byte keys,
-    not payloads), min(doc_id) per group, then the survivor rows are
-    re-read by id — here the text rides along because payloads are tiny.
+    def __init__(self, docs_path: str) -> None:
+        import pyarrow.dataset as pads
+
+        self.dataset = pads.dataset(docs_path, format="parquet")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        got = self.dataset.to_table(columns=["doc_id", "text"], filter=pc.field("doc_id").isin(ids))
+        lut = dict(zip(got.column("doc_id").to_pylist(), got.column("text").to_pylist()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([lut[i] for i in ids], pa.string()),
+            }
+        )
+
+
+def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """Exact dedup: keep min doc_id per distinct text — the 100 TB shape:
+
+    1. hash each text to 63 bits inside map_batches and DROP the payload,
+       so the groupby shuffle moves only (text_h, doc_id) pairs (16 B/row
+       instead of the document);
+    2. ``groupby(text_h).aggregate(Min(doc_id))`` — a pre-combined
+       aggregate, not a map_groups carrying rows;
+    3. survivors re-read their text selectively (predicate pushdown).
+
+    63-bit collisions (two texts, one hash) would drop a unique doc with
+    probability ~n²/2^63 — negligible against exact-oracle comparison at
+    any feasible n.
     """
+    from ray.data.aggregate import Min
 
     def add_hash(t: pa.Table) -> pa.Table:
         hs = pa.array([stable_hash64(s) for s in t.column("text").to_pylist()], pa.int64())
-        return t.append_column("text_h", hs)
-
-    def first_per_group(g: pa.Table) -> pa.Table:
-        g = g.sort_by([("doc_id", "ascending")])
-        return g.slice(0, 1).select(["doc_id", "text"])
+        return pa.table({"text_h": hs, "doc_id": t.column("doc_id")})  # payload dropped pre-shuffle
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
-    return ds.groupby("text_h").map_groups(first_per_group, batch_format="pyarrow")
+    survivors = ds.groupby("text_h").aggregate(Min("doc_id", alias_name="doc_id")).drop_columns(["text_h"])
+    return survivors.map_batches(
+        _FetchTexts,
+        fn_constructor_args=(f"{sf_dir}/documents.parquet",),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=1024,
+        concurrency=(1, 2),
+    )
 
 
 def _shingles(text: str, k: int = 3) -> set[int]:

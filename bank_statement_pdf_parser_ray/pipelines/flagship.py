@@ -71,7 +71,7 @@ def build_extracted(
     salt_chunk: int = DEFAULT_SALT_CHUNK,
     committed: frozenset[int] = frozenset(),
     concurrency: int | None = None,
-    batch_size: int = 256,
+    batch_size: int = 1024,
 ) -> "ray.data.Dataset":
     """Lazy Dataset of ordered, deduped extraction results (part/row_h
     columns included for the sink)."""
@@ -128,7 +128,7 @@ def run_flagship(
     n_parts: int = DEFAULT_N_PARTS,
     salt_chunk: int = DEFAULT_SALT_CHUNK,
     concurrency: int | None = None,
-    batch_size: int = 256,
+    batch_size: int = 1024,
 ):
     """Run the flagship job.
 
