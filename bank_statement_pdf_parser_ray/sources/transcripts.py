@@ -1,0 +1,86 @@
+"""S3 transcript sources (SURVEY.md §2.1 S3): read the input_hint table
+from parquet (primary), JSONL, or an in-memory Arrow table, normalizing
+everything to the canonical INPUT_SCHEMA so the flagship pipeline is
+source-agnostic.
+
+Projection is pushed to the source where the format supports it
+(parquet ``columns=``); JSONL rows are normalized per batch (missing
+``tool`` -> "", integer/iso ``ts`` -> timestamp[us], turn_idx -> int32).
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from bank_statement_pdf_parser_ray.schema import INPUT_SCHEMA
+
+INPUT_COLUMNS = [f.name for f in INPUT_SCHEMA]
+
+
+class SchemaError(ValueError):
+    pass
+
+
+def _normalize_batch(t: pa.Table) -> pa.Table:
+    """Coerce a raw batch into INPUT_SCHEMA (adds missing optional
+    columns, casts types); raises SchemaError on missing required
+    columns so a wrong input fails loudly at the first batch."""
+    names = set(t.schema.names)
+    required = {"conv_id", "turn_idx", "text"}
+    missing = required - names
+    if missing:
+        raise SchemaError(
+            f"transcript input is missing required columns {sorted(missing)}; "
+            f"expected schema {INPUT_SCHEMA}"
+        )
+    n = t.num_rows
+    cols = {}
+    cols["conv_id"] = pc.cast(t.column("conv_id"), pa.string())
+    cols["turn_idx"] = pc.cast(t.column("turn_idx"), pa.int32())
+    cols["role"] = (
+        pc.cast(t.column("role"), pa.string()) if "role" in names else pa.array([""] * n, pa.string())
+    )
+    text = t.column("text")
+    cols["text"] = pc.fill_null(pc.cast(text, pa.string()), "")
+    cols["tool"] = (
+        pc.fill_null(pc.cast(t.column("tool"), pa.string()), "")
+        if "tool" in names
+        else pa.array([""] * n, pa.string())
+    )
+    if "ts" in names:
+        ts = t.column("ts")
+        if pa.types.is_timestamp(ts.type):
+            cols["ts"] = pc.cast(ts, pa.timestamp("us"))
+        elif pa.types.is_integer(ts.type):
+            cols["ts"] = pc.cast(ts, pa.timestamp("us"))  # epoch micros
+        else:  # ISO strings
+            cols["ts"] = pc.cast(pc.strptime(ts, format="%Y-%m-%dT%H:%M:%S", unit="us"), pa.timestamp("us"))
+    else:
+        cols["ts"] = pa.array([0] * n, pa.timestamp("us"))
+    return pa.table(cols, schema=INPUT_SCHEMA)
+
+
+def read_transcripts(source: Union[str, pa.Table, "ray.data.Dataset"], fmt: str = "parquet") -> "ray.data.Dataset":
+    """Canonical transcript Dataset from any supported source.
+
+    - ``fmt="parquet"`` (default): projection pushdown to the 6 columns.
+    - ``fmt="json"``: JSONL files, one turn object per line.
+    - a ``pa.Table`` / Dataset: normalized in place.
+    """
+    if isinstance(source, pa.Table):
+        ds = ray.data.from_arrow(source)
+    elif isinstance(source, str):
+        if fmt == "parquet":
+            ds = ray.data.read_parquet(source, columns=INPUT_COLUMNS)
+        elif fmt == "json":
+            ds = ray.data.read_json(source)
+        else:
+            raise ValueError(f"unsupported transcript format: {fmt}")
+    else:
+        ds = source
+    return ds.map_batches(_normalize_batch, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,58 @@
+"""Transcript source normalization (S3 variants)."""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from bank_statement_pdf_parser_ray.sources.transcripts import SchemaError, read_transcripts
+
+
+class TestReadTranscripts:
+    def test_jsonl_source(self, tmp_path):
+        p = tmp_path / "turns.jsonl"
+        rows = [
+            {"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "hello  world", "tool": "", "ts": 1_704_067_200_000_000},
+            {"conv_id": "c1", "turn_idx": 1, "role": "assistant", "text": "hi", "tool": "", "ts": 1_704_067_260_000_000},
+        ]
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+        ds = read_transcripts(str(p), fmt="json")
+        t = ds.take_all()
+        assert len(t) == 2
+        assert t[0]["conv_id"] == "c1"
+
+    def test_missing_optional_columns_defaulted(self):
+        raw = pa.table({"conv_id": ["a"], "turn_idx": [0], "text": ["x"]})
+        out = read_transcripts(raw).take_all()
+        assert out[0]["role"] == "" and out[0]["tool"] == ""
+
+    def test_missing_required_raises(self):
+        raw = pa.table({"conv_id": ["a"], "text": ["x"]})
+        with pytest.raises(Exception) as ei:
+            read_transcripts(raw).take_all()
+        assert "turn_idx" in str(ei.value)
+
+    def test_null_text_becomes_empty(self):
+        raw = pa.table(
+            {"conv_id": ["a", "a"], "turn_idx": [0, 1], "text": pa.array(["x", None], pa.string())}
+        )
+        out = read_transcripts(raw).take_all()
+        assert out[1]["text"] == ""
+
+    def test_pipeline_runs_on_normalized_source(self, tmp_path):
+        import json as _json
+
+        from bank_statement_pdf_parser_ray.pipelines.flagship import run_flagship
+
+        p = tmp_path / "turns.jsonl"
+        rows = [
+            {"conv_id": "c1", "turn_idx": 0, "text": "some  plain\ttext"},
+            {"conv_id": "c1", "turn_idx": 1, "text": "<html><body><div><p>real content here</p></div><nav><a href=x>n</a></nav></body></html>"},
+        ]
+        p.write_text("\n".join(_json.dumps(r) for r in rows))
+        ds = run_flagship(read_transcripts(str(p), fmt="json"), salt_chunk=100, n_parts=2)
+        df = ds.to_pandas().sort_values("turn_idx")
+        assert df["extracted_text"].tolist()[0] == "some plain text"
+        assert "real content here" in df["extracted_text"].tolist()[1]
