@@ -41,7 +41,18 @@ def add_keys(batch: pa.Table, n_parts: int, salt_chunk: int) -> pa.Table:
         pc.floor(pc.divide(pc.cast(batch.column("turn_idx"), pa.float64()), salt_chunk)),
         pa.int32(),
     )
+    # PART-MAJOR group key: the sort-based shuffle range-partitions by this
+    # key, so each reduce output block holds contiguous parts and the
+    # partitioned write emits ~1 file per (block, part) instead of
+    # fanning every block out across all parts (small-file explosion:
+    # measured ~19k files and +50s wall on a 2M-turn corpus without this).
+    # Zero-padding keeps lexicographic order == numeric part order;
+    # group equality is still exactly (conv_id, salt) since part is a
+    # function of conv_id.
+    pad = len(str(max(n_parts - 1, 1)))
+    part_str = pc.utf8_lpad(pc.cast(part, pa.string()), width=pad, padding="0")
     group_key = pc.binary_join_element_wise(
+        part_str,
         batch.column("conv_id"),
         pc.cast(salt, pa.string()),
         "\x1f",

@@ -20,7 +20,10 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_CONVS = int(os.environ.get("BSPP_BENCH_CONVS", "4000"))
+BENCH_CONVS = int(os.environ.get("BSPP_BENCH_CONVS", "12000"))
+# --scaling needs a compute-dominated run (fixed pipeline overhead would
+# mask the parallel speedup at small sizes), so it uses a larger corpus
+SCALING_CONVS = int(os.environ.get("BSPP_SCALING_CONVS", "160000"))
 BENCH_SEED = 42
 BENCH_MEGA = 2000
 
@@ -87,6 +90,19 @@ def run_bench() -> dict:
     turns = summary["rows_written"]
     shutil.rmtree(out_dir, ignore_errors=True)
 
+    if os.environ.get("BSPP_SCALING_HEADLINE_ONLY"):
+        ray.shutdown()
+        return {
+            "metric": "flagship_extract_sec",
+            "value": round(headline_sec, 3),
+            "unit": "sec",
+            "turns": turns,
+            "turns_per_sec": round(turns / headline_sec, 1),
+            "queries": {},
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+        }
+
     # per-query timings over the shared sf tables
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as entry_mod
@@ -137,7 +153,12 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            BSPP_BENCH_CONVS=str(SCALING_CONVS),
+            BSPP_SCALING_HEADLINE_ONLY="1",
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -158,7 +179,7 @@ def run_scaling() -> dict:
         "turns_per_sec_8": lo["turns_per_sec"],
         "turns_per_sec_32": hi["turns_per_sec"],
         "turns": lo["turns"],
-        "note": "1 physical CPU sandbox: measures scheduling/shuffle overhead ratio, see BASELINE.md",
+        "note": "same seeded corpus, fresh ray.init per level; see BASELINE.md §3",
     }
 
 
