@@ -41,22 +41,23 @@ def add_keys(batch: pa.Table, n_parts: int, salt_chunk: int) -> pa.Table:
         pc.floor(pc.divide(pc.cast(batch.column("turn_idx"), pa.float64()), salt_chunk)),
         pa.int32(),
     )
-    # PART-MAJOR group key: the sort-based shuffle range-partitions by this
-    # key, so each reduce output block holds contiguous parts and the
-    # partitioned write emits ~1 file per (block, part) instead of
-    # fanning every block out across all parts (small-file explosion:
-    # measured ~19k files and +50s wall on a 2M-turn corpus without this).
-    # Zero-padding keeps lexicographic order == numeric part order;
-    # group equality is still exactly (conv_id, salt) since part is a
-    # function of conv_id.
+    # COARSE PART-MAJOR group key = (part, salt):
+    # - reduce group = one output partition's rows for one salt chunk —
+    #   ~n_parts x max_salt groups instead of one per conversation chunk
+    #   (per-conversation map_groups made ~1 Python call per conversation:
+    #   measured 72 s reduce vs 38 s extract on a 2M-turn corpus; the
+    #   per-conversation ordering happens VECTORIZED inside the group via
+    #   a multi-key Arrow sort, stages/order.py);
+    # - group size is bounded by part sizing (n_parts is the scale knob)
+    #   and mega-conversations still spread across salt chunks;
+    # - part-major lexicographic order (zero-padded) keeps reduce output
+    #   blocks contiguous in part, so the partitioned write emits ~1 file
+    #   per (block, part) instead of fanning every block across all parts
+    #   (small-file explosion: measured ~19k files, +50 s).
     pad = len(str(max(n_parts - 1, 1)))
     part_str = pc.utf8_lpad(pc.cast(part, pa.string()), width=pad, padding="0")
-    group_key = pc.binary_join_element_wise(
-        part_str,
-        batch.column("conv_id"),
-        pc.cast(salt, pa.string()),
-        "\x1f",
-    )
+    salt_str = pc.utf8_lpad(pc.cast(salt, pa.string()), width=9, padding="0")
+    group_key = pc.binary_join_element_wise(part_str, salt_str, "\x1f")
     out = batch.append_column("part", part)
     out = out.append_column("salt", salt)
     return out.append_column("group_key", group_key)

@@ -23,14 +23,26 @@ import ray.data
 
 
 def _sort_dedup_group(group: pa.Table) -> pa.Table:
-    t = group.sort_by([("turn_idx", "ascending")])
+    """One (part, salt) group: vectorized multi-key sort restores
+    per-conversation turn order; adjacent-duplicate masking dedups
+    replayed (conv_id, turn_idx) fragments. No Python loop over rows
+    or conversations — Arrow kernels throughout."""
+    t = group.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
     if t.num_rows <= 1:
         return t
-    idx = t.column("turn_idx").to_pylist()
-    keep = [True] + [idx[i] != idx[i - 1] for i in range(1, len(idx))]
-    if all(keep):
+    import pyarrow.compute as pc
+
+    conv = t.column("conv_id").combine_chunks()
+    idx = t.column("turn_idx").combine_chunks()
+    n = t.num_rows
+    dup = pc.and_(
+        pc.equal(conv.slice(1, n - 1), conv.slice(0, n - 1)),
+        pc.equal(idx.slice(1, n - 1), idx.slice(0, n - 1)),
+    )
+    if pc.any(dup).as_py() is not True:
         return t
-    return t.filter(pa.array(keep))
+    keep = pa.chunked_array([pa.array([True]), pc.invert(dup)])
+    return t.filter(keep)
 
 
 def restore_order(ds: "ray.data.Dataset") -> "ray.data.Dataset":
