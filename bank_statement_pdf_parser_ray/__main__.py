@@ -70,6 +70,12 @@ def main(argv: list[str] | None = None) -> int:
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
+        try:
+            from ray.data import DataContext
+
+            DataContext.get_current().use_polars_sort = True
+        except Exception:
+            pass
     try:
         from bank_statement_pdf_parser_ray.pipelines.flagship import read_extracted, run_flagship
 
