@@ -53,11 +53,13 @@ def main(argv: list[str] | None = None) -> int:
                 w.writeheader()
                 w.writerows(res["transactions"])
             print(json.dumps({"transactions": len(res["transactions"]), "dialect": res["dialect"],
-                              "balance_ok": res["balance_ok"], "out": args.out}))
+                              "balance_ok": res["balance_ok"], "error": res["error"], "out": args.out}))
         else:
             print(json.dumps({"dialect": res["dialect"], "balance_ok": res["balance_ok"],
-                              "transactions": res["transactions"]}))
-        return 0
+                              "error": res["error"], "transactions": res["transactions"]}))
+        # a degraded parse (extractor exception -> plain-text fallback)
+        # is NOT a silent success
+        return 1 if res["error"] else 0
 
     import ray
 

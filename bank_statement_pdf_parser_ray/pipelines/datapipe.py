@@ -155,20 +155,29 @@ def doc_fingerprint(sf_dir: str) -> "ray.data.Dataset":
 # Deduplication family
 # ---------------------------------------------------------------------------
 
-class _FetchTexts:
-    """Selective re-read of survivor rows: each batch of doc_ids pulls
-    only its own texts via parquet predicate pushdown (same pattern as
-    JaccardVerifier)."""
+class _SelectiveDocReader:
+    """Shared warm-state helper: parquet handle opened once per actor;
+    ``fetch(ids)`` reads ONLY the requested doc texts via predicate
+    pushdown (the broadcast-free point-lookup pattern)."""
 
     def __init__(self, docs_path: str) -> None:
         import pyarrow.dataset as pads
 
         self.dataset = pads.dataset(docs_path, format="parquet")
 
+    def fetch(self, ids: list[int]) -> dict[int, str]:
+        got = self.dataset.to_table(
+            columns=["doc_id", "text"], filter=pc.field("doc_id").isin(ids)
+        )
+        return dict(zip(got.column("doc_id").to_pylist(), got.column("text").to_pylist()))
+
+
+class _FetchTexts(_SelectiveDocReader):
+    """Selective re-read of survivor rows (exact_dedup step 3)."""
+
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_pylist()
-        got = self.dataset.to_table(columns=["doc_id", "text"], filter=pc.field("doc_id").isin(ids))
-        lut = dict(zip(got.column("doc_id").to_pylist(), got.column("text").to_pylist()))
+        lut = self.fetch(ids)
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
@@ -305,29 +314,23 @@ def minhash_candidates(sf_dir: str) -> "ray.data.Dataset":
     return cand.groupby("pk").map_groups(dedup_pairs, batch_format="pyarrow").drop_columns(["pk"])
 
 
-class JaccardVerifier:
+class JaccardVerifier(_SelectiveDocReader):
     """Distributed exact-Jaccard verification of candidate pairs: each
     batch of (doc_a, doc_b) selectively reads ONLY the texts it needs
-    (parquet predicate pushdown on doc_id), shingles them once per
-    batch, and keeps pairs >= threshold. No driver-side collection —
-    the candidate Dataset streams through an actor pool and the
-    verified pairs stream out (SCALE.md §8 scale path)."""
+    (via _SelectiveDocReader), shingles them once per batch, and keeps
+    pairs >= threshold. No driver-side collection — the candidate
+    Dataset streams through an actor pool and the verified pairs stream
+    out (SCALE.md §8 scale path)."""
 
     def __init__(self, docs_path: str, threshold: float) -> None:
-        import pyarrow.dataset as pads
-
-        self.dataset = pads.dataset(docs_path, format="parquet")
+        super().__init__(docs_path)
         self.threshold = threshold
 
     def __call__(self, t: pa.Table) -> pa.Table:
         a_ids = t.column("doc_a").to_pylist()
         b_ids = t.column("doc_b").to_pylist()
         need = sorted(set(a_ids) | set(b_ids))
-        got = self.dataset.to_table(columns=["doc_id", "text"], filter=pc.field("doc_id").isin(need))
-        sh = {
-            i: _shingles(s)
-            for i, s in zip(got.column("doc_id").to_pylist(), got.column("text").to_pylist())
-        }
+        sh = {i: _shingles(s) for i, s in self.fetch(need).items()}
         keep_a, keep_b = [], []
         for a, b in zip(a_ids, b_ids):
             sa, sb = sh.get(a), sh.get(b)

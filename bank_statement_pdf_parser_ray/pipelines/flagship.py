@@ -1,7 +1,7 @@
 """The flagship extraction job (SURVEY.md §3.2):
 
 read -> resume-filter -> keys/salt -> extractor actor pool -> ONE salted
-(conv_id, salt) shuffle restoring stable turn ordering + dedup ->
+(part, bucket, salt) shuffle restoring stable turn ordering + dedup ->
 partitioned parquet + per-part lineage commit.
 
 Never calls ray.init()/ray.shutdown(): session ownership stays with the

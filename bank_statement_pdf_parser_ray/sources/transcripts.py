@@ -38,6 +38,13 @@ def _normalize_batch(t: pa.Table) -> pa.Table:
             f"transcript input is missing required columns {sorted(missing)}; "
             f"expected schema {INPUT_SCHEMA}"
         )
+    for key_col in ("conv_id", "turn_idx"):
+        col = t.column(key_col)
+        if col.null_count or pa.types.is_null(col.type):
+            raise SchemaError(
+                f"transcript input has {col.null_count or t.num_rows} null values in "
+                f"required key column '{key_col}' — keys must be non-null"
+            )
     n = t.num_rows
     cols = {}
     cols["conv_id"] = pc.cast(t.column("conv_id"), pa.string())
@@ -52,14 +59,23 @@ def _normalize_batch(t: pa.Table) -> pa.Table:
         if "tool" in names
         else pa.array([""] * n, pa.string())
     )
-    if "ts" in names:
+    if "ts" in names and not pa.types.is_null(t.column("ts").type):
         ts = t.column("ts")
         if pa.types.is_timestamp(ts.type):
             cols["ts"] = pc.cast(ts, pa.timestamp("us"))
         elif pa.types.is_integer(ts.type):
             cols["ts"] = pc.cast(ts, pa.timestamp("us"))  # epoch micros
-        else:  # ISO strings
-            cols["ts"] = pc.cast(pc.strptime(ts, format="%Y-%m-%dT%H:%M:%S", unit="us"), pa.timestamp("us"))
+        elif pa.types.is_floating(ts.type):
+            cols["ts"] = pc.cast(pc.round(ts).cast(pa.int64()), pa.timestamp("us"))
+        else:
+            # Arrow's string->timestamp cast parses full ISO-8601 incl.
+            # fractional seconds; zone-suffixed strings ('Z', offsets)
+            # need a tz-aware intermediate, then fold to naive UTC
+            try:
+                cols["ts"] = pc.cast(ts, pa.timestamp("us"))
+            except pa.ArrowInvalid:
+                cols["ts"] = pc.cast(pc.cast(ts, pa.timestamp("us", "UTC")), pa.timestamp("us"))
+        cols["ts"] = pc.fill_null(cols["ts"], pa.scalar(0, pa.timestamp("us")))
     else:
         cols["ts"] = pa.array([0] * n, pa.timestamp("us"))
     return pa.table(cols, schema=INPUT_SCHEMA)

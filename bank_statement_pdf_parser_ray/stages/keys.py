@@ -1,15 +1,21 @@
 """Partitioning / salting keys (SURVEY.md §4 skew row).
 
-- ``part``  — stable output partition: blake2-based hash(conv_id) % n_parts.
+- ``part``   — stable output partition: blake2-based hash(conv_id) % n_parts.
   Drives resumable partitioned output (S5) and per-part lineage.
-- ``salt``  — turn_idx // salt_chunk. Uniform chunk-salting needs NO
-  pre-scan for hot keys (unlike top-k detection): a mega-conversation
-  (BASELINE.json: "skewed mega-conversations") spreads over
-  ceil(n_turns / salt_chunk) reducers while normal conversations keep
-  salt=0, so the shuffle group key is (conv_id, salt) and no reduce
-  group ever exceeds salt_chunk rows. Chunks have disjoint turn ranges,
-  so per-chunk sorting preserves global per-conversation order by
-  construction (merge-by-construction, SURVEY.md §7).
+- ``salt``   — turn_idx // salt_chunk. Uniform chunk-salting needs NO
+  pre-scan for hot keys: a mega-conversation (BASELINE.json: "skewed
+  mega-conversations") spreads over ceil(n_turns / salt_chunk) reduce
+  groups while normal conversations keep salt=0. Chunks have disjoint
+  turn ranges, so per-chunk sorting preserves global per-conversation
+  order by construction (merge-by-construction, SURVEY.md §7).
+- ``bucket`` — hash(conv_id) sub-bucket within a part. The reduce group
+  is (part, bucket, salt), so its size is bounded by
+  part_size / n_buckets for ordinary (salt=0) data and by salt_chunk
+  rows per conversation chunk for mega-conversations — a constant the
+  operator controls via n_parts x n_buckets — while the number of
+  Python map_groups calls stays ~n_parts x n_buckets, not one per
+  conversation (the per-conversation variant cost 2x the extraction
+  time in pure call overhead, BASELINE.md §3).
 """
 
 from __future__ import annotations
@@ -22,42 +28,48 @@ from bank_statement_pdf_parser_ray.core.hashing import stable_hash64
 
 DEFAULT_SALT_CHUNK = 10_000
 DEFAULT_N_PARTS = 64
+DEFAULT_N_BUCKETS = 32
 
 
-def conv_part_array(conv_ids: pa.ChunkedArray | pa.Array, n_parts: int) -> pa.Array:
-    """Vectorized-ish part assignment: hash only the unique conv_ids in
-    the batch (rows per conversation cluster heavily), then gather."""
+def conv_hash_arrays(conv_ids: pa.ChunkedArray | pa.Array, n_parts: int, n_buckets: int) -> tuple[pa.Array, pa.Array]:
+    """Vectorized-ish (part, bucket) assignment: hash only the unique
+    conv_ids in the batch (rows per conversation cluster heavily), then
+    gather. bucket uses independent high bits of the same stable hash."""
     arr = conv_ids.combine_chunks() if isinstance(conv_ids, pa.ChunkedArray) else conv_ids
     encoded = pc.dictionary_encode(arr)
     uniques = encoded.dictionary.to_pylist()
-    lut = np.array([stable_hash64(u) % n_parts for u in uniques], dtype=np.int32)
+    hashes = np.array([stable_hash64(u) for u in uniques], dtype=np.uint64)
+    part_lut = (hashes % n_parts).astype(np.int32)
+    bucket_lut = ((hashes >> np.uint64(20)) % n_buckets).astype(np.int32)
     codes = encoded.indices.to_numpy(zero_copy_only=False)
-    return pa.array(lut[codes], type=pa.int32())
+    return pa.array(part_lut[codes], type=pa.int32()), pa.array(bucket_lut[codes], type=pa.int32())
 
 
-def add_keys(batch: pa.Table, n_parts: int, salt_chunk: int) -> pa.Table:
-    part = conv_part_array(batch.column("conv_id"), n_parts)
+def conv_part_array(conv_ids: pa.ChunkedArray | pa.Array, n_parts: int) -> pa.Array:
+    return conv_hash_arrays(conv_ids, n_parts, 1)[0]
+
+
+def add_keys(batch: pa.Table, n_parts: int, salt_chunk: int, n_buckets: int = DEFAULT_N_BUCKETS) -> pa.Table:
+    part, bucket = conv_hash_arrays(batch.column("conv_id"), n_parts, n_buckets)
     salt = pc.cast(
         pc.floor(pc.divide(pc.cast(batch.column("turn_idx"), pa.float64()), salt_chunk)),
         pa.int32(),
     )
-    # COARSE PART-MAJOR group key = (part, salt):
-    # - reduce group = one output partition's rows for one salt chunk —
-    #   ~n_parts x max_salt groups instead of one per conversation chunk
-    #   (per-conversation map_groups made ~1 Python call per conversation:
-    #   measured 72 s reduce vs 38 s extract on a 2M-turn corpus; the
-    #   per-conversation ordering happens VECTORIZED inside the group via
-    #   a multi-key Arrow sort, stages/order.py);
-    # - group size is bounded by part sizing (n_parts is the scale knob)
-    #   and mega-conversations still spread across salt chunks;
+    # PART-MAJOR group key = (part, bucket, salt):
+    # - reduce group size is bounded (module docstring) and the ordering
+    #   inside a group is ONE vectorized multi-key Arrow sort over many
+    #   conversations (stages/order.py) — not a Python call per
+    #   conversation (measured 72 s reduce vs 38 s extract, BASELINE §3);
     # - part-major lexicographic order (zero-padded) keeps reduce output
     #   blocks contiguous in part, so the partitioned write emits ~1 file
     #   per (block, part) instead of fanning every block across all parts
     #   (small-file explosion: measured ~19k files, +50 s).
     pad = len(str(max(n_parts - 1, 1)))
+    bpad = len(str(max(n_buckets - 1, 1)))
     part_str = pc.utf8_lpad(pc.cast(part, pa.string()), width=pad, padding="0")
+    bucket_str = pc.utf8_lpad(pc.cast(bucket, pa.string()), width=bpad, padding="0")
     salt_str = pc.utf8_lpad(pc.cast(salt, pa.string()), width=9, padding="0")
-    group_key = pc.binary_join_element_wise(part_str, salt_str, "\x1f")
+    group_key = pc.binary_join_element_wise(part_str, bucket_str, salt_str, "\x1f")
     out = batch.append_column("part", part)
     out = out.append_column("salt", salt)
     return out.append_column("group_key", group_key)

@@ -1,18 +1,21 @@
-"""O1 stable turn ordering + D1 exact dedup + G3 rollup, fused into ONE
-salted hash shuffle (SURVEY.md §2.6 O1, §2.7 D1, §2.5 G3, §4 skew row).
+"""O1 stable turn ordering + D1 exact dedup, fused into ONE salted hash
+shuffle (SURVEY.md §2.6 O1, §2.7 D1, §4 skew row).
 
 This is the pipeline's single all-to-all exchange: group by
-``group_key = conv_id \\x1f salt`` (salt = turn_idx // salt_chunk, see
-stages/keys.py) and, per group: sort by turn_idx, drop duplicate
-(conv_id, turn_idx) rows (replayed fragments are verbatim copies —
-FIXTURES.md A.1), all inside one ``map_groups``. NOT a global
-``ds.sort``: ordering is only required within a conversation
-(BASELINE.json "stable turn ordering"), so a range shuffle of every row
-would be wasted movement.
+``group_key = (part, bucket, salt)`` (stages/keys.py — bounded group
+size, part-major order for the partitioned write) and, per group, ONE
+vectorized multi-key Arrow sort restores per-conversation turn order
+for every conversation in the group while an adjacent-duplicate mask
+drops replayed (conv_id, turn_idx) fragments (verbatim copies —
+FIXTURES.md A.1). NOT a global ``ds.sort`` (ordering is only required
+within a conversation) and NOT a per-conversation ``map_groups`` (one
+Python call per conversation measured 2x the extraction cost,
+BASELINE.md §3).
 
 Salted chunks of one conversation have disjoint turn ranges, so
 per-chunk sorting preserves global per-conversation order by
-construction.
+construction; duplicates share (conv_id, turn_idx) and therefore the
+same (part, bucket, salt) group.
 """
 
 from __future__ import annotations

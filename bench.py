@@ -89,7 +89,9 @@ def run_bench() -> dict:
     out_dir = f"/tmp/bspp_bench_out_{os.getpid()}"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
-    summary = run_flagship(corpus, out_dir, salt_chunk=512, n_parts=max(2 * NUM_CPUS, 16))
+    # n_parts pinned (NOT derived from NUM_CPUS) so the two --scaling
+    # levels run the identical job configuration
+    summary = run_flagship(corpus, out_dir, salt_chunk=512, n_parts=64)
     headline_sec = time.perf_counter() - t0
     turns = summary["rows_written"]
     shutil.rmtree(out_dir, ignore_errors=True)

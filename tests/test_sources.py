@@ -56,3 +56,26 @@ class TestReadTranscripts:
         df = ds.to_pandas().sort_values("turn_idx")
         assert df["extracted_text"].tolist()[0] == "some plain text"
         assert "real content here" in df["extracted_text"].tolist()[1]
+
+
+class TestTsCoercion:
+    def _mk(self, ts_col):
+        return pa.table({"conv_id": ["a"], "turn_idx": [0], "text": ["x"], "ts": ts_col})
+
+    def test_iso_with_z_and_fraction(self):
+        out = read_transcripts(self._mk(pa.array(["2024-01-01T00:00:00.250Z"]))).take_all()
+        assert out[0]["ts"] is not None
+
+    def test_float_epoch_us(self):
+        out = read_transcripts(self._mk(pa.array([1_704_067_200_000_000.0]))).take_all()
+        assert str(out[0]["ts"]).startswith("2024-01-01")
+
+    def test_all_null_ts_column(self):
+        out = read_transcripts(self._mk(pa.nulls(1))).take_all()
+        assert out[0]["ts"] is not None  # defaulted to epoch 0
+
+    def test_null_key_raises(self):
+        raw = pa.table({"conv_id": pa.array([None], pa.string()), "turn_idx": [0], "text": ["x"]})
+        with pytest.raises(Exception) as ei:
+            read_transcripts(raw).take_all()
+        assert "conv_id" in str(ei.value)
