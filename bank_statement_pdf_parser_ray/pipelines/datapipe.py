@@ -440,11 +440,10 @@ def _query_matrix(sf_dir: str, query_ids: tuple[int, ...]) -> tuple[np.ndarray, 
 
 def knn_cosine(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2), k: int = 5) -> pa.Table:
     """Brute-force cosine top-k: broadcast the query matrix once
-    (ray.put), numpy matmul per batch, per-batch partial top-k, exact
-    final merge of the tiny candidate set on the driver.
-
-    Scale: each batch ships only k rows per query to the driver; the
-    query matrix is read once per worker from the object store.
+    (ray.put), numpy matmul per batch, per-batch partial top-k, then a
+    DISTRIBUTED exact merge — groupby(query_id).map_groups keeps only
+    the true top-k per query, so the driver receives k rows per query,
+    never the candidate set (tree-reduce shape; SCALE.md §8).
     """
     q, qids = _query_matrix(sf_dir, query_ids)
     q_ref = ray.put(q)
@@ -473,12 +472,17 @@ def knn_cosine(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2), k: int = 5) 
         )
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    cand = ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096).to_pandas()
-    cand = cand[cand["query_id"] != cand["vec_id"]]
-    cand = cand.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
-    top = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    top["rank"] = top.groupby("query_id").cumcount() + 1
-    return pa.Table.from_pandas(top[["query_id", "vec_id", "rank"]], preserve_index=False)
+    cand = ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096)
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["query_id"] != g["vec_id"]]
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        return g[["query_id", "vec_id", "rank"]]
+
+    top = cand.groupby("query_id").map_groups(merge_topk, batch_format="pandas").to_pandas()
+    top = top.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(top, preserve_index=False)
 
 
 def knn_cosine_lsh(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2), k: int = 5, n_planes: int = 8) -> pa.Table:
