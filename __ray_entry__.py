@@ -101,6 +101,43 @@ def _corpus_rollup(sf_dir: str):
     return conv_rollup(_corpus_flagship(sf_dir))
 
 
+def _corpus_stitched(sf_dir: str):
+    """Cross-turn statement stitching over a corpus with planted
+    split-across-turns statements (stages/stitch.py). Conversation-level
+    op -> rows-only check."""
+    import random
+
+    import pyarrow as pa
+
+    import ray.data
+
+    from bank_statement_pdf_parser_ray.sources.corpus import gen_statement
+    from bank_statement_pdf_parser_ray.stages.stitch import stitch_statements
+
+    rng = random.Random(7)
+    cols = {k: [] for k in ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
+    planted = 0
+    for ci in range(40):
+        s = gen_statement(rng)
+        texts = ["intro turn " + str(ci)]
+        if "\f" in s:  # split the two-page statement across two turns
+            p1, p2 = s.split("\f", 1)
+            texts += [p1, p2]
+            planted += 1
+        else:
+            texts.append(s)
+        for ti, tx in enumerate(texts):
+            cols["conv_id"].append(f"sc-{ci:04d}")
+            cols["turn_idx"].append(ti)
+            cols["role"].append("tool")
+            cols["text"].append(tx)
+            cols["tool"].append("pdf_reader")
+            cols["ts"].append(0)
+    t = pa.table(cols)
+    t = t.set_column(1, "turn_idx", t.column("turn_idx").cast(pa.int32()))
+    return stitch_statements(ray.data.from_arrow(t))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from bank_statement_pdf_parser_ray.pipelines import datapipe as dp
     from bank_statement_pdf_parser_ray.pipelines import queries as q
@@ -111,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_documents": _extract_documents,
         "corpus_transactions": _corpus_transactions,
         "corpus_rollup": _corpus_rollup,
+        "corpus_stitched": _corpus_stitched,
         # relational / SQL-checkable operators
         "lineitem_agg": q.lineitem_agg,
         "filter_highvalue": q.filter_highvalue,
