@@ -116,14 +116,12 @@ def _corpus_stitched(sf_dir: str):
 
     rng = random.Random(7)
     cols = {k: [] for k in ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
-    planted = 0
     for ci in range(40):
         s = gen_statement(rng)
         texts = ["intro turn " + str(ci)]
         if "\f" in s:  # split the two-page statement across two turns
             p1, p2 = s.split("\f", 1)
             texts += [p1, p2]
-            planted += 1
         else:
             texts.append(s)
         for ti, tx in enumerate(texts):

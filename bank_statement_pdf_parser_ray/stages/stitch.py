@@ -29,12 +29,14 @@ import pandas as pd
 
 import ray.data
 
-_PAGE_RX = re.compile(r"(?i)\bpage\s+(\d+)\s+of\s+(\d+)\s*$")
+# own-line marker anywhere in the payload (statements often place legal
+# footer lines BELOW the page number)
+_PAGE_RX = re.compile(r"(?im)^\s*page\s+(\d+)\s+of\s+(\d+)\s*$")
 
 
 def _page_marker(text: str) -> tuple[int, int] | None:
-    """Last 'Page i of N' marker in a payload."""
-    hits = _PAGE_RX.findall(text.strip())
+    """Last 'Page i of N' own-line marker in a payload."""
+    hits = _PAGE_RX.findall(text)
     if not hits:
         return None
     i, n = hits[-1]
@@ -47,12 +49,15 @@ def _stitch_conv(g: pd.DataFrame) -> pd.DataFrame:
     g = g.sort_values("turn_idx").reset_index(drop=True)
     out = []
     run: list[int] = []  # row indices of the current page run
+    run_complete = False  # last page of the document was seen
     expect_next = None
     total = None
 
     def flush() -> None:
-        nonlocal run
-        if len(run) >= 2:  # only genuinely multi-turn documents are stitched
+        nonlocal run, run_complete
+        # only COMPLETE multi-turn documents are stitched — a truncated
+        # run (page N never seen) must not pass as a validated document
+        if len(run) >= 2 and run_complete:
             rows = g.iloc[run]
             payload = "\f".join(rows["text"].tolist())
             res = extract_statement(payload)
@@ -69,6 +74,7 @@ def _stitch_conv(g: pd.DataFrame) -> pd.DataFrame:
                 }
             )
         run = []
+        run_complete = False
 
     for i in range(len(g)):
         marker = _page_marker(g["text"].iloc[i])
@@ -84,6 +90,7 @@ def _stitch_conv(g: pd.DataFrame) -> pd.DataFrame:
         elif run and expect_next == page and total == n_pages and g["turn_idx"].iloc[i] == g["turn_idx"].iloc[run[-1]] + 1:
             run.append(i)
             if page == n_pages:
+                run_complete = True
                 flush()
                 expect_next = None
             else:
@@ -107,7 +114,10 @@ def stitch_statements(transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
     import pyarrow.compute as pc
 
     def candidates(t: pa.Table) -> pa.Table:
-        mask = pc.match_substring_regex(t.column("text"), pattern=r"(?i)page\s+\d+\s+of\s+[2-9]\d*")
+        # total pages >= 2: any count except exactly 1 (handles 10, 100, ...)
+        mask = pc.match_substring_regex(
+            t.column("text"), pattern=r"(?i)page\s+\d+\s+of\s+([2-9]|[1-9]\d+)\b"
+        )
         return t.filter(mask).select(["conv_id", "turn_idx", "text"])
 
     ds = transcripts.map_batches(candidates, batch_format="pyarrow", zero_copy_batch=True)

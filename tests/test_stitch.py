@@ -90,3 +90,24 @@ class TestStitch:
         single = PAGE1.replace("Page 1 of 2", "Page 1 of 1")
         src = ray.data.from_arrow(_table(_conv("c1", [single])))
         assert stitch_statements(src).count() == 0
+
+    def test_ten_page_document_stitched(self):
+        pages = []
+        for i in range(1, 11):
+            body = PAGE1.replace("Page 1 of 2", f"Page {i} of 10")
+            pages.append(body)
+        src = ray.data.from_arrow(_table(_conv("c1", pages)))
+        out = stitch_statements(src).to_pandas()
+        assert len(out) == 1 and out.iloc[0]["n_turns"] == 10
+
+    def test_truncated_run_not_emitted(self):
+        p1 = PAGE1.replace("Page 1 of 2", "Page 1 of 3")
+        p2 = PAGE2.replace("Page 2 of 2", "Page 2 of 3")
+        src = ray.data.from_arrow(_table(_conv("c1", [p1, p2])))
+        assert stitch_statements(src).count() == 0  # page 3 never arrived
+
+    def test_footer_below_page_marker(self):
+        p2 = PAGE2 + "\nDBS Bank Ltd Co. Reg. No. 196800306E"
+        src = ray.data.from_arrow(_table(_conv("c1", [PAGE1, p2])))
+        out = stitch_statements(src).to_pandas()
+        assert len(out) == 1 and out.iloc[0]["n_transactions"] == 2
