@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionized": q.events_sessionized,
         "broadcast_join": q.broadcast_join,
         "hash_join_revenue": q.hash_join_revenue,
+        "q5_region_revenue": q.q5_region_revenue,
+        "part_brand_revenue": q.part_brand_revenue,
         "sample_documents": q.sample_documents,
         "distinct_langs": q.distinct_langs,
         "json_props_sum": q.json_props_sum,
@@ -177,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": dp.knn_cosine,
         "embedding_neardup": dp.embedding_neardup,
         "knn_cosine_lsh": dp.knn_cosine_lsh,
+        "embedding_neardup_lsh": dp.embedding_neardup_lsh,
         # multimodal plumbing (decode stubbed, see MediaDecodeActor)
         "media_features": dp.media_features,
     }
@@ -195,6 +198,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionized": q.EVENTS_SESSIONIZED_SQL,
         "broadcast_join": q.BROADCAST_JOIN_SQL,
         "hash_join_revenue": q.HASH_JOIN_REVENUE_SQL,
+        "q5_region_revenue": q.Q5_REGION_REVENUE_SQL,
+        "part_brand_revenue": q.PART_BRAND_REVENUE_SQL,
         "distinct_langs": q.DISTINCT_LANGS_SQL,
         "json_props_sum": q.JSON_PROPS_SUM_SQL,
         "normalize_ws": (
@@ -214,6 +219,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "exact_dedup": "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+        "token_count_bpe": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            r"'[A-Za-z]+|\d{1,3}|[^\sA-Za-z\d]')) AS BIGINT) AS n_bpe_tokens "
+            "FROM documents"
+        ),
+        "ngram_jaccard_pairs": dp.NGRAM_JACCARD_SQL,
         "embedding_neardup": dp.EMBEDDING_NEARDUP_SQL,
         "knn_cosine": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)), "
@@ -225,6 +236,8 @@ def oracle_sql() -> dict[str, str]:
             "  FROM s) WHERE rank <= 5"
         ),
         # rows-only (non-SQL-expressible): extract_corpus, extract_documents,
-        # langid, doc_fingerprint, minhash_*, simhash, ngram_jaccard_pairs,
-        # token_count_bpe, knn_cosine_lsh, media_features
+        # langid, doc_fingerprint, minhash_* (candidacy depends on the LSH
+        # banding, not just true Jaccard), simhash, knn_cosine_lsh /
+        # embedding_neardup_lsh (approximate-by-design; pytest asserts
+        # subset-of-exact + recall), media_features
     }

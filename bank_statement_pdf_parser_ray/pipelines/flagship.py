@@ -72,9 +72,20 @@ def build_extracted(
     committed: frozenset[int] = frozenset(),
     concurrency: int | None = None,
     batch_size: int = 1024,
+    shuffle_block_rows: int | None = 32_768,
 ) -> "ray.data.Dataset":
     """Lazy Dataset of ordered, deduped extraction results (part/row_h
-    columns included for the sink)."""
+    columns included for the sink).
+
+    ``shuffle_block_rows``: the extraction stage wants MANY small tasks
+    (actor-pool balance: hundreds of tasks across ~30 actors), but the
+    sort exchange cost grows with map_blocks x reduce_partitions (the
+    shuffle-object count: measured 93k objects = 117 s vs 4k objects =
+    43 s on the 2M-turn corpus, BASELINE.md §3). A streaming
+    ``repartition(target_num_rows_per_block=...)`` between the two
+    coalesces extractor output into fat blocks (~32k rows ≈ 35 MB)
+    WITHOUT an extra all-to-all, decoupling pool balance from exchange
+    fan-in. None disables the coalesce."""
     if isinstance(source, str):
         ds = ray.data.read_parquet(source, columns=INPUT_COLUMNS)
     else:
@@ -90,19 +101,33 @@ def build_extracted(
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-    # autoscaling pool with a warm floor: min(8, N) actors start
-    # immediately (parallel cold-start is cheap on real cores) and the
-    # pool grows to N under queue pressure. Measured best on the bench
-    # corpus vs both a floor of 1 (slow ramp) and a fixed pool of N.
+    # full-size warm pool: all N actors start immediately (parallel
+    # cold-start ~1-2 s). Round 1 ran an autoscaling (min(8,N), N) pool,
+    # but once the shuffle tail was fixed (streaming coalesce below) the
+    # extraction stage became the 32-CPU critical path and the
+    # autoscaler's ramp held average parallelism at ~14 of 30 actors
+    # (571 core-s over 39.6 s wall); a full floor removes the ramp.
     max_actors = concurrency or _default_concurrency()
     ds = ds.map_batches(
         ExtractorActor,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=(min(8, max_actors), max_actors),
+        concurrency=(max_actors, max_actors),
         num_cpus=1,
     )
+    if shuffle_block_rows:
+        # streaming coalesce: an identity map whose batch_size makes the
+        # executor BUNDLE several small extractor-output blocks into one
+        # task (and thus one fat output block). repartition(
+        # target_num_rows_per_block=...) can't do this — it only splits
+        # oversized blocks, never merges small ones.
+        ds = ds.map_batches(
+            lambda t: t,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=shuffle_block_rows,
+        )
     ds = restore_order(ds)
     return ds.map_batches(_add_row_hash, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -132,6 +157,7 @@ def run_flagship(
     salt_chunk: int = DEFAULT_SALT_CHUNK,
     concurrency: int | None = None,
     batch_size: int = 1024,
+    shuffle_block_rows: int | None = 32_768,
 ):
     """Run the flagship job.
 
@@ -147,6 +173,7 @@ def run_flagship(
             salt_chunk=salt_chunk,
             concurrency=concurrency,
             batch_size=batch_size,
+            shuffle_block_rows=shuffle_block_rows,
         ).drop_columns(["part"])
 
     manifest_dir = manifest_dir or os.path.join(out_dir, "_manifest")
@@ -173,12 +200,27 @@ def run_flagship(
                 f"parameters {mismatches} (manifest value, current value); resume "
                 "with matching parameters or clear the manifest and output dir"
             )
-    # clear orphaned staging dirs from crashed runs (their content is
-    # uncommitted by definition; leaving them would make recursive
-    # readers of out_dir see duplicate rows)
+    # clear orphaned staging dirs from CRASHED runs only (their content
+    # is uncommitted by definition; leaving them would make recursive
+    # readers of out_dir see duplicate rows). A staging dir whose
+    # embedded pid is still alive belongs to a concurrently running job
+    # writing to the same out_dir — removing it would corrupt that
+    # job's write (ADVICE round 1), so it is left alone.
     if os.path.isdir(out_dir):
         for name in os.listdir(out_dir):
             if name.startswith("_staging-"):
+                try:
+                    owner_pid = int(name.rsplit("-", 1)[1])
+                except (IndexError, ValueError):
+                    owner_pid = None
+                if owner_pid is not None and owner_pid != os.getpid():
+                    try:
+                        os.kill(owner_pid, 0)  # probe only: signal 0 sends nothing
+                        continue  # owner alive -> not an orphan
+                    except ProcessLookupError:
+                        pass  # owner dead -> orphan, safe to clear
+                    except PermissionError:
+                        continue  # alive under another uid -> leave it
                 import shutil as _shutil
 
                 _shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
@@ -189,10 +231,16 @@ def run_flagship(
         committed=committed,
         concurrency=concurrency,
         batch_size=batch_size,
+        shuffle_block_rows=shuffle_block_rows,
     )
+    import time as _time
+
+    t_write0 = _time.perf_counter()
     staging_root = os.path.join(out_dir, f"_staging-{os.getpid()}")
     ds.write_parquet(staging_root, partition_cols=["part"])
+    t_write = _time.perf_counter() - t_write0
 
+    t_commit0 = _time.perf_counter()
     written = []
     meta_base = {
         "extractor_version": EXTRACTOR_VERSION,
@@ -224,6 +272,8 @@ def run_flagship(
         "parts_written": len(written),
         "parts_skipped": len(committed),
         "rows_written": rows,
+        "write_sec": round(t_write, 3),
+        "commit_sec": round(_time.perf_counter() - t_commit0, 3),
     }
 
 

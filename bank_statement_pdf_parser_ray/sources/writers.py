@@ -4,9 +4,9 @@
   layout is handled by pipelines/flagship.py + state/manifest.py).
 - ``write_spreadsheet``: the reference-parity convenience sink
   (/root/reference/README.md:2 "outputs a clean, standardized Excel
-  file"). openpyxl is not installed in this environment [SURVEY §0 ENV],
-  so the standardized table is written as CSV (spreadsheet-openable);
-  if openpyxl ever appears, the same frame goes to .xlsx.
+  file"). Real .xlsx output via the from-scratch ECMA-376 writer in
+  sources/xlsx.py (no third-party spreadsheet library needed); .csv
+  when asked for a csv path.
 """
 
 from __future__ import annotations
@@ -23,10 +23,9 @@ def write_spreadsheet(ds: "ray.data.Dataset", path: str, limit: int = 1_048_576)
     — a spreadsheet is not a 100TB sink)."""
     df = ds.limit(limit).to_pandas()
     if path.endswith(".xlsx"):
-        try:
-            df.to_excel(path, index=False)
-            return path
-        except (ImportError, ModuleNotFoundError):
-            path = path[: -len(".xlsx")] + ".csv"
+        from bank_statement_pdf_parser_ray.sources.xlsx import write_xlsx
+
+        rows = df.itertuples(index=False, name=None)
+        return write_xlsx(path, [str(c) for c in df.columns], [list(r) for r in rows])
     df.to_csv(path, index=False)
     return path

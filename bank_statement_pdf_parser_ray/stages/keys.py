@@ -55,21 +55,30 @@ def add_keys(batch: pa.Table, n_parts: int, salt_chunk: int, n_buckets: int = DE
         pc.floor(pc.divide(pc.cast(batch.column("turn_idx"), pa.float64()), salt_chunk)),
         pa.int32(),
     )
-    # PART-MAJOR group key = (part, bucket, salt):
+    # PART-MAJOR group key = (part, bucket, salt) packed into ONE int64
+    # (part<<40 | bucket<<32 | salt):
     # - reduce group size is bounded (module docstring) and the ordering
     #   inside a group is ONE vectorized multi-key Arrow sort over many
     #   conversations (stages/order.py) — not a Python call per
     #   conversation (measured 72 s reduce vs 38 s extract, BASELINE §3);
-    # - part-major lexicographic order (zero-padded) keeps reduce output
-    #   blocks contiguous in part, so the partitioned write emits ~1 file
-    #   per (block, part) instead of fanning every block across all parts
-    #   (small-file explosion: measured ~19k files, +50 s).
-    pad = len(str(max(n_parts - 1, 1)))
-    bpad = len(str(max(n_buckets - 1, 1)))
-    part_str = pc.utf8_lpad(pc.cast(part, pa.string()), width=pad, padding="0")
-    bucket_str = pc.utf8_lpad(pc.cast(bucket, pa.string()), width=bpad, padding="0")
-    salt_str = pc.utf8_lpad(pc.cast(salt, pa.string()), width=9, padding="0")
-    group_key = pc.binary_join_element_wise(part_str, bucket_str, salt_str, "\x1f")
+    # - part-major numeric order keeps reduce output blocks contiguous
+    #   in part, so the partitioned write emits ~1 file per (block,
+    #   part) instead of fanning every block across all parts
+    #   (small-file explosion: measured ~19k files, +50 s);
+    # - int64 keys sort/compare cheaper than the round-1 zero-padded
+    #   strings and move 8 B/row through the exchange instead of ~20 B.
+    if n_parts > (1 << 23) or n_buckets > (1 << 8):
+        raise ValueError("group key packing supports n_parts < 2^23, n_buckets <= 256")
+    part64 = pc.cast(part, pa.int64())
+    bucket64 = pc.cast(bucket, pa.int64())
+    salt64 = pc.cast(salt, pa.int64())  # turn_idx:int32 // salt_chunk < 2^31
+    group_key = pc.add(
+        pc.add(
+            pc.multiply(part64, pa.scalar(1 << 40, pa.int64())),
+            pc.multiply(bucket64, pa.scalar(1 << 32, pa.int64())),
+        ),
+        salt64,
+    )
     out = batch.append_column("part", part)
     out = out.append_column("salt", salt)
     return out.append_column("group_key", group_key)

@@ -26,37 +26,50 @@ import ray.data
 
 
 def _sort_dedup_group(group: pa.Table) -> pa.Table:
-    """One (part, salt) group: vectorized multi-key sort restores
+    """One (part, bucket, salt) group: vectorized multi-key sort restores
     per-conversation turn order; adjacent-duplicate masking dedups
     replayed (conv_id, turn_idx) fragments. No Python loop over rows
-    or conversations — Arrow kernels throughout."""
-    t = group.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
-    if t.num_rows <= 1:
-        return t
+    or conversations — Arrow kernels throughout.
+
+    The sort indices and the dedup mask are computed on the two KEY
+    columns only, then applied to the full table in ONE combined take:
+    the payload columns (extracted_text, spans/transactions lists) are
+    expensive to gather, and a sort_by-then-filter would gather them
+    twice."""
+    if group.num_rows <= 1:
+        return group
+    import numpy as np
     import pyarrow.compute as pc
 
-    conv = t.column("conv_id").combine_chunks()
-    idx = t.column("turn_idx").combine_chunks()
-    n = t.num_rows
+    order = pc.sort_indices(
+        group.select(["conv_id", "turn_idx"]),
+        sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")],
+    )
+    conv = pc.take(group.column("conv_id").combine_chunks(), order)
+    idx = pc.take(group.column("turn_idx").combine_chunks(), order)
+    n = group.num_rows
     dup = pc.and_(
         pc.equal(conv.slice(1, n - 1), conv.slice(0, n - 1)),
         pc.equal(idx.slice(1, n - 1), idx.slice(0, n - 1)),
     )
     if pc.any(dup).as_py() is not True:
-        return t
-    keep = pa.chunked_array([pa.array([True]), pc.invert(dup)])
-    return t.filter(keep)
+        return group.take(order)
+    keep = np.concatenate(([True], pc.invert(dup).to_numpy(zero_copy_only=False)))
+    return group.take(order.to_numpy(zero_copy_only=False)[keep])
 
 
 def restore_order(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Requires the ``group_key`` column (stages/keys.add_keys).
 
-    Shuffle strategy: Ray Data's default sort-based pull shuffle. The
-    alternative ``DataContext.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE``
-    (2.46+) avoids the global sort and may win on a real multi-node
-    cluster, but it spawns one aggregator actor per partition — measured
-    on the single-core sandbox it oversubscribes and loses badly, so the
-    default stays sort-based; flip the context flag cluster-side to A/B.
+    Shuffle strategy: Ray Data's default sort-based pull shuffle.
+    A/B at num_cpus=32 on the 2M-turn corpus (round 2, BASELINE.md §3):
+    pull-sort 41.0 s, push-based sort 41.4 s, HASH_SHUFFLE 85.4 s
+    without the pre-shuffle coalesce and a timeout (>400 s) with it —
+    hash aggregator actors also destroy part-contiguity of reduce
+    output (1,886 output files vs 360), so sort-based stays the
+    default. The decisive variable was never the strategy but the
+    shuffle-object count (map_blocks x reduce_partitions): see
+    ``build_extracted``'s streaming coalesce.
     """
     out = ds.groupby("group_key").map_groups(_sort_dedup_group, batch_format="pyarrow")
     return out.drop_columns(["group_key", "salt"])

@@ -54,8 +54,8 @@ def planted_dir(tmp_path_factory):
 
 class TestMinHash:
     def test_finds_planted_near_dup(self, planted_dir):
-        verified = dp.minhash_verified(planted_dir, threshold=0.5)
-        pairs = set(zip(verified.column("doc_a").to_pylist(), verified.column("doc_b").to_pylist()))
+        verified = dp.minhash_verified(planted_dir, threshold=0.5).to_pandas()
+        pairs = set(zip(verified["doc_a"], verified["doc_b"]))
         assert (0, 1) in pairs  # near-dup survives Jaccard verification
         assert (0, 3) in pairs  # exact dup
         assert not any(2 in p for p in pairs)  # unrelated doc never pairs
@@ -63,9 +63,31 @@ class TestMinHash:
     def test_candidates_superset_of_verified(self, planted_dir):
         cand = dp.minhash_candidates(planted_dir).to_pandas()
         cpairs = set(zip(cand["doc_a"], cand["doc_b"]))
-        v = dp.minhash_verified(planted_dir, threshold=0.5)
-        vpairs = set(zip(v.column("doc_a").to_pylist(), v.column("doc_b").to_pylist()))
+        v = dp.minhash_verified(planted_dir, threshold=0.5).to_pandas()
+        vpairs = set(zip(v["doc_a"], v["doc_b"]))
         assert vpairs <= cpairs
+
+    def test_hot_bucket_star_cap(self, tmp_path):
+        """1,000 identical docs: every LSH bucket they share is hot, so the
+        candidate count must stay LINEAR (star pairs to the min-doc hub)
+        instead of C(1000,2) ≈ 500k (round-1 VERDICT scale-killer)."""
+        txt = "identical boilerplate footer text repeated across the entire web corpus every page"
+        n = 1000
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": [txt] * n,
+                "lang": ["en"] * n,
+                "source": ["s"] * n,
+                "n_chars": pa.array([len(txt)] * n, pa.int64()),
+            }
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        cand = dp.minhash_candidates(str(tmp_path)).to_pandas()
+        assert len(cand) == n - 1  # exactly the star pairs (hub=0)
+        assert set(cand["doc_a"]) == {0}
+        # connectivity preserved: every doc appears in some pair
+        assert set(cand["doc_b"]) == set(range(1, n))
 
 
 class TestSimHash:
@@ -81,6 +103,26 @@ class TestEmbeddingOps:
     def test_neardup_pair_found(self, planted_dir):
         pairs = dp.embedding_neardup(planted_dir, threshold=0.9).to_pandas()
         assert (0, 1) in set(zip(pairs["vec_a"], pairs["vec_b"]))
+
+    def test_neardup_lsh_subset_and_recall(self, planted_dir):
+        """The wired LSH->verify composition: output ⊆ the exact
+        all-pairs result by construction, and the OR-construction
+        (24 tables x 4 planes) catches the planted high-cosine pair."""
+        exact = dp.embedding_neardup(planted_dir, threshold=0.9).to_pandas()
+        exact_pairs = set(zip(exact["vec_a"], exact["vec_b"]))
+        lsh = dp.embedding_neardup_lsh(planted_dir, threshold=0.9).to_pandas()
+        lsh_pairs = set(zip(lsh["vec_a"], lsh["vec_b"]))
+        assert lsh_pairs <= exact_pairs
+        assert (0, 1) in lsh_pairs  # planted near-dup recalled
+
+    def test_knn_lsh_distributed_merge_shape(self, planted_dir):
+        out = dp.knn_cosine_lsh(planted_dir, query_ids=(0,), k=3).to_pandas()
+        assert list(out.columns) == ["query_id", "vec_id", "rank"]
+        assert len(out) <= 3
+        assert 0 not in out["vec_id"].tolist()  # query never returned
+        # multi-probe (hamming<=1) must recall the planted near-identical
+        # vector: its signature differs from the query's in at most ~0 bits
+        assert 1 in out["vec_id"].tolist()
 
     def test_knn_matches_numpy_bruteforce(self, planted_dir):
         import pyarrow.dataset as pads

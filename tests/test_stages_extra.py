@@ -50,11 +50,33 @@ class TestRollups:
 
 
 class TestWriters:
-    def test_spreadsheet_falls_back_to_csv(self, extracted, tmp_path):
+    def test_spreadsheet_writes_real_xlsx(self, extracted, tmp_path):
+        import zipfile
+
+        from bank_statement_pdf_parser_ray.sources.xlsx import read_xlsx
+
         out = write_spreadsheet(transactions_table(extracted), str(tmp_path / "t.xlsx"))
-        assert out.endswith(".csv")  # no openpyxl in this env
+        assert out.endswith(".xlsx")
+        assert zipfile.is_zipfile(out)
+        header, rows = read_xlsx(out)
+        assert header[:4] == ["conv_id", "turn_idx", "txn_idx", "date"]
+        assert len(rows) > 0
+
+    def test_spreadsheet_csv_path(self, extracted, tmp_path):
+        out = write_spreadsheet(transactions_table(extracted), str(tmp_path / "t.csv"))
+        assert out.endswith(".csv")
         head = open(out).readline().strip()
         assert head.startswith("conv_id,turn_idx,txn_idx,date")
+
+    def test_xlsx_roundtrip_types(self, tmp_path):
+        from bank_statement_pdf_parser_ray.sources.xlsx import read_xlsx, write_xlsx
+
+        header = ["a", "b", "c", "d"]
+        rows = [[1, 2.5, "hello <&> \"world\"", True], [-3, 0.0, "", False], [7, 1e9, "söme ünicode", True]]
+        p = write_xlsx(str(tmp_path / "r.xlsx"), header, rows)
+        h2, r2 = read_xlsx(p)
+        assert h2 == header
+        assert r2 == rows
 
 
 class TestCLI:
