@@ -225,6 +225,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "ngram_jaccard_pairs": dp.NGRAM_JACCARD_SQL,
+        "minhash_verified": dp.MINHASH_VERIFIED_SQL,
         "embedding_neardup": dp.EMBEDDING_NEARDUP_SQL,
         "knn_cosine": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)), "
@@ -236,8 +237,8 @@ def oracle_sql() -> dict[str, str]:
             "  FROM s) WHERE rank <= 5"
         ),
         # rows-only (non-SQL-expressible): extract_corpus, extract_documents,
-        # langid, doc_fingerprint, minhash_* (candidacy depends on the LSH
-        # banding, not just true Jaccard), simhash, knn_cosine_lsh /
+        # langid, doc_fingerprint, minhash_candidates (candidacy depends on
+        # the LSH banding, not just true Jaccard), simhash, knn_cosine_lsh /
         # embedding_neardup_lsh (approximate-by-design; pytest asserts
         # subset-of-exact + recall), media_features
     }

@@ -477,6 +477,33 @@ WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
 """
 
 
+# Brute-force oracle for minhash_verified: ALL pairs with true
+# word-3-gram Jaccard >= 0.8. The engine output equals this set only
+# when LSH recall is 100%; at τ=0.8 with 16 bands x 4 rows the
+# per-pair candidate probability is 1-(1-s^4)^16 ≈ 0.9998, and
+# equality was verified empirically at sf0.001 and sf0.01 (28/28 and
+# 25/25 pairs). A probabilistic miss would surface as a CORRECTNESS
+# row-count diff — acceptable: that is exactly the property the
+# operator claims.
+MINHASH_VERIFIED_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) < 3 THEN [text]
+              ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+         END AS shingles
+  FROM docs
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / len(list_distinct(a.shingles || b.shingles)) >= 0.8
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------

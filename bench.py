@@ -68,6 +68,45 @@ def _corpus_path() -> str:
     return path
 
 
+def _oracle_pass_rate(corpus: str, out_dir: str, part: int, cap: int) -> float:
+    """Per-turn text-equality rate of one written part vs the sequential
+    oracle (bank_statement_pdf_parser_ray.oracle) on the same turns."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from bank_statement_pdf_parser_ray.oracle import oracle_extract
+
+    got = (
+        pads.dataset(os.path.join(out_dir, f"part={part}"), format="parquet")
+        .to_table(columns=["conv_id", "turn_idx", "extracted_text"])
+        .slice(0, cap)
+    )
+    convs = pc.unique(got.column("conv_id"))
+    inp = pads.dataset(corpus, format="parquet").to_table(
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+        filter=pc.field("conv_id").isin(convs),
+    )
+    exp = oracle_extract(inp).select(["conv_id", "turn_idx", "extracted_text"])
+    exp_lut = {
+        (c, i): t
+        for c, i, t in zip(
+            exp.column("conv_id").to_pylist(),
+            exp.column("turn_idx").to_pylist(),
+            exp.column("extracted_text").to_pylist(),
+        )
+    }
+    ok = sum(
+        1
+        for c, i, t in zip(
+            got.column("conv_id").to_pylist(),
+            got.column("turn_idx").to_pylist(),
+            got.column("extracted_text").to_pylist(),
+        )
+        if exp_lut.get((c, i)) == t
+    )
+    return ok / max(1, got.num_rows)
+
+
 def run_bench() -> dict:
     import ray
 
@@ -100,6 +139,10 @@ def run_bench() -> dict:
     summary = run_flagship(corpus, out_dir, salt_chunk=512, n_parts=64)
     headline_sec = time.perf_counter() - t0
     turns = summary["rows_written"]
+    # the headline metric is "turns/sec WITH per-turn text-equality pass
+    # rate = 100%" (BASELINE.json): sample-verify one whole output part
+    # against the sequential oracle, outside the timed window
+    pass_rate = _oracle_pass_rate(corpus, out_dir, part=0, cap=20_000)
     shutil.rmtree(out_dir, ignore_errors=True)
 
     if os.environ.get("BSPP_SCALING_HEADLINE_ONLY"):
@@ -110,6 +153,7 @@ def run_bench() -> dict:
             "unit": "sec",
             "turns": turns,
             "turns_per_sec": round(turns / headline_sec, 1),
+            "oracle_pass_rate": pass_rate,
             "queries": {},
             "sf": SF_DIR,
             "num_cpus": NUM_CPUS,
@@ -157,6 +201,7 @@ def run_bench() -> dict:
         "unit": "sec",
         "turns": turns,
         "turns_per_sec": round(turns / headline_sec, 1),
+        "oracle_pass_rate": pass_rate,
         "queries": qtimes,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
@@ -198,6 +243,7 @@ def run_scaling() -> dict:
         "sec_32_all": hi["all_sec"],
         "turns_per_sec_8": lo["turns_per_sec"],
         "turns_per_sec_32": hi["turns_per_sec"],
+        "oracle_pass_rate": hi.get("oracle_pass_rate"),
         "turns": lo["turns"],
         "note": (
             "same seeded corpus, fresh ray.init per level, best of "
