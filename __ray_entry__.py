@@ -136,6 +136,26 @@ def _corpus_stitched(sf_dir: str):
     return stitch_statements(ray.data.from_arrow(t))
 
 
+def _embedding_neardup_lsh_checked(sf_dir: str):
+    """Driver-check wrapper: the shared corpus has NO cosine>=0.85 pairs
+    (exact neardup at 0.4 finds only ~59), so the near-dup detector's
+    correct output here is EMPTY — and Ray's to_pandas() drops the
+    column schema of an empty Dataset, which would fail the driver's
+    rows-only check. Pin the schema explicitly; the library function
+    (pipelines/datapipe.py::embedding_neardup_lsh) still returns the
+    streamed Dataset."""
+    import pandas as pd
+
+    from bank_statement_pdf_parser_ray.pipelines import datapipe as dp
+
+    df = dp.embedding_neardup_lsh(sf_dir).to_pandas()
+    if not len(df.columns):
+        df = pd.DataFrame(
+            {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64")}
+        )
+    return df
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from bank_statement_pdf_parser_ray.pipelines import datapipe as dp
     from bank_statement_pdf_parser_ray.pipelines import queries as q
@@ -179,7 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": dp.knn_cosine,
         "embedding_neardup": dp.embedding_neardup,
         "knn_cosine_lsh": dp.knn_cosine_lsh,
-        "embedding_neardup_lsh": dp.embedding_neardup_lsh,
+        "embedding_neardup_lsh": _embedding_neardup_lsh_checked,
         # multimodal plumbing (decode stubbed, see MediaDecodeActor)
         "media_features": dp.media_features,
     }
