@@ -86,8 +86,13 @@ def build_extracted(
     coalesces extractor output into fat blocks (~32k rows ≈ 35 MB)
     WITHOUT an extra all-to-all, decoupling pool balance from exchange
     fan-in. None disables the coalesce."""
+    input_rows: int | None = None
     if isinstance(source, str):
         ds = ray.data.read_parquet(source, columns=INPUT_COLUMNS)
+        try:
+            input_rows = ds.count()  # parquet-footer metadata only
+        except Exception:
+            input_rows = None
     else:
         ds = source.select_columns(INPUT_COLUMNS)
     ds = ds.map_batches(
@@ -101,19 +106,22 @@ def build_extracted(
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-    # full-size warm pool: all N actors start immediately (parallel
-    # cold-start ~1-2 s). Round 1 ran an autoscaling (min(8,N), N) pool,
-    # but once the shuffle tail was fixed (streaming coalesce below) the
-    # extraction stage became the 32-CPU critical path and the
-    # autoscaler's ramp held average parallelism at ~14 of 30 actors
-    # (571 core-s over 39.6 s wall); a full floor removes the ramp.
+    # Pool floor by job size (interleaved A/B on the 2M-turn corpus at
+    # 32 CPUs: full floor 38.7/40.9/40.2 s vs autoscaled-from-8
+    # 43.2/55.9/46.0 s — the autoscaler ramp starves compute-dominated
+    # jobs even with upscaling_threshold=1.0 — while a 150k-turn job is
+    # ~1 s FASTER with the small floor, which skips ~22 useless actor
+    # spin-ups). Input size is known for parquet sources from footer
+    # metadata; unknown sizes get the safe small floor.
     max_actors = concurrency or _default_concurrency()
+    big_job = input_rows is not None and input_rows >= 500_000
+    floor = max_actors if big_job else min(8, max_actors)
     ds = ds.map_batches(
         ExtractorActor,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=(max_actors, max_actors),
+        concurrency=(floor, max_actors),
         num_cpus=1,
     )
     if shuffle_block_rows:

@@ -121,6 +121,12 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    try:
+        # prompt actor-pool ramp (default 2.0 leaves the extraction pool
+        # under-grown on compute-dominated jobs; see flagship.py)
+        ctx.autoscaling_config.actor_pool_util_upscaling_threshold = 1.0
+    except Exception:
+        pass
 
     from bank_statement_pdf_parser_ray.pipelines.flagship import run_flagship
 
