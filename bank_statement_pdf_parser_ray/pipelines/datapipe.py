@@ -699,6 +699,102 @@ def knn_cosine_lsh(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2), k: int =
     return pa.Table.from_pandas(top, preserve_index=False)
 
 
+def _fit_centroids_sample(sf_dir: str, n_centroids: int, sample: int = 2048, iters: int = 10) -> np.ndarray:
+    """Seeded k-means on a deterministic sample (lowest vec_ids) —
+    driver-side, numpy only. At 100 TB the sample read stays bounded
+    (predicate pushdown on vec_id) and centroid count is O(sqrt(n));
+    the fit never touches the full table."""
+    import pyarrow.dataset as pads
+
+    t = (
+        pads.dataset(f"{sf_dir}/embeddings.parquet")
+        .to_table(columns=["embedding"], filter=pc.field("vec_id") < sample)
+    )
+    x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+    rng = np.random.RandomState(99)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)  # cosine on unit vectors
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-30)
+    return cent
+
+
+def knn_cosine_ivf(
+    sf_dir: str,
+    query_ids: tuple[int, ...] = (0, 1, 2),
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> pa.Table:
+    """IVF-partitioned ANN top-k (the other scale path next to
+    ``knn_cosine_lsh``): a seeded k-means coarse quantizer is fit on a
+    bounded sample driver-side, centroids + queries broadcast once, and
+    each batch scans ONLY rows whose centroid is in a query's ``nprobe``
+    nearest lists — the inverted-file pruning — followed by the same
+    distributed ``groupby(query_id).map_groups`` exact merge as
+    ``knn_cosine``. With ``nprobe == n_centroids`` the scan degenerates
+    to exact brute force (bucketed), which is what the SQL oracle pair
+    checks; smaller nprobe trades recall for a ~n_centroids/nprobe scan
+    reduction."""
+    q, qids = _query_matrix(sf_dir, query_ids)
+    cent = _fit_centroids_sample(sf_dir, n_centroids)
+    # per query: the nprobe nearest centroid ids
+    q_probe = np.argsort(-(q @ cent.T), axis=1)[:, : min(nprobe, len(cent))]
+    ref = ray.put((q, qids, cent, q_probe))
+
+    def ivf_scan(t: pa.Table) -> pa.Table:
+        qm, qid_list, c, probe = ray.get(ref)
+        vec_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        assign = np.argmax(m @ c.T, axis=1)  # (batch,) inverted-list id
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qid_list)):
+            mask = np.isin(assign, probe[qi])
+            if not mask.any():
+                continue
+            sims = m[mask] @ qm[qi]
+            ids = vec_ids[mask]
+            take = min(k + 1, len(sims))
+            idx = np.lexsort((ids, -sims))[:take]
+            out_q.extend([qid_list[qi]] * len(idx))
+            out_v.extend(int(i) for i in ids[idx])
+            out_s.extend(float(s) for s in sims[idx])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cand = ds.map_batches(ivf_scan, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096)
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["query_id"] != g["vec_id"]]
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        return g[["query_id", "vec_id", "rank"]]
+
+    top = cand.groupby("query_id").map_groups(merge_topk, batch_format="pandas").to_pandas()
+    top = top.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
+def knn_cosine_ivf_full(sf_dir: str) -> pa.Table:
+    """IVF with full probe (nprobe == n_centroids): exact by
+    construction, oracle-paired with the same SQL as ``knn_cosine`` —
+    this pins the IVF code path (assignment, pruning mask, distributed
+    merge) to the exact result."""
+    return knn_cosine_ivf(sf_dir, nprobe=16, n_centroids=16)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (decode stubbed — no image/audio libs in env)
 # ---------------------------------------------------------------------------

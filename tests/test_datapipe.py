@@ -115,6 +115,24 @@ class TestEmbeddingOps:
         assert lsh_pairs <= exact_pairs
         assert (0, 1) in lsh_pairs  # planted near-dup recalled
 
+    def test_knn_ivf_full_probe_is_exact(self, planted_dir):
+        """nprobe == n_centroids degenerates IVF to exact brute force;
+        the result must equal knn_cosine row for row."""
+        exact = dp.knn_cosine(planted_dir, query_ids=(0,), k=3).to_pandas()
+        ivf = dp.knn_cosine_ivf(
+            planted_dir, query_ids=(0,), k=3, n_centroids=4, nprobe=4
+        ).to_pandas()
+        assert ivf.values.tolist() == exact.values.tolist()
+
+    def test_knn_ivf_partial_probe_recalls_neardup(self, planted_dir):
+        """The planted near-identical vector shares the query's centroid,
+        so even nprobe=1 must recall it."""
+        ivf = dp.knn_cosine_ivf(
+            planted_dir, query_ids=(0,), k=3, n_centroids=3, nprobe=1
+        ).to_pandas()
+        assert 1 in ivf["vec_id"].tolist()
+        assert 0 not in ivf["vec_id"].tolist()
+
     def test_knn_lsh_distributed_merge_shape(self, planted_dir):
         out = dp.knn_cosine_lsh(planted_dir, query_ids=(0,), k=3).to_pandas()
         assert list(out.columns) == ["query_id", "vec_id", "rank"]
