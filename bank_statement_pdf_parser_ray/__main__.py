@@ -24,7 +24,13 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="bank_statement_pdf_parser_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
     runp = sub.add_parser("run", help="run the flagship extraction job")
-    runp.add_argument("--input", required=True, help="input transcript parquet dir/file")
+    runp.add_argument("--input", required=True, help="input transcript dir/file")
+    runp.add_argument(
+        "--format",
+        default="parquet",
+        choices=["parquet", "json", "csv"],
+        help="input format (json = JSONL; non-parquet goes through the normalizing reader)",
+    )
     runp.add_argument("--out", required=True, help="output root (partitioned parquet + manifest)")
     runp.add_argument("--spreadsheet", default=None, help="also export the standardized transaction table (csv/xlsx)")
     runp.add_argument("--n-parts", type=int, default=64)
@@ -37,6 +43,19 @@ def main(argv: list[str] | None = None) -> int:
     parsep = sub.add_parser("parse", help="parse a single statement text file to a transaction table")
     parsep.add_argument("statement", help="path to a statement text file")
     parsep.add_argument("--out", default=None, help="write transactions to CSV (default: stdout JSON)")
+
+    # training-data dedup over a documents table (doc_id:int64, text:string)
+    dedupp = sub.add_parser("dedup", help="deduplicate a documents parquet table")
+    dedupp.add_argument("--sf-dir", required=True, help="dir containing documents.parquet")
+    dedupp.add_argument(
+        "--method",
+        default="exact",
+        choices=["exact", "minhash", "verified"],
+        help="exact = keep min doc_id per distinct text; minhash = LSH candidate pairs; verified = Jaccard-verified pairs",
+    )
+    dedupp.add_argument("--threshold", type=float, default=0.8, help="Jaccard threshold (verified)")
+    dedupp.add_argument("--out", required=True, help="output parquet dir")
+    dedupp.add_argument("--num-cpus", type=int, default=None)
     args = p.parse_args(argv)
 
     if args.cmd == "parse":
@@ -63,6 +82,32 @@ def main(argv: list[str] | None = None) -> int:
 
     import ray
 
+    if args.cmd == "dedup":
+        owns = not ray.is_initialized()
+        if owns:
+            ray.init(
+                address="local",
+                num_cpus=args.num_cpus,
+                include_dashboard=False,
+                ignore_reinit_error=True,
+                logging_level="ERROR",
+            )
+        try:
+            from bank_statement_pdf_parser_ray.pipelines import datapipe as dp
+
+            fn = {
+                "exact": dp.exact_dedup,
+                "minhash": dp.minhash_candidates,
+                "verified": lambda d: dp.minhash_verified(d, threshold=args.threshold),
+            }[args.method]
+            ds = fn(args.sf_dir).materialize()  # one execution for write + count
+            ds.write_parquet(args.out)
+            print(json.dumps({"method": args.method, "rows": ds.count(), "out": args.out}))
+            return 0
+        finally:
+            if owns:
+                ray.shutdown()
+
     owns_session = not ray.is_initialized()
     if owns_session:
         ray.init(
@@ -75,14 +120,21 @@ def main(argv: list[str] | None = None) -> int:
         try:
             from ray.data import DataContext
 
-            DataContext.get_current().use_polars_sort = True
+            # prompt actor-pool ramp for compute-dominated jobs (see
+            # pipelines/flagship.py pool-floor note)
+            DataContext.get_current().autoscaling_config.actor_pool_util_upscaling_threshold = 1.0
         except Exception:
             pass
     try:
         from bank_statement_pdf_parser_ray.pipelines.flagship import read_extracted, run_flagship
 
+        source = args.input
+        if args.format != "parquet":
+            from bank_statement_pdf_parser_ray.sources.transcripts import read_transcripts
+
+            source = read_transcripts(args.input, fmt=args.format)
         summary = run_flagship(
-            args.input, args.out, n_parts=args.n_parts, salt_chunk=args.salt_chunk
+            source, args.out, n_parts=args.n_parts, salt_chunk=args.salt_chunk
         )
         out = {"summary": summary}
         if args.spreadsheet or args.metrics:

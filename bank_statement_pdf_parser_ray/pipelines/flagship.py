@@ -45,7 +45,7 @@ def _default_concurrency() -> int:
 
 def _add_row_hash(batch: pa.Table) -> pa.Table:
     h = [
-        row_hash(c, str(i), t)
+        row_hash(c if c is not None else "\x00<null-conv>", str(i), t)
         for c, i, t in zip(
             batch.column("conv_id").to_pylist(),
             batch.column("turn_idx").to_pylist(),

@@ -86,6 +86,8 @@ def read_transcripts(source: Union[str, pa.Table, "ray.data.Dataset"], fmt: str 
 
     - ``fmt="parquet"`` (default): projection pushdown to the 6 columns.
     - ``fmt="json"``: JSONL files, one turn object per line.
+    - ``fmt="csv"``: header row required; empty strings read as nulls
+      and normalized like any other source.
     - a ``pa.Table`` / Dataset: normalized in place.
     """
     if isinstance(source, pa.Table):
@@ -95,6 +97,8 @@ def read_transcripts(source: Union[str, pa.Table, "ray.data.Dataset"], fmt: str 
             ds = ray.data.read_parquet(source, columns=INPUT_COLUMNS)
         elif fmt == "json":
             ds = ray.data.read_json(source)
+        elif fmt == "csv":
+            ds = ray.data.read_csv(source)
         else:
             raise ValueError(f"unsupported transcript format: {fmt}")
     else:

@@ -36,6 +36,14 @@ def conv_hash_arrays(conv_ids: pa.ChunkedArray | pa.Array, n_parts: int, n_bucke
     conv_ids in the batch (rows per conversation cluster heavily), then
     gather. bucket uses independent high bits of the same stable hash."""
     arr = conv_ids.combine_chunks() if isinstance(conv_ids, pa.ChunkedArray) else conv_ids
+    # a null conv_id is malformed input but must not kill a 100 TB job:
+    # hash it under a sentinel so the row lands in a deterministic part
+    # (the output row keeps its null conv_id; the normalizing reader
+    # sources/transcripts.py refuses null keys up front — this guards
+    # the direct-parquet path). fill BEFORE dictionary_encode: nulls
+    # otherwise get null dictionary indices and poison the code gather.
+    if arr.null_count:
+        arr = pc.fill_null(arr, "\x00<null-conv>")
     encoded = pc.dictionary_encode(arr)
     uniques = encoded.dictionary.to_pylist()
     hashes = np.array([stable_hash64(u) for u in uniques], dtype=np.uint64)

@@ -41,6 +41,41 @@ class TestReadTranscripts:
         out = read_transcripts(raw).take_all()
         assert out[1]["text"] == ""
 
+    def test_csv_source(self, tmp_path):
+        p = tmp_path / "turns.csv"
+        p.write_text(
+            "conv_id,turn_idx,role,text,tool,ts\n"
+            "c1,0,user,hello world,,1704067200000000\n"
+            "c1,1,assistant,hi there,,1704067260000000\n"
+        )
+        out = read_transcripts(str(p), fmt="csv").take_all()
+        assert len(out) == 2
+        assert out[0]["conv_id"] == "c1" and out[0]["text"] == "hello world"
+        assert str(out[0]["ts"]).startswith("2024-01-01")
+
+    def test_flagship_survives_null_key_and_text(self):
+        """Direct-parquet path (no normalizing reader): a null conv_id
+        or null text row must flow through keys/extract/order/row-hash
+        without killing the job, preserving the null in the output."""
+        import ray.data
+
+        from bank_statement_pdf_parser_ray.pipelines.flagship import run_flagship
+
+        raw = pa.table(
+            {
+                "conv_id": pa.array(["a", None, "b"], pa.string()),
+                "turn_idx": pa.array([0, 0, 0], pa.int32()),
+                "role": ["user"] * 3,
+                "text": pa.array(["hi", "there", None], pa.string()),
+                "tool": [""] * 3,
+                "ts": pa.array([0] * 3, pa.timestamp("us")),
+            }
+        )
+        out = run_flagship(ray.data.from_arrow(raw), salt_chunk=10, n_parts=2).to_pandas()
+        assert len(out) == 3
+        assert (out["error"] == "").all()
+        assert out["conv_id"].isna().sum() == 1
+
     def test_pipeline_runs_on_normalized_source(self, tmp_path):
         import json as _json
 

@@ -104,6 +104,48 @@ class TestCLI:
         assert os.path.exists(sheet)
 
 
+class TestDedupCLI:
+    def test_exact_dedup_roundtrip(self, tmp_path):
+        import json as _json
+
+        import pyarrow as pa
+
+        from bank_statement_pdf_parser_ray.__main__ import main
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": ["same text here", "unique text", "same text here"],
+            }
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        out_dir = str(tmp_path / "deduped")
+        rc = main(["dedup", "--sf-dir", str(tmp_path), "--method", "exact", "--out", out_dir])
+        assert rc == 0
+        import pyarrow.dataset as pads
+
+        got = pads.dataset(out_dir).to_table().sort_by("doc_id")
+        assert got.column("doc_id").to_pylist() == [0, 1]
+
+
+class TestCSVRunCLI:
+    def test_run_with_csv_input(self, tmp_path):
+        from bank_statement_pdf_parser_ray.__main__ import main
+
+        inp = tmp_path / "in.csv"
+        inp.write_text(
+            "conv_id,turn_idx,role,text,tool,ts\n"
+            "c1,0,user,plain  text one,,0\n"
+            "c1,1,assistant,plain text two,,0\n"
+        )
+        out_dir = str(tmp_path / "out")
+        rc = main(["run", "--input", str(inp), "--format", "csv", "--out", out_dir, "--n-parts", "2", "--salt-chunk", "50"])
+        assert rc == 0
+        import os
+
+        assert os.path.isdir(os.path.join(out_dir, "_manifest"))
+
+
 class TestParseCLI:
     def test_single_statement_parse(self, tmp_path):
         from bank_statement_pdf_parser_ray.__main__ import main
