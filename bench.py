@@ -180,6 +180,8 @@ def run_bench() -> dict:
         "events_sessionized",
         "broadcast_join",
         "hash_join_revenue",
+        "q5_region_revenue",
+        "part_brand_revenue",
         "json_props_sum",
         "normalize_ws",
         "token_count",
@@ -187,8 +189,11 @@ def run_bench() -> dict:
         "langid",
         "exact_dedup",
         "minhash_candidates",
+        "minhash_verified",
         "simhash",
         "knn_cosine",
+        "knn_cosine_ivf",
+        "embedding_neardup_lsh",
         "media_features",
     ]
     qtimes = {}
