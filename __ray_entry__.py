@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": dp.doc_fingerprint,
         # dedup family
         "exact_dedup": dp.exact_dedup,
+        "dedup_clusters": dp.dedup_clusters,
         "minhash_candidates": dp.minhash_candidates,
         "minhash_verified": dp.minhash_verified,
         "simhash": dp.simhash,
@@ -248,6 +249,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ngram_jaccard_pairs": dp.NGRAM_JACCARD_SQL,
         "minhash_verified": dp.MINHASH_VERIFIED_SQL,
+        "dedup_clusters": dp.DEDUP_CLUSTERS_SQL,
         "embedding_neardup": dp.EMBEDDING_NEARDUP_SQL,
         # knn_cosine_ivf_full is exact (full probe) -> same oracle as knn_cosine
         "knn_cosine_ivf_full": (

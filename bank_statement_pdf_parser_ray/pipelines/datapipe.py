@@ -459,6 +459,153 @@ def minhash_verified(sf_dir: str, threshold: float = 0.8) -> "ray.data.Dataset":
     )
 
 
+def dedup_clusters(sf_dir: str, threshold: float = 0.8, max_iters: int = 12) -> pd.DataFrame:
+    """Near-dup CLUSTERS via distributed min-label propagation over the
+    verified pair graph: every document gets ``cluster_id`` = the min
+    doc_id of its connected component (docs with no near-dup are their
+    own singleton cluster). This is the dedup endgame — "keep one doc
+    per cluster" is a filter on ``doc_id == cluster_id``.
+
+    Scale shape: labels and edges stay Datasets throughout; one
+    iteration = hash-join(labels, edges) + pre-combined groupby Min —
+    no driver-side union-find over an unbounded edge list. Iteration
+    count is bounded by component diameter; star-capped candidate
+    emission (_pairs_by_bucket) keeps near-dup components star-shaped,
+    so propagation converges in 2-3 rounds. Convergence is detected by
+    the (monotonically decreasing) global label sum.
+
+    SQL oracle: DuckDB recursive CTE computing the min reachable label
+    (transitive closure over the symmetric edge set).
+    """
+    from ray.data.aggregate import Min, Sum
+
+    pairs = minhash_verified(sf_dir, threshold)
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a, b = t.column("doc_a"), t.column("doc_b")
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+                "dst": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()]),
+            }
+        )
+
+    edges = pairs.map_batches(symmetrize, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("doc_id"), "label": t.column("doc_id")})
+
+    labels = _docs(sf_dir, ["doc_id"]).map_batches(init_labels, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    # per-iteration edge⋈label lookup as a coarse-shard VECTORIZED hash
+    # join (tagged union -> groupby(shard) -> np.searchsorted inside the
+    # group), the same shape as _pairs_by_bucket. Ray's Dataset.join is
+    # avoided deliberately: it raises on hash partitions whose small
+    # side is empty (zero-column blocks), which tiny or skewed label
+    # sets hit routinely.
+    def tag_labels(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t.column("node"),
+                "dst": pa.nulls(t.num_rows, pa.int64()),
+                "val": t.column("label"),
+            }
+        )
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t.column("src"),
+                "dst": t.column("dst"),
+                "val": pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        shard = pc.cast(
+            pc.bit_wise_and(t.column("key"), pa.scalar(_PAIR_SHARDS - 1, pa.int64())),
+            pa.int32(),
+        )
+        return t.append_column("shard", shard)
+
+    def emit_msgs(g: pa.Table) -> pa.Table:
+        """label(src) -> dst for every edge row in the shard."""
+        keys = g.column("key").to_numpy(zero_copy_only=False)
+        dsts = g.column("dst").to_numpy(zero_copy_only=False)
+        vals = g.column("val").to_numpy(zero_copy_only=False)
+        is_label = ~pd.isna(vals)
+        lab_keys = keys[is_label].astype(np.int64)
+        lab_vals = vals[is_label].astype(np.int64)
+        if not len(lab_keys):
+            return pa.table({"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
+        order = np.argsort(lab_keys)
+        lab_keys, lab_vals = lab_keys[order], lab_vals[order]
+        edge_keys = keys[~is_label].astype(np.int64)
+        edge_dsts = dsts[~is_label].astype(np.int64)
+        pos = np.searchsorted(lab_keys, edge_keys)
+        ok = (pos < len(lab_keys)) & (lab_keys[np.minimum(pos, max(len(lab_keys) - 1, 0))] == edge_keys)
+        return pa.table(
+            {
+                "node": pa.array(edge_dsts[ok], pa.int64()),
+                "label": pa.array(lab_vals[pos[ok]], pa.int64()),
+            }
+        )
+
+    n_edges = edges.count()
+    tagged_edges = edges.map_batches(tag_edges, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    prev_sum = None
+    for _ in range(max_iters if n_edges else 0):
+        tagged = labels.map_batches(tag_labels, batch_format="pyarrow", zero_copy_batch=True).union(tagged_edges)
+        tagged = tagged.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+        msgs = tagged.groupby("shard").map_groups(emit_msgs, batch_format="pyarrow")
+        labels = (
+            labels.union(msgs)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur = labels.aggregate(Sum("label"))["sum(label)"]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    out = labels.to_pandas().rename(columns={"node": "doc_id", "label": "cluster_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["cluster_id"] = out["cluster_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DEDUP_CLUSTERS_SQL = r"""
+WITH RECURSIVE docs2 AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) < 3 THEN [text]
+              ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+         END AS shingles
+  FROM docs2
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / len(list_distinct(a.shingles || b.shingles)) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+cc(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
+)
+SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node
+"""
+
+
 def simhash(sf_dir: str) -> "ray.data.Dataset":
     """64-bit SimHash over word hashes (weighted bit voting), masked to
     63 bits for int64 transport."""

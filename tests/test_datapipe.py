@@ -90,6 +90,18 @@ class TestMinHash:
         assert set(cand["doc_b"]) == set(range(1, n))
 
 
+class TestDedupClusters:
+    def test_component_labels(self, planted_dir):
+        """Docs 0,1,3 form one near-dup component (0~1 near, 0~3 exact);
+        2 and 4 are singletons. Min-label propagation must give every
+        member the component-min cluster id."""
+        out = dp.dedup_clusters(planted_dir, threshold=0.5).set_index("doc_id")["cluster_id"]
+        assert out[0] == out[1] == out[3] == 0
+        assert out[2] == 2 and out[4] == 4
+        # "keep one per cluster" filter keeps exactly the 3 canonicals
+        assert sorted(set(out.values)) == [0, 2, 4]
+
+
 class TestSimHash:
     def test_near_dup_small_hamming(self, planted_dir):
         sh = dp.simhash(planted_dir).to_pandas().set_index("doc_id")["simhash"]
