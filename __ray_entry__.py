@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": dp.token_count,
         "token_count_bpe": dp.token_count_bpe,
         "quality_score": dp.quality_score,
+        "vocab_topk": dp.vocab_topk,
         "langid": dp.langid,
         "doc_fingerprint": dp.doc_fingerprint,
         # dedup family
@@ -250,6 +251,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": dp.NGRAM_JACCARD_SQL,
         "minhash_verified": dp.MINHASH_VERIFIED_SQL,
         "dedup_clusters": dp.DEDUP_CLUSTERS_SQL,
+        "vocab_topk": dp.VOCAB_TOPK_SQL,
         "embedding_neardup": dp.EMBEDDING_NEARDUP_SQL,
         # knn_cosine_ivf_full is exact (full probe) -> same oracle as knn_cosine
         "knn_cosine_ivf_full": (

@@ -179,6 +179,47 @@ def langid(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def vocab_topk(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Corpus vocabulary: top-k words by frequency (tie-break word asc).
+
+    The explode-then-count shape done scale-first: each batch tokenizes
+    vectorized (Arrow regex split), counts words WITHIN the batch
+    (pa.TableGroupBy partial), and only (word, partial_count) rows move
+    through the global groupby — the shuffle carries O(vocab x blocks)
+    rows, never one row per token occurrence. Top-k via sort+limit on
+    the already-tiny aggregate."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern_regex(t.column("text"), pattern=r"\s+"))
+        words = words.filter(pc.not_equal(words, ""))
+        g = pa.TableGroupBy(pa.table({"word": words}), ["word"]).aggregate([("word", "count")])
+        return g.rename_columns(["word", "p_n"])
+
+    ds = _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = (
+        ds.groupby("word")
+        .aggregate(Sum("p_n", alias_name="n"))
+        .sort(["n", "word"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+VOCAB_TOPK_SQL = r"""
+SELECT word, count(*) AS n
+FROM (
+  SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents
+)
+WHERE word <> ''
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 50
+"""
+
+
 def doc_fingerprint(sf_dir: str) -> "ray.data.Dataset":
     """Rolling-hash document fingerprint (winnowing-style min k-gram hash)."""
 
