@@ -166,12 +166,21 @@ def run_flagship(
     concurrency: int | None = None,
     batch_size: int = 1024,
     shuffle_block_rows: int | None = 32_768,
+    only_parts: frozenset[int] | None = None,
 ):
     """Run the flagship job.
 
     - ``out_dir`` None: return the lazy result Dataset (tests, entry()).
     - ``out_dir`` set: resumable partitioned write; returns a summary dict
       {parts_written, parts_skipped, rows_written}.
+    - ``only_parts``: restrict this invocation to a subset of output
+      parts (rows of other parts are dropped before extraction, exactly
+      like resume's committed-part filter). This is the WAVE primitive:
+      at 100 TB a single global exchange is the wrong tool, so
+      ``run_flagship_waves`` loops part subsets through this — each
+      wave's shuffle and object-store footprint is 1/n_waves of the
+      whole, and every wave commits through the same manifest, so a
+      crashed wave run resumes like any other.
     """
     input_desc = source if isinstance(source, str) else "<dataset>"
     if out_dir is None:
@@ -232,11 +241,14 @@ def run_flagship(
                 import shutil as _shutil
 
                 _shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+    skip = committed
+    if only_parts is not None:
+        skip = committed | frozenset(p for p in range(n_parts) if p not in only_parts)
     ds = build_extracted(
         source,
         n_parts=n_parts,
         salt_chunk=salt_chunk,
-        committed=committed,
+        committed=skip,
         concurrency=concurrency,
         batch_size=batch_size,
         shuffle_block_rows=shuffle_block_rows,
@@ -283,6 +295,34 @@ def run_flagship(
         "write_sec": round(t_write, 3),
         "commit_sec": round(_time.perf_counter() - t_commit0, 3),
     }
+
+
+def run_flagship_waves(
+    source: Union[str, "ray.data.Dataset"],
+    out_dir: str,
+    *,
+    n_waves: int = 4,
+    n_parts: int = DEFAULT_N_PARTS,
+    **kwargs,
+) -> dict:
+    """Run the flagship as ``n_waves`` sequential part-subset jobs
+    (SCALE.md §9): wave w processes parts where ``part % n_waves == w``.
+    Each wave is a full resumable run restricted via ``only_parts``, so
+    its exchange moves ~1/n_waves of the data — the knob that keeps a
+    single sort exchange's shuffle-object count and object-store
+    footprint bounded when the input no longer fits one exchange.
+    All waves share the output dir and manifest; the final output is
+    byte-identical to a single-run output (asserted in tests)."""
+    totals = {"parts_written": 0, "parts_skipped": 0, "rows_written": 0, "waves": n_waves}
+    for w in range(n_waves):
+        wave_parts = frozenset(p for p in range(n_parts) if p % n_waves == w)
+        s = run_flagship(
+            source, out_dir, n_parts=n_parts, only_parts=wave_parts, **kwargs
+        )
+        totals["parts_written"] += s["parts_written"]
+        totals["rows_written"] += s["rows_written"]
+    totals["parts_skipped"] = 0  # waves partition the part space exactly once
+    return totals
 
 
 def read_extracted(out_dir: str) -> "ray.data.Dataset":

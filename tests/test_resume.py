@@ -108,3 +108,22 @@ class TestResumeSafety:
         s = run_flagship(corpus_path, out_dir, salt_chunk=25, n_parts=8)
         assert s["parts_written"] == 0
         assert not os.path.exists(stale)
+
+
+class TestWaves:
+    def test_waves_equal_single_run(self, corpus_path, tmp_path):
+        """run_flagship_waves output (3 waves over 8 parts, shared
+        manifest) must equal a single-run output row for row, and a
+        second waves pass must be a full resume no-op."""
+        from bank_statement_pdf_parser_ray.pipelines.flagship import run_flagship_waves
+
+        single = str(tmp_path / "single")
+        waved = str(tmp_path / "waved")
+        run_flagship(corpus_path, single, salt_chunk=25, n_parts=8)
+        t = run_flagship_waves(corpus_path, waved, n_waves=3, salt_chunk=25, n_parts=8)
+        assert t["parts_written"] == 8
+        a, b = _read_all(single), _read_all(waved)
+        pd.testing.assert_frame_equal(a, b)
+        # rerun: everything already committed
+        t2 = run_flagship_waves(corpus_path, waved, n_waves=3, salt_chunk=25, n_parts=8)
+        assert t2["parts_written"] == 0 and t2["rows_written"] == 0
