@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": dp.doc_fingerprint,
         # dedup family
         "exact_dedup": dp.exact_dedup,
+        "corpus_clean": dp.corpus_clean,
         "dedup_clusters": dp.dedup_clusters,
         "minhash_candidates": dp.minhash_candidates,
         "minhash_verified": dp.minhash_verified,
@@ -252,6 +253,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_verified": dp.MINHASH_VERIFIED_SQL,
         "dedup_clusters": dp.DEDUP_CLUSTERS_SQL,
         "vocab_topk": dp.VOCAB_TOPK_SQL,
+        "corpus_clean": dp.CORPUS_CLEAN_SQL,
         "embedding_neardup": dp.EMBEDDING_NEARDUP_SQL,
         # knn_cosine_ivf_full is exact (full probe) -> same oracle as knn_cosine
         "knn_cosine_ivf_full": (

@@ -297,6 +297,56 @@ def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def corpus_clean(sf_dir: str, min_tokens: int = 5, max_punct_ratio: float = 0.2) -> "ray.data.Dataset":
+    """The composed training-data cleaning pipeline a 100 TB corpus
+    actually runs: vectorized quality gates (min token count, max
+    punctuation ratio) -> exact dedup keep-min-doc_id — all streaming,
+    one 16 B/row shuffle (the dedup groupby), survivors as doc_ids.
+
+    Composition note: the gates run BEFORE dedup so the shuffle only
+    moves rows that could survive; at web scale the quality filter
+    typically drops 30-60% of raw documents (C4/RefinedWeb-style
+    pipelines), which directly shrinks the one exchange."""
+    from ray.data.aggregate import Min
+
+    def gate_and_hash(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        n_tokens = pc.cast(pc.count_substring_regex(text, pattern=r"\S+"), pa.int64())
+        n_punct = pc.cast(pc.count_substring_regex(text, pattern=r"[.,;:!?]"), pa.int64())
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(n_tokens, pa.scalar(min_tokens, pa.int64())),
+            pc.less_equal(
+                pc.cast(n_punct, pa.float64()),
+                pc.multiply(pc.cast(n_chars, pa.float64()), pa.scalar(max_punct_ratio)),
+            ),
+        )
+        t = t.filter(keep)
+        hs = pa.array([stable_hash64(s) for s in t.column("text").to_pylist()], pa.int64())
+        return pa.table({"text_h": hs, "doc_id": t.column("doc_id")})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(gate_and_hash, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        ds.groupby("text_h")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .drop_columns(["text_h"])
+    )
+
+
+CORPUS_CLEAN_SQL = r"""
+WITH q AS (
+  SELECT doc_id, text,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+         length(text) AS n_chars
+  FROM documents
+),
+f AS (SELECT * FROM q WHERE n_tokens >= 5 AND n_punct <= 0.2 * n_chars)
+SELECT min(doc_id) AS doc_id FROM f GROUP BY text
+"""
+
+
 def _shingles(text: str, k: int = 3) -> set[int]:
     """Word k-gram shingle hashes."""
     ws = text.split()

@@ -90,6 +90,24 @@ class TestMinHash:
         assert set(cand["doc_b"]) == set(range(1, n))
 
 
+class TestCorpusClean:
+    def test_gates_and_dedup(self, tmp_path):
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": [
+                    "a perfectly ordinary document with enough words to pass",
+                    "too few",  # < 5 tokens -> dropped
+                    "!!!!! ..... ;;;;; what ????? spam punctuation " + "!" * 40,  # punct ratio -> dropped
+                    "a perfectly ordinary document with enough words to pass",  # dup of 0 -> dropped
+                ],
+            }
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        out = sorted(dp.corpus_clean(str(tmp_path)).to_pandas()["doc_id"])
+        assert out == [0]
+
+
 class TestDedupClusters:
     def test_component_labels(self, planted_dir):
         """Docs 0,1,3 form one near-dup component (0~1 near, 0~3 exact);
