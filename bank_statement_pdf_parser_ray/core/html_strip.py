@@ -77,10 +77,11 @@ def parse_blocks(payload: str) -> list[Block]:
 
     def flush() -> None:
         nonlocal parts, b_start, b_end, n_tags, anchor_chars
-        raw = "".join(parts)
-        if raw.strip():
-            blocks.append(Block(raw, b_start, b_end, n_tags, anchor_chars, chrome_depth))
-        parts = []
+        if parts:
+            raw = "".join(parts)
+            if raw.strip():
+                blocks.append(Block(raw, b_start, b_end, n_tags, anchor_chars, chrome_depth))
+            parts = []
         b_start = -1
         b_end = -1
         n_tags = 0
@@ -88,21 +89,21 @@ def parse_blocks(payload: str) -> list[Block]:
 
     def add_text(seg: str, start: int, end: int) -> None:
         nonlocal b_start, b_end, anchor_chars
-        if skip_depth:
+        if skip_depth or not seg:
             return
-        if not seg:
-            return
-        if b_start < 0 and seg.strip():
-            # anchor block start at the first non-space char
-            b_start = start + (len(seg) - len(seg.lstrip()))
-        if seg.strip():
+        stripped = seg.strip()
+        if stripped:
+            if b_start < 0:
+                # anchor block start at the first non-space char
+                b_start = start + (len(seg) - len(seg.lstrip()))
             b_end = start + len(seg.rstrip())
         parts.append(seg)
         if anchor_depth:
-            anchor_chars += len(seg.strip())
+            anchor_chars += len(stripped)
 
     for m in _TAG_RX.finditer(payload):
-        add_text(payload[pos : m.start()], pos, m.start())
+        if m.start() > pos:
+            add_text(payload[pos : m.start()], pos, m.start())
         pos = m.end()
         name = m.group(2)
         if name is None:  # comment or malformed tag — no name captured
