@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dp.ngram_jaccard_pairs,
         # similarity search
         "knn_cosine": dp.knn_cosine,
+        "knn_cosine_filtered": dp.knn_cosine_filtered,
         "embedding_neardup": dp.embedding_neardup,
         "knn_cosine_lsh": dp.knn_cosine_lsh,
         "knn_cosine_ivf": dp.knn_cosine_ivf,
@@ -255,6 +256,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": dp.VOCAB_TOPK_SQL,
         "corpus_clean": dp.CORPUS_CLEAN_SQL,
         "embedding_neardup": dp.EMBEDDING_NEARDUP_SQL,
+        "knn_cosine_filtered": dp.KNN_COSINE_FILTERED_SQL,
         # knn_cosine_ivf_full is exact (full probe) -> same oracle as knn_cosine
         "knn_cosine_ivf_full": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)), "

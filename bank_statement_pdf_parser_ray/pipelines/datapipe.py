@@ -875,6 +875,74 @@ def knn_cosine(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2), k: int = 5) 
     return pa.Table.from_pandas(top, preserve_index=False)
 
 
+def knn_cosine_filtered(
+    sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2), k: int = 5, label: int = 1
+) -> pa.Table:
+    """Metadata-filtered exact kNN (the 'filtered vector search' shape):
+    top-k by cosine among vectors whose ``label`` matches, with the
+    filter applied INSIDE the batch scan before the matmul — pre-filter
+    semantics (exact top-k of the filtered set), not post-filter
+    (filter after top-k, which can return < k). Same broadcast + partial
+    top-k + distributed merge as ``knn_cosine``."""
+    q, qids = _query_matrix(sf_dir, query_ids)
+    q_ref = ray.put(q)
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("label"), pa.scalar(label, pa.int32())))
+        if not t.num_rows:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        qm = ray.get(q_ref)
+        vec_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = m @ qm.T
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            take = min(k + 1, len(col))
+            idx = np.lexsort((vec_ids, -col))[:take]
+            out_q.extend([qids[qi]] * len(idx))
+            out_v.extend(int(i) for i in vec_ids[idx])
+            out_s.extend(float(s) for s in col[idx])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"])
+    cand = ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096)
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["query_id"] != g["vec_id"]]
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        return g[["query_id", "vec_id", "rank"]]
+
+    top = cand.groupby("query_id").map_groups(merge_topk, batch_format="pandas").to_pandas()
+    top = top.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
+KNN_COSINE_FILTERED_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)),
+s AS (SELECT q.qid AS query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS sim
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid AND e.label = 1)
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+  FROM s) WHERE rank <= 5
+"""
+
+
 def knn_cosine_lsh(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2), k: int = 5, n_planes: int = 8) -> pa.Table:
     """LSH-bucketed ANN variant (the 100TB path): random-hyperplane
     signatures bucket vectors; only buckets within Hamming distance 1 of
