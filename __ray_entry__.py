@@ -232,15 +232,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm_text FROM documents"
         ),
         "row_hash_md5": "SELECT doc_id, md5(text) AS h FROM documents",
+        # n_tokens = count of \S+ matches, the EXACT formula the engine
+        # computes (pc.count_substring_regex) — a trim()+split formula
+        # diverges on leading/trailing non-space whitespace (DuckDB trim
+        # strips spaces only, leaving an empty first array element)
         "token_count": (
-            "SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 "
-            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens "
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens "
             "FROM documents"
         ),
         "quality_score": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
-            "CAST(CASE WHEN trim(text) = '' THEN 0 "
-            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, "
             "CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct "
             "FROM documents"
         ),

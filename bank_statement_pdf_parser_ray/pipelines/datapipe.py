@@ -108,7 +108,10 @@ def quality_score(sf_dir: str) -> "ray.data.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
-_BPE_ISH_RX = re.compile(r"[A-Za-z]+|\d{1,3}|[^\sA-Za-z\d]")
+# re.ASCII pins \d/\s to ASCII so Python's semantics equal the DuckDB
+# RE2 oracle's even on NBSP / non-ASCII-digit text (Python \d otherwise
+# matches Unicode digits — a latent engine/oracle divergence)
+_BPE_ISH_RX = re.compile(r"[A-Za-z]+|\d{1,3}|[^\sA-Za-z\d]", re.ASCII)
 
 
 def token_count_bpe(sf_dir: str) -> "ray.data.Dataset":
@@ -336,8 +339,7 @@ def corpus_clean(sf_dir: str, min_tokens: int = 5, max_punct_ratio: float = 0.2)
 CORPUS_CLEAN_SQL = r"""
 WITH q AS (
   SELECT doc_id, text,
-         CAST(CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
          length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
          length(text) AS n_chars
   FROM documents
@@ -347,9 +349,22 @@ SELECT min(doc_id) AS doc_id FROM f GROUP BY text
 """
 
 
+# ASCII \s+ split over a space-only trim: the EXACT semantics of the
+# DuckDB oracles' regexp_split_to_array(trim(text), '\s+') (RE2 \s is
+# ASCII; DuckDB trim strips spaces only). str.split() would diverge on
+# NBSP (not split) and on leading tabs/newlines (oracle keeps an empty
+# first element, str.split drops it) — latent oracle mismatches on any
+# non-space-whitespace corpus.
+_SHINGLE_WS_RX = re.compile(r"\s+", re.ASCII)
+
+
+def _shingle_words(text: str) -> list[str]:
+    return _SHINGLE_WS_RX.split(text.strip(" "))
+
+
 def _shingles(text: str, k: int = 3) -> set[int]:
-    """Word k-gram shingle hashes."""
-    ws = text.split()
+    """Word k-gram shingle hashes (word split mirrors the SQL oracles)."""
+    ws = _shingle_words(text)
     if len(ws) < k:
         return {stable_hash64(text)}
     return {stable_hash64(" ".join(ws[i : i + k])) for i in range(len(ws) - k + 1)}
@@ -550,7 +565,7 @@ def minhash_verified(sf_dir: str, threshold: float = 0.8) -> "ray.data.Dataset":
     )
 
 
-def dedup_clusters(sf_dir: str, threshold: float = 0.8, max_iters: int = 12) -> pd.DataFrame:
+def dedup_clusters(sf_dir: str, threshold: float = 0.8, max_iters: int = 25) -> pd.DataFrame:
     """Near-dup CLUSTERS via distributed min-label propagation over the
     verified pair graph: every document gets ``cluster_id`` = the min
     doc_id of its connected component (docs with no near-dup are their
@@ -643,12 +658,22 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.8, max_iters: int = 12) -> 
         )
 
     n_edges = edges.count()
-    tagged_edges = edges.map_batches(tag_edges, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    # shard the STATIC edge side once, outside the loop; only the
+    # per-iteration label rows need fresh shard assignment
+    tagged_edges = (
+        edges.map_batches(tag_edges, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
     prev_sum = None
+    converged = n_edges == 0
     for _ in range(max_iters if n_edges else 0):
-        tagged = labels.map_batches(tag_labels, batch_format="pyarrow", zero_copy_batch=True).union(tagged_edges)
-        tagged = tagged.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
-        msgs = tagged.groupby("shard").map_groups(emit_msgs, batch_format="pyarrow")
+        tagged_labels = labels.map_batches(
+            tag_labels, batch_format="pyarrow", zero_copy_batch=True
+        ).map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+        msgs = tagged_labels.union(tagged_edges).groupby("shard").map_groups(
+            emit_msgs, batch_format="pyarrow"
+        )
         labels = (
             labels.union(msgs)
             .groupby("node")
@@ -657,8 +682,16 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.8, max_iters: int = 12) -> 
         )
         cur = labels.aggregate(Sum("label"))["sum(label)"]
         if cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
+    if not converged:
+        # silent split clusters are worse than a loud failure: a chain
+        # component with diameter > max_iters would keep non-min labels
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} iterations — a "
+            "near-dup component has diameter > max_iters; raise max_iters"
+        )
     out = labels.to_pandas().rename(columns={"node": "doc_id", "label": "cluster_id"})
     out["doc_id"] = out["doc_id"].astype("int64")
     out["cluster_id"] = out["cluster_id"].astype("int64")
@@ -825,44 +858,38 @@ def _query_matrix(sf_dir: str, query_ids: tuple[int, ...]) -> tuple[np.ndarray, 
     return q, ids
 
 
-def knn_cosine(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2), k: int = 5) -> pa.Table:
-    """Brute-force cosine top-k: broadcast the query matrix once
-    (ray.put), numpy matmul per batch, per-batch partial top-k, then a
-    DISTRIBUTED exact merge — groupby(query_id).map_groups keeps only
-    the true top-k per query, so the driver receives k rows per query,
-    never the candidate set (tree-reduce shape; SCALE.md §8).
-    """
-    q, qids = _query_matrix(sf_dir, query_ids)
-    q_ref = ray.put(q)
+def _batch_vectors(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids, unit-normalized embedding matrix) for one Arrow batch."""
+    vec_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    return vec_ids, m
 
-    def partial_topk(t: pa.Table) -> pa.Table:
-        qm = ray.get(q_ref)
-        vec_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-        m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
-        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-        sims = m @ qm.T  # (batch, n_queries)
-        out_q, out_v, out_s = [], [], []
-        for qi in range(sims.shape[1]):
-            col = sims[:, qi]
-            take = min(k + 1, len(col))  # +1: the query itself may be in-batch
-            # lexicographic (-sim, vec_id) partial cut so similarity TIES
-            # at the k+1 boundary keep the lowest vec_id — matching the
-            # oracle's ORDER BY sim DESC, vec_id (ADVICE round 1)
-            idx = np.lexsort((vec_ids, -col))[:take]
-            for i in idx:
-                out_q.append(qids[qi])
-                out_v.append(int(vec_ids[i]))
-                out_s.append(float(col[i]))
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, pa.int64()),
-                "vec_id": pa.array(out_v, pa.int64()),
-                "sim": pa.array(out_s, pa.float64()),
-            }
-        )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    cand = ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096)
+def _partial_cut(ids: np.ndarray, sims: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the per-batch partial top-(k+1) with the lexicographic
+    (-sim, vec_id) ordering, so similarity TIES at the boundary keep the
+    lowest vec_id — matching the oracles' ORDER BY sim DESC, vec_id
+    (ADVICE round 1). +1 because the query itself may be in-batch."""
+    take = min(k + 1, len(sims))
+    return np.lexsort((ids, -sims))[:take]
+
+
+def _partial_table(out_q: list, out_v: list, out_s: list) -> pa.Table:
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        }
+    )
+
+
+def _knn_merge(cand: "ray.data.Dataset", k: int) -> pa.Table:
+    """The DISTRIBUTED exact merge shared by every kNN variant:
+    groupby(query_id).map_groups keeps only the true top-k per query, so
+    the driver receives k rows per query, never the candidate set
+    (tree-reduce shape; SCALE.md §8)."""
 
     def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g[g["query_id"] != g["vec_id"]]
@@ -873,6 +900,30 @@ def knn_cosine(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2), k: int = 5) 
     top = cand.groupby("query_id").map_groups(merge_topk, batch_format="pandas").to_pandas()
     top = top.sort_values(["query_id", "rank"]).reset_index(drop=True)
     return pa.Table.from_pandas(top, preserve_index=False)
+
+
+def knn_cosine(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2), k: int = 5) -> pa.Table:
+    """Brute-force cosine top-k: broadcast the query matrix once
+    (ray.put), numpy matmul per batch, per-batch partial top-k, then
+    the distributed `_knn_merge`."""
+    q, qids = _query_matrix(sf_dir, query_ids)
+    q_ref = ray.put(q)
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        vec_ids, m = _batch_vectors(t)
+        sims = m @ qm.T  # (batch, n_queries)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sims.shape[1]):
+            idx = _partial_cut(vec_ids, sims[:, qi], k)
+            out_q.extend([qids[qi]] * len(idx))
+            out_v.extend(int(i) for i in vec_ids[idx])
+            out_s.extend(float(s) for s in sims[idx, qi])
+        return _partial_table(out_q, out_v, out_s)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cand = ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096)
+    return _knn_merge(cand, k)
 
 
 def knn_cosine_filtered(
@@ -890,46 +941,21 @@ def knn_cosine_filtered(
     def partial_topk(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t.column("label"), pa.scalar(label, pa.int32())))
         if not t.num_rows:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "vec_id": pa.array([], pa.int64()),
-                    "sim": pa.array([], pa.float64()),
-                }
-            )
+            return _partial_table([], [], [])
         qm = ray.get(q_ref)
-        vec_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-        m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
-        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        vec_ids, m = _batch_vectors(t)
         sims = m @ qm.T
         out_q, out_v, out_s = [], [], []
         for qi in range(sims.shape[1]):
-            col = sims[:, qi]
-            take = min(k + 1, len(col))
-            idx = np.lexsort((vec_ids, -col))[:take]
+            idx = _partial_cut(vec_ids, sims[:, qi], k)
             out_q.extend([qids[qi]] * len(idx))
             out_v.extend(int(i) for i in vec_ids[idx])
-            out_s.extend(float(s) for s in col[idx])
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, pa.int64()),
-                "vec_id": pa.array(out_v, pa.int64()),
-                "sim": pa.array(out_s, pa.float64()),
-            }
-        )
+            out_s.extend(float(s) for s in sims[idx, qi])
+        return _partial_table(out_q, out_v, out_s)
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"])
     cand = ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096)
-
-    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g["query_id"] != g["vec_id"]]
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k).reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
-        return g[["query_id", "vec_id", "rank"]]
-
-    top = cand.groupby("query_id").map_groups(merge_topk, batch_format="pandas").to_pandas()
-    top = top.sort_values(["query_id", "rank"]).reset_index(drop=True)
-    return pa.Table.from_pandas(top, preserve_index=False)
+    return _knn_merge(cand, k)
 
 
 KNN_COSINE_FILTERED_SQL = """
@@ -963,9 +989,7 @@ def knn_cosine_lsh(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2), k: int =
     def bucket_scan(t: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
         qm, qid_list, qsigs = ray.get(q_ref)
-        vec_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-        m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
-        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        vec_ids, m = _batch_vectors(t)
         sigs = (m @ pl.T > 0).astype(np.int8)
         out_q, out_v, out_s = [], [], []
         for qi in range(len(qid_list)):
@@ -977,32 +1001,15 @@ def knn_cosine_lsh(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2), k: int =
                 continue
             sims = m[mask] @ qm[qi]
             ids = vec_ids[mask]
-            take = min(k + 1, len(sims))
-            idx = np.lexsort((ids, -sims))[:take]
-            for i in idx:
-                out_q.append(qid_list[qi])
-                out_v.append(int(ids[i]))
-                out_s.append(float(sims[i]))
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, pa.int64()),
-                "vec_id": pa.array(out_v, pa.int64()),
-                "sim": pa.array(out_s, pa.float64()),
-            }
-        )
+            idx = _partial_cut(ids, sims, k)
+            out_q.extend([qid_list[qi]] * len(idx))
+            out_v.extend(int(i) for i in ids[idx])
+            out_s.extend(float(s) for s in sims[idx])
+        return _partial_table(out_q, out_v, out_s)
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     cand = ds.map_batches(bucket_scan, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096)
-
-    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g["query_id"] != g["vec_id"]]
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k).reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
-        return g[["query_id", "vec_id", "rank"]]
-
-    top = cand.groupby("query_id").map_groups(merge_topk, batch_format="pandas").to_pandas()
-    top = top.sort_values(["query_id", "rank"]).reset_index(drop=True)
-    return pa.Table.from_pandas(top, preserve_index=False)
+    return _knn_merge(cand, k)
 
 
 def _fit_centroids_sample(sf_dir: str, n_centroids: int, sample: int = 2048, iters: int = 10) -> np.ndarray:
@@ -1055,9 +1062,7 @@ def knn_cosine_ivf(
 
     def ivf_scan(t: pa.Table) -> pa.Table:
         qm, qid_list, c, probe = ray.get(ref)
-        vec_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-        m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
-        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        vec_ids, m = _batch_vectors(t)
         assign = np.argmax(m @ c.T, axis=1)  # (batch,) inverted-list id
         out_q, out_v, out_s = [], [], []
         for qi in range(len(qid_list)):
@@ -1066,31 +1071,15 @@ def knn_cosine_ivf(
                 continue
             sims = m[mask] @ qm[qi]
             ids = vec_ids[mask]
-            take = min(k + 1, len(sims))
-            idx = np.lexsort((ids, -sims))[:take]
+            idx = _partial_cut(ids, sims, k)
             out_q.extend([qid_list[qi]] * len(idx))
             out_v.extend(int(i) for i in ids[idx])
             out_s.extend(float(s) for s in sims[idx])
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, pa.int64()),
-                "vec_id": pa.array(out_v, pa.int64()),
-                "sim": pa.array(out_s, pa.float64()),
-            }
-        )
+        return _partial_table(out_q, out_v, out_s)
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     cand = ds.map_batches(ivf_scan, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096)
-
-    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g["query_id"] != g["vec_id"]]
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k).reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
-        return g[["query_id", "vec_id", "rank"]]
-
-    top = cand.groupby("query_id").map_groups(merge_topk, batch_format="pandas").to_pandas()
-    top = top.sort_values(["query_id", "rank"]).reset_index(drop=True)
-    return pa.Table.from_pandas(top, preserve_index=False)
+    return _knn_merge(cand, k)
 
 
 def knn_cosine_ivf_full(sf_dir: str) -> pa.Table:

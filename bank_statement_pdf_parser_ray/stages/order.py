@@ -45,7 +45,14 @@ def _sort_dedup_group(group: pa.Table) -> pa.Table:
         group.select(["conv_id", "turn_idx"]),
         sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")],
     )
-    conv = pc.take(group.column("conv_id").combine_chunks(), order)
+    # null conv_ids (malformed rows keys.py deliberately lets through)
+    # are filled with a sentinel BEFORE the adjacency compare: pc.equal
+    # on null is Kleene (null result), which would make the keep mask an
+    # object-dtype numpy array and crash the take below — and would
+    # silently never dedup replayed null-conv fragments.
+    conv = pc.take(
+        pc.fill_null(group.column("conv_id").combine_chunks(), "\x00<null-conv>"), order
+    )
     idx = pc.take(group.column("turn_idx").combine_chunks(), order)
     n = group.num_rows
     dup = pc.and_(

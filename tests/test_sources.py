@@ -53,6 +53,29 @@ class TestReadTranscripts:
         assert out[0]["conv_id"] == "c1" and out[0]["text"] == "hello world"
         assert str(out[0]["ts"]).startswith("2024-01-01")
 
+    def test_null_key_with_duplicates_dedups(self):
+        """Regression: a reduce group holding a null conv_id row PLUS a
+        real replayed duplicate crashed the vectorized dedup (Kleene
+        null equality -> object-dtype keep mask -> IndexError in take);
+        replayed null-conv fragments must also dedup like any other."""
+        import ray.data
+
+        from bank_statement_pdf_parser_ray.pipelines.flagship import run_flagship
+
+        raw = pa.table(
+            {
+                "conv_id": pa.array(["a", "a", None, None, "a"], pa.string()),
+                "turn_idx": pa.array([0, 0, 2, 2, 1], pa.int32()),
+                "role": ["user"] * 5,
+                "text": ["dup", "dup", "null-dup", "null-dup", "fine"],
+                "tool": [""] * 5,
+                "ts": pa.array([0] * 5, pa.timestamp("us")),
+            }
+        )
+        out = run_flagship(ray.data.from_arrow(raw), salt_chunk=10, n_parts=1).to_pandas()
+        assert len(out) == 3  # (a,0), (a,1), (null,2) — both dup pairs collapsed
+        assert out["conv_id"].isna().sum() == 1
+
     def test_flagship_survives_null_key_and_text(self):
         """Direct-parquet path (no normalizing reader): a null conv_id
         or null text row must flow through keys/extract/order/row-hash
