@@ -194,12 +194,15 @@ def run_bench() -> dict:
         "normalize_ws",
         "token_count",
         "quality_score",
+        "vocab_topk",
+        "corpus_clean",
         "langid",
         "exact_dedup",
         "minhash_candidates",
         "minhash_verified",
         "simhash",
         "knn_cosine",
+        "knn_cosine_filtered",
         "knn_cosine_ivf",
         "embedding_neardup_lsh",
         "media_features",
