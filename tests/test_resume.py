@@ -127,3 +127,19 @@ class TestWaves:
         # rerun: everything already committed
         t2 = run_flagship_waves(corpus_path, waved, n_waves=3, salt_chunk=25, n_parts=8)
         assert t2["parts_written"] == 0 and t2["rows_written"] == 0
+
+
+class TestStagingCleanup:
+    def test_live_owner_staging_preserved_dead_removed(self, corpus_path, tmp_path):
+        """Only staging dirs whose embedded pid is DEAD are orphans; a
+        live concurrent writer's staging dir must be left alone
+        (removing it would corrupt that job's write)."""
+        out_dir = str(tmp_path / "out")
+        os.makedirs(out_dir)
+        live = os.path.join(out_dir, "_staging-1")       # pid 1: alive (init)
+        dead = os.path.join(out_dir, "_staging-999999999")  # beyond pid_max: dead
+        os.makedirs(live)
+        os.makedirs(dead)
+        run_flagship(corpus_path, out_dir, salt_chunk=25, n_parts=4)
+        assert os.path.isdir(live)      # concurrent writer untouched
+        assert not os.path.isdir(dead)  # orphan cleared
