@@ -108,10 +108,11 @@ def quality_score(sf_dir: str) -> "ray.data.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
-# re.ASCII pins \d/\s to ASCII so Python's semantics equal the DuckDB
-# RE2 oracle's even on NBSP / non-ASCII-digit text (Python \d otherwise
-# matches Unicode digits — a latent engine/oracle divergence)
-_BPE_ISH_RX = re.compile(r"[A-Za-z]+|\d{1,3}|[^\sA-Za-z\d]", re.ASCII)
+# Whitespace class spelled out as RE2's exact \s = [\t\n\f\r ] (no
+# \x0b vertical tab, unlike Python's ASCII \s!), and re.ASCII pins \d
+# so Python's semantics equal the DuckDB RE2 oracle's even on NBSP /
+# \v / non-ASCII-digit text (property-fuzzed in tests/test_properties)
+_BPE_ISH_RX = re.compile(r"[A-Za-z]+|\d{1,3}|[^\t\n\f\r A-Za-z\d]", re.ASCII)
 
 
 def token_count_bpe(sf_dir: str) -> "ray.data.Dataset":
@@ -349,13 +350,14 @@ SELECT min(doc_id) AS doc_id FROM f GROUP BY text
 """
 
 
-# ASCII \s+ split over a space-only trim: the EXACT semantics of the
-# DuckDB oracles' regexp_split_to_array(trim(text), '\s+') (RE2 \s is
-# ASCII; DuckDB trim strips spaces only). str.split() would diverge on
-# NBSP (not split) and on leading tabs/newlines (oracle keeps an empty
-# first element, str.split drops it) — latent oracle mismatches on any
-# non-space-whitespace corpus.
-_SHINGLE_WS_RX = re.compile(r"\s+", re.ASCII)
+# Split on RE2's exact \s class ([\t\n\f\r ] — NOT Python's ASCII \s,
+# which also matches \x0b) over a space-only trim: the EXACT semantics
+# of the DuckDB oracles' regexp_split_to_array(trim(text), '\s+').
+# str.split() would diverge on NBSP (not split) and on leading
+# tabs/newlines (oracle keeps an empty first element, str.split drops
+# it) — latent oracle mismatches on any non-space-whitespace corpus.
+# Property-fuzzed against DuckDB in tests/test_properties.
+_SHINGLE_WS_RX = re.compile(r"[\t\n\f\r ]+")
 
 
 def _shingle_words(text: str) -> list[str]:

@@ -52,6 +52,27 @@ def _col_letter(idx: int) -> str:
     return out
 
 
+import re as _re
+
+# Control chars are ILLEGAL in XML 1.0 even when entity-escaped; OOXML
+# encodes them as _xHHHH_ (and escapes literal _xHHHH_ sequences in the
+# input as _x005F_xHHHH_ so decoding is unambiguous). \r is included
+# although legal XML: parsers normalize it to \n (XML line-ending
+# rules), so only the encoded form round-trips — Excel does the same.
+_XML_ILLEGAL_RX = _re.compile(r"[\x00-\x08\x0b-\x1f]")
+_OOXML_LITERAL_RX = _re.compile(r"_(?=x[0-9A-Fa-f]{4}_)")
+_OOXML_DECODE_RX = _re.compile(r"_x([0-9A-Fa-f]{4})_")
+
+
+def _ooxml_encode(s: str) -> str:
+    s = _OOXML_LITERAL_RX.sub("_x005F_", s)
+    return _XML_ILLEGAL_RX.sub(lambda m: f"_x{ord(m.group(0)):04X}_", s)
+
+
+def _ooxml_decode(s: str) -> str:
+    return _OOXML_DECODE_RX.sub(lambda m: chr(int(m.group(1), 16)), s)
+
+
 def _cell_xml(ref: str, value) -> str:
     if value is None:
         return ""
@@ -62,7 +83,7 @@ def _cell_xml(ref: str, value) -> str:
             value = str(value)  # NaN/inf: not representable as numeric cells
         else:
             return f'<c r="{ref}"><v>{value!r}</v></c>'
-    s = escape(str(value))
+    s = escape(_ooxml_encode(str(value)))
     return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{s}</t></is></c>'
 
 
@@ -109,7 +130,7 @@ def read_xlsx(path: str) -> tuple[list[str], list[list]]:
             kind = c.attrib.get("t", "n")
             if kind == "inlineStr":
                 t_el = c.find("m:is/m:t", ns)
-                row.append(t_el.text or "" if t_el is not None else "")
+                row.append(_ooxml_decode(t_el.text or "") if t_el is not None else "")
             else:
                 v_el = c.find("m:v", ns)
                 raw = v_el.text if v_el is not None else None

@@ -83,3 +83,70 @@ class TestQuarantine:
         n_ok, n_bad = ok.count(), bad.count()
         assert n_bad == 0  # clean corpus
         assert n_ok > 0
+
+
+class TestOracleTokenizerParity:
+    """The SQL oracles tokenize with DuckDB trim()+RE2; the engine's
+    _shingle_words / BPE regex must agree on ARBITRARY text, not just
+    the ASCII fixtures (round-2 review finding)."""
+
+    @given(st.text(max_size=120))
+    @settings(max_examples=60, deadline=None)
+    def test_shingle_words_match_duckdb(self, s):
+        import duckdb
+
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import _shingle_words
+
+        if "\x00" in s:  # NUL is not representable in a SQL literal
+            return
+        con = duckdb.connect()
+        sql_words = con.execute(
+            r"SELECT regexp_split_to_array(trim(?), '\s+')", [s]
+        ).fetchone()[0]
+        con.close()
+        assert _shingle_words(s) == sql_words
+
+    @given(st.text(max_size=120))
+    @settings(max_examples=60, deadline=None)
+    def test_bpe_count_matches_duckdb(self, s):
+        import duckdb
+
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import _BPE_ISH_RX
+
+        if "\x00" in s:
+            return
+        con = duckdb.connect()
+        n_sql = con.execute(
+            r"SELECT len(regexp_extract_all(?, '[A-Za-z]+|\d{1,3}|[^\sA-Za-z\d]'))", [s]
+        ).fetchone()[0]
+        con.close()
+        assert len(_BPE_ISH_RX.findall(s)) == n_sql
+
+
+class TestXlsxProperties:
+    @given(
+        st.lists(
+            st.lists(
+                st.one_of(
+                    st.integers(min_value=-(2**40), max_value=2**40),
+                    st.text(max_size=40).filter(lambda s: "\x00" not in s),
+                    st.booleans(),
+                ),
+                min_size=2,
+                max_size=2,
+            ),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_roundtrip(self, rows):
+        import tempfile
+
+        from bank_statement_pdf_parser_ray.sources.xlsx import read_xlsx, write_xlsx
+
+        with tempfile.TemporaryDirectory() as d:
+            p = write_xlsx(f"{d}/t.xlsx", ["a", "b"], rows)
+            header, got = read_xlsx(p)
+        assert header == ["a", "b"]
+        assert got == rows
