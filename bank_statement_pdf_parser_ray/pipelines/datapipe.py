@@ -54,13 +54,15 @@ def normalize_ws(sf_dir: str) -> "ray.data.Dataset":
     trim(regexp_replace(text,'\\s+',' ','g')))."""
 
     def f(t: pa.Table) -> pa.Table:
-        # trim ONLY the ASCII space to match the oracle's trim() exactly:
-        # DuckDB trim() strips spaces, not Unicode whitespace, and RE2 \s
-        # is ASCII on both sides — utf8_trim_whitespace would strip NBSP
-        # the oracle keeps (ADVICE round 1)
+        # trim EXACTLY DuckDB trim()'s character set — the Unicode Zs
+        # space separators (space, NBSP, em-space, ...), verified
+        # char-by-char against DuckDB. Neither plain ASCII-space trim
+        # (misses NBSP, the round-1 ADVICE guess) nor
+        # utf8_trim_whitespace (also strips \t\n the oracle keeps)
+        # matches it.
         norm = pc.utf8_trim(
             pc.replace_substring_regex(t.column("text"), pattern=r"\s+", replacement=" "),
-            characters=" ",
+            characters=_DUCKDB_TRIM_CHARS,
         )
         return pa.table({"doc_id": t.column("doc_id"), "norm_text": norm})
 
@@ -350,18 +352,30 @@ SELECT min(doc_id) AS doc_id FROM f GROUP BY text
 """
 
 
-# Split on RE2's exact \s class ([\t\n\f\r ] — NOT Python's ASCII \s,
-# which also matches \x0b) over a space-only trim: the EXACT semantics
-# of the DuckDB oracles' regexp_split_to_array(trim(text), '\s+').
+# EXACT semantics of the DuckDB oracles' regexp_split_to_array(
+# trim(text), '\s+'), property-fuzzed against live DuckDB in
+# tests/test_properties. Two traps the fuzzer caught:
+# - RE2's \s class is exactly [\t\n\f\r ] — NOT Python's ASCII \s,
+#   which also matches \x0b vertical tab;
+# - DuckDB trim() strips the Unicode Zs space separators (space, NBSP,
+#   em-space, ideographic space, ...), not just ASCII space — verified
+#   char-by-char against the Zs table.
 # str.split() would diverge on NBSP (not split) and on leading
 # tabs/newlines (oracle keeps an empty first element, str.split drops
 # it) — latent oracle mismatches on any non-space-whitespace corpus.
-# Property-fuzzed against DuckDB in tests/test_properties.
 _SHINGLE_WS_RX = re.compile(r"[\t\n\f\r ]+")
+_DUCKDB_TRIM_CHARS = "".join(
+    chr(c)
+    for c in (
+        0x20, 0xA0, 0x1680,
+        *range(0x2000, 0x200B),  # en/em/figure/punct/thin/hair spaces
+        0x202F, 0x205F, 0x3000,
+    )
+)  # the full Unicode Zs (space separator) category = DuckDB trim()'s set
 
 
 def _shingle_words(text: str) -> list[str]:
-    return _SHINGLE_WS_RX.split(text.strip(" "))
+    return _SHINGLE_WS_RX.split(text.strip(_DUCKDB_TRIM_CHARS))
 
 
 def _shingles(text: str, k: int = 3) -> set[int]:

@@ -227,10 +227,12 @@ def run_flagship(
         for name in os.listdir(out_dir):
             if name.startswith("_staging-"):
                 try:
-                    owner_pid = int(name.rsplit("-", 1)[1])
+                    owner_pid = int(name.split("-")[1])  # _staging-<pid>[-tag]
                 except (IndexError, ValueError):
                     owner_pid = None
-                if owner_pid is not None and owner_pid != os.getpid():
+                if owner_pid is not None:
+                    if owner_pid == os.getpid():
+                        continue  # a concurrent wave of THIS process — never touch
                     try:
                         os.kill(owner_pid, 0)  # probe only: signal 0 sends nothing
                         continue  # owner alive -> not an orphan
@@ -254,9 +256,13 @@ def run_flagship(
         shuffle_block_rows=shuffle_block_rows,
     )
     import time as _time
+    import uuid as _uuid
 
     t_write0 = _time.perf_counter()
-    staging_root = os.path.join(out_dir, f"_staging-{os.getpid()}")
+    # pid identifies the owner for orphan cleanup; the random tag keeps
+    # concurrent waves of ONE process (run_flagship_waves concurrent
+    # mode) from sharing a staging root
+    staging_root = os.path.join(out_dir, f"_staging-{os.getpid()}-{_uuid.uuid4().hex[:8]}")
     ds.write_parquet(staging_root, partition_cols=["part"])
     t_write = _time.perf_counter() - t_write0
 
@@ -303,25 +309,81 @@ def run_flagship_waves(
     *,
     n_waves: int = 4,
     n_parts: int = DEFAULT_N_PARTS,
+    concurrent: bool = False,
     **kwargs,
 ) -> dict:
-    """Run the flagship as ``n_waves`` sequential part-subset jobs
-    (SCALE.md §9): wave w processes parts where ``part % n_waves == w``.
-    Each wave is a full resumable run restricted via ``only_parts``, so
-    its exchange moves ~1/n_waves of the data — the knob that keeps a
-    single sort exchange's shuffle-object count and object-store
-    footprint bounded when the input no longer fits one exchange.
-    All waves share the output dir and manifest; the final output is
-    byte-identical to a single-run output (asserted in tests)."""
+    """Run the flagship as ``n_waves`` part-subset jobs (SCALE.md §9):
+    wave w processes parts where ``part % n_waves == w``. Each wave is a
+    full resumable run restricted via ``only_parts``, so its exchange
+    moves ~1/n_waves of the data — the knob that keeps a single sort
+    exchange's shuffle-object count and object-store footprint bounded
+    when the input no longer fits one exchange. All waves share the
+    output dir and manifest; the final output is byte-identical to a
+    single-run output (asserted in tests).
+
+    ``concurrent=True`` runs the waves in threads over one Ray session,
+    splitting the extraction CPU budget between them. Staging dirs are
+    uniquely tagged per wave and manifest commits are per-part, so the
+    waves never collide. MEASURED single-node verdict: do NOT use it
+    there — two streaming executors contend (2-wave concurrent 92 s vs
+    35 s single-pipeline on the 2M-turn corpus at 32 CPUs; dual actor
+    pools + dual shuffles starve each other, occasionally to a stall).
+    A single Ray Data pipeline already overlaps its own stages; the
+    concurrent mode only makes sense multi-node where each wave's
+    exchange is bounded by different hardware (and even then, measure
+    first). Sequential waves remain the footprint-bounding tool."""
     totals = {"parts_written": 0, "parts_skipped": 0, "rows_written": 0, "waves": n_waves}
-    for w in range(n_waves):
-        wave_parts = frozenset(p for p in range(n_parts) if p % n_waves == w)
-        s = run_flagship(
-            source, out_dir, n_parts=n_parts, only_parts=wave_parts, **kwargs
-        )
+    wave_parts = [
+        frozenset(p for p in range(n_parts) if p % n_waves == w) for w in range(n_waves)
+    ]
+    if concurrent:
+        from concurrent.futures import ThreadPoolExecutor
+
+        # Ray's write path imports fsspec.implementations.http per write
+        # and catches only ModuleNotFoundError. In this environment that
+        # import FAILS (no aiohttp), and failed imports are not cached —
+        # so concurrent waves re-import simultaneously and can observe a
+        # partially-initialized module, raising plain ImportError, which
+        # Ray does not catch. Register a stub module once so every
+        # later import succeeds deterministically; the dummy class makes
+        # Ray's isinstance() check correctly answer "not HTTP".
+        import sys as _sys
+        import types as _types
+
+        if "fsspec.implementations.http" not in _sys.modules:
+            try:
+                import fsspec.implementations.http  # noqa: F401
+            except Exception:
+                _stub = _types.ModuleType("fsspec.implementations.http")
+
+                class _NoHTTPFileSystem:  # only ever used in isinstance checks
+                    pass
+
+                _stub.HTTPFileSystem = _NoHTTPFileSystem
+                _sys.modules["fsspec.implementations.http"] = _stub
+        if "concurrency" not in kwargs:
+            # reserve 2 CPUs per wave for its read/sort/write tasks on
+            # top of the global -2, else the fixed-size wave pools
+            # jointly hold every CPU and the shuffles starve (the
+            # round-1 two-pools-plus-shuffle deadlock, at any scale)
+            cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+            kwargs["concurrency"] = max(1, (cpus - 2 - 2 * n_waves) // n_waves)
+        with ThreadPoolExecutor(max_workers=n_waves) as ex:
+            futs = [
+                ex.submit(
+                    run_flagship, source, out_dir, n_parts=n_parts, only_parts=wp, **kwargs
+                )
+                for wp in wave_parts
+            ]
+            results = [f.result() for f in futs]
+    else:
+        results = [
+            run_flagship(source, out_dir, n_parts=n_parts, only_parts=wp, **kwargs)
+            for wp in wave_parts
+        ]
+    for s in results:
         totals["parts_written"] += s["parts_written"]
         totals["rows_written"] += s["rows_written"]
-    totals["parts_skipped"] = 0  # waves partition the part space exactly once
     return totals
 
 

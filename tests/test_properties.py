@@ -150,3 +150,28 @@ class TestXlsxProperties:
             header, got = read_xlsx(p)
         assert header == ["a", "b"]
         assert got == rows
+
+
+class TestNormalizeWsOracleParity:
+    @given(st.text(max_size=120))
+    @settings(max_examples=60, deadline=None)
+    def test_matches_duckdb(self, s):
+        """normalize_ws engine kernels (RE2 \\s+ collapse + Zs trim)
+        must equal the oracle's trim(regexp_replace(text,'\\s+',' ','g'))
+        on arbitrary text."""
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import _DUCKDB_TRIM_CHARS
+
+        if "\x00" in s:
+            return
+        eng = pc.utf8_trim(
+            pc.replace_substring_regex(pa.array([s]), pattern=r"\s+", replacement=" "),
+            characters=_DUCKDB_TRIM_CHARS,
+        )[0].as_py()
+        con = duckdb.connect()
+        sql = con.execute(r"SELECT trim(regexp_replace(?, '\s+', ' ', 'g'))", [s]).fetchone()[0]
+        con.close()
+        assert eng == sql

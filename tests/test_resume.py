@@ -143,3 +143,18 @@ class TestStagingCleanup:
         run_flagship(corpus_path, out_dir, salt_chunk=25, n_parts=4)
         assert os.path.isdir(live)      # concurrent writer untouched
         assert not os.path.isdir(dead)  # orphan cleared
+
+    def test_concurrent_waves_equal_single_run(self, corpus_path, tmp_path):
+        """concurrent=True waves (threaded, shared session) must still
+        produce single-run-identical output — the collision surfaces
+        are per-wave staging tags and per-part manifest commits."""
+        from bank_statement_pdf_parser_ray.pipelines.flagship import run_flagship_waves
+
+        single = str(tmp_path / "single")
+        conc = str(tmp_path / "conc")
+        run_flagship(corpus_path, single, salt_chunk=25, n_parts=8)
+        t = run_flagship_waves(
+            corpus_path, conc, n_waves=2, concurrent=True, salt_chunk=25, n_parts=8
+        )
+        assert t["parts_written"] == 8
+        pd.testing.assert_frame_equal(_read_all(single), _read_all(conc))
