@@ -175,3 +175,22 @@ class TestNormalizeWsOracleParity:
         sql = con.execute(r"SELECT trim(regexp_replace(?, '\s+', ' ', 'g'))", [s]).fetchone()[0]
         con.close()
         assert eng == sql
+
+
+class TestTokenCountOracleParity:
+    @given(st.text(max_size=120))
+    @settings(max_examples=60, deadline=None)
+    def test_matches_duckdb(self, s):
+        """token_count's Arrow RE2 kernel must equal the oracle's
+        len(regexp_extract_all(text,'\\S+')) on arbitrary text."""
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if "\x00" in s:
+            return
+        eng = pc.count_substring_regex(pa.array([s]), pattern=r"\S+")[0].as_py()
+        con = duckdb.connect()
+        sql = con.execute(r"SELECT len(regexp_extract_all(?, '\S+'))", [s]).fetchone()[0]
+        con.close()
+        assert eng == sql
