@@ -159,6 +159,7 @@ def _embedding_neardup_lsh_checked(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from bank_statement_pdf_parser_ray.pipelines import datapipe as dp
     from bank_statement_pdf_parser_ray.pipelines import queries as q
+    from bank_statement_pdf_parser_ray.pipelines import windows as w
 
     return {
         # flagship extraction (oracle-equality checked in pytest; rows-only here)
@@ -178,6 +179,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join_revenue": q.hash_join_revenue,
         "q5_region_revenue": q.q5_region_revenue,
         "part_brand_revenue": q.part_brand_revenue,
+        "anti_join_customers": q.anti_join_customers,
+        "asof_join_events": w.asof_join_events,
+        "events_rolling": w.events_rolling,
+        "grouped_topk_events": w.grouped_topk_events,
+        "user_value_quantiles": w.user_value_quantiles,
         "sample_documents": q.sample_documents,
         "distinct_langs": q.distinct_langs,
         "json_props_sum": q.json_props_sum,
@@ -214,8 +220,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from bank_statement_pdf_parser_ray.pipelines import datapipe as dp
     from bank_statement_pdf_parser_ray.pipelines import queries as q
+    from bank_statement_pdf_parser_ray.pipelines import windows as w
 
     return {
+        "anti_join_customers": q.ANTI_JOIN_CUSTOMERS_SQL,
+        "asof_join_events": w.ASOF_JOIN_EVENTS_SQL,
+        "events_rolling": w.EVENTS_ROLLING_SQL,
+        "grouped_topk_events": w.GROUPED_TOPK_EVENTS_SQL,
+        "user_value_quantiles": w.USER_VALUE_QUANTILES_SQL,
         "lineitem_agg": q.LINEITEM_AGG_SQL,
         "filter_highvalue": q.FILTER_HIGHVALUE_SQL,
         "topk_users": q.TOPK_USERS_SQL,

@@ -467,3 +467,62 @@ SELECT p_brand,
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 """
+
+
+def anti_join_customers(sf_dir: str, threshold: float = 400_000.0) -> pd.DataFrame:
+    """Distributed ANTI join (SURVEY.md §2.4 J2 family): customers with
+    NO order above `threshold`. Non-trivial on the shared tables (FK
+    integrity makes a plain no-orders anti join empty).
+
+    Scale shape: the probe side is first collapsed to DISTINCT matching
+    keys with a partial per-batch unique BEFORE the shuffle (the
+    exchange moves at most |distinct keys| x blocks int64s, never raw
+    orders), then a hash-partitioned ``Dataset.join(left_outer)``
+    co-locates customer rows with their key and a vectorized null-mask
+    drops the matches. No driver-side key set, no broadcast — both
+    sides stream, so the plan survives a probe side whose distinct keys
+    don't fit one machine (where the broadcast_join pattern would
+    not)."""
+    from ray.data.aggregate import Count
+
+    def matching_keys(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t.column("o_totalprice"), pa.scalar(threshold))
+        keys = pc.unique(pc.filter(t.column("o_custkey"), keep))
+        return pa.table({"o_custkey": keys})
+
+    probe = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(matching_keys, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_match"))
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = cust.join(
+        probe,
+        join_type="left_outer",
+        num_partitions=8,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def keep_unmatched(t: pa.Table) -> pa.Table:
+        mask = pc.is_null(t.column("n_match"))
+        return pa.table(
+            {
+                "c_custkey": pc.filter(t.column("c_custkey"), mask),
+                "c_mktsegment": pc.filter(t.column("c_mktsegment"), mask),
+            }
+        )
+
+    out = joined.map_batches(keep_unmatched, batch_format="pyarrow").to_pandas()
+    return out
+
+
+ANTI_JOIN_CUSTOMERS_SQL = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+)
+"""

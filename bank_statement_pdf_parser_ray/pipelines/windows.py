@@ -1,0 +1,267 @@
+"""Ordered per-key operators Ray Data has no primitive for: as-of
+(temporal) join, trailing range-window aggregate, per-group top-k, and
+per-group exact quantiles (SURVEY.md §2.9 extension; ray_guide "Custom
+operators").
+
+All four share one partitioning assumption, stated once: rows are
+hash-partitioned by the grouping key (``groupby(key).map_groups``) and
+each group is processed with vectorized numpy kernels over the
+(ts, event_id)-sorted group. That is the canonical Ray Data shape for
+windowed semantics — the shuffle co-locates a key's rows, the kernel
+never crosses keys, and group size (one user's history) is the only
+per-worker memory bound. At 100 TB the same plan holds as long as a
+single key's rows fit one worker; a hotter key would need the salted
+split used by the flagship shuffle (stages/keys.py).
+
+Column names match the paired SQL oracles exactly; raw ``value``
+columns are carried through un-rounded (no summation-order
+nondeterminism), and only order-dependent float SUMS are rounded on
+both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+US_PER_HOUR = 3_600_000_000
+
+
+def _events(sf_dir: str, columns: list[str], flt=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns, filter=flt)
+
+
+def _sorted_group(g: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(order, ts_us_sorted, event_id_sorted) for one key's rows, in the
+    deterministic (ts, event_id) order every oracle uses."""
+    ts = g.column("ts").cast(pa.int64()).to_numpy()
+    eid = g.column("event_id").to_numpy()
+    order = np.lexsort((eid, ts))
+    return order, ts[order], eid[order]
+
+
+def asof_join_events(sf_dir: str) -> "ray.data.Dataset":
+    """As-of join (most-recent-prior match), the classic trades⋈quotes
+    temporal join: each ``purchase`` event picks up the value of the
+    latest ``view`` event of the SAME user at-or-before it in
+    (ts, event_id) order.
+
+    Plan: one pruned + predicate-pushed read of the two event streams,
+    one hash shuffle on user_id, then a per-group vectorized sorted
+    merge (forward-fill of view indices via ``np.maximum.accumulate``)
+    — no row loops, no driver materialization. The SQL oracle spells
+    the identical semantics with ``last_value(... IGNORE NULLS)`` over
+    the same window order, which keeps the engine/oracle tie-breaking
+    bit-identical (plain SQL ``ASOF JOIN`` leaves equal-timestamp ties
+    implementation-defined, so we pin the order explicitly).
+    """
+
+    def merge(g: pa.Table) -> pa.Table:
+        order, ts_s, eid_s = _sorted_group(g)
+        etype = np.asarray(g.column("event_type").to_pylist())[order]
+        val_s = g.column("value").to_numpy()[order]
+        n = len(ts_s)
+        is_view = etype == "view"
+        # forward-fill: index of the latest view row at-or-before each row
+        src = np.where(is_view, np.arange(n), -1)
+        last_view = np.maximum.accumulate(src)
+        take = ~is_view  # the purchase rows (read is filtered to the 2 types)
+        lv = last_view[take]
+        has = lv >= 0
+        lv_safe = np.where(has, lv, 0)
+        user = g.column("user_id")[0].as_py()
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s[take], pa.int64()),
+                "user_id": pa.array(np.full(int(take.sum()), user), pa.int64()),
+                "ts": pa.array(ts_s[take], pa.int64()).cast(pa.timestamp("us")),
+                "last_view_ts": pa.array(ts_s[lv_safe], pa.int64(), mask=~has).cast(pa.timestamp("us")),
+                "last_view_value": pa.array(val_s[lv_safe], pa.float64(), mask=~has),
+            }
+        )
+
+    ds = _events(
+        sf_dir,
+        ["event_id", "user_id", "ts", "event_type", "value"],
+        flt=pc.field("event_type").isin(["purchase", "view"]),
+    )
+    return ds.groupby("user_id").map_groups(merge, batch_format="pyarrow")
+
+
+ASOF_JOIN_EVENTS_SQL = """
+WITH s AS (
+  SELECT event_id, user_id, ts, value, event_type
+  FROM events WHERE event_type IN ('purchase', 'view')
+), w AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_value,
+         max(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_ts
+  FROM s
+)
+SELECT event_id, user_id, ts, last_view_ts, last_view_value
+FROM w WHERE event_type = 'purchase'
+"""
+
+
+def events_rolling(sf_dir: str) -> "ray.data.Dataset":
+    """Trailing 1-hour range-window sum per user (SQL ``RANGE BETWEEN
+    INTERVAL 1 HOUR PRECEDING AND CURRENT ROW``): for every event, the
+    sum of the same user's values with ts in [ts-1h, ts] — INCLUDING
+    equal-ts peers, exactly as a RANGE frame does.
+
+    Per-group kernel: prefix sums + two ``np.searchsorted`` probes
+    (window start 'left', equal-ts peers 'right') — O(n log n) per
+    group, no Python loop. The float SUM is order-dependent, so it is
+    rounded to 2 decimals on both sides like every other sum oracle.
+    """
+
+    def roll(g: pa.Table) -> pa.Table:
+        order, ts_s, eid_s = _sorted_group(g)
+        val_s = g.column("value").to_numpy()[order]
+        csum = np.concatenate(([0.0], np.cumsum(val_s)))
+        lo = np.searchsorted(ts_s, ts_s - US_PER_HOUR, side="left")
+        hi = np.searchsorted(ts_s, ts_s, side="right")
+        user = g.column("user_id")[0].as_py()
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s, pa.int64()),
+                "user_id": pa.array(np.full(len(ts_s), user), pa.int64()),
+                "ts": pa.array(ts_s, pa.int64()).cast(pa.timestamp("us")),
+                "rolling_1h": pa.array(np.round(csum[hi] - csum[lo], 2), pa.float64()),
+            }
+        )
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    return ds.groupby("user_id").map_groups(roll, batch_format="pyarrow")
+
+
+EVENTS_ROLLING_SQL = """
+SELECT event_id, user_id, ts,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+             2) AS rolling_1h
+FROM events
+"""
+
+
+def _rank_in_runs(sorted_keys: np.ndarray) -> np.ndarray:
+    """0-based rank of each element within its run of equal keys
+    (input already sorted by key), vectorized via run-start
+    subtraction."""
+    n = len(sorted_keys)
+    is_start = np.ones(n, dtype=bool)
+    is_start[1:] = sorted_keys[1:] != sorted_keys[:-1]
+    starts = np.flatnonzero(is_start)
+    run_id = np.cumsum(is_start) - 1
+    return np.arange(n) - starts[run_id]
+
+
+def _topk_order_rank(uid: np.ndarray, val: np.ndarray, eid: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(sort order, 0-based within-user rank) for the deterministic
+    (value DESC, event_id ASC) per-user ordering — one lexsort, no
+    Python loop."""
+    order = np.lexsort((eid, -val, uid))
+    return order, _rank_in_runs(uid[order])
+
+
+def grouped_topk_events(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Per-key top-k (top-3 events by value per user) — the grouped
+    cousin of global O2 top-k. Two-level plan: each batch pre-cuts to
+    ≤k rows per user BEFORE the shuffle (the all-to-all moves at most
+    k × users × blocks rows, never the raw table), then one
+    ``groupby(user_id).map_groups`` selects the final k and assigns the
+    1-based rank. Tie-break (value DESC, event_id ASC) matches the
+    oracle's ``row_number() OVER`` exactly."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy()
+        val = t.column("value").to_numpy()
+        eid = t.column("event_id").to_numpy()
+        order, rank = _topk_order_rank(uid, val, eid)
+        idx = order[rank < k]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[idx], pa.int64()),
+                "event_id": pa.array(eid[idx], pa.int64()),
+                "value": pa.array(val[idx], pa.float64()),
+            }
+        )
+
+    def final(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy()
+        val = g.column("value").to_numpy()
+        eid = g.column("event_id").to_numpy()
+        order, rank = _topk_order_rank(uid, val, eid)
+        keep = rank < k
+        idx = order[keep]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[idx], pa.int64()),
+                "event_id": pa.array(eid[idx], pa.int64()),
+                "value": pa.array(val[idx], pa.float64()),
+                "rn": pa.array(rank[keep] + 1, pa.int64()),
+            }
+        )
+
+    ds = _events(sf_dir, ["event_id", "user_id", "value"])
+    ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby("user_id").map_groups(final, batch_format="pyarrow")
+
+
+GROUPED_TOPK_EVENTS_SQL = """
+SELECT user_id, event_id, value, rn FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
+def user_value_quantiles(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user exact median and p90 of event value. One shuffle on
+    user_id, then ``np.quantile(method='inverted_cdf')`` per group —
+    DISCRETE quantiles (element selection, verified identical to SQL
+    ``quantile_disc`` across parities), deliberately not interpolated:
+    ``quantile_cont`` midpoints of 2-decimal values land exactly on
+    round-half boundaries where Python (half-even) and DuckDB
+    (half-away) disagree, so an interpolated oracle pair is
+    hash-unstable by construction. Element selection returns a stored
+    double bit-identically on both sides and needs no rounding.
+
+    Scale note: exact per-key quantiles hold whenever one key's rows
+    fit a worker (true for per-user/per-doc keys). For LOW-cardinality
+    keys at 100 TB (e.g. 5 event_types over 10^12 rows) the exact path
+    would sort a whole key on one node; the scale path there is a
+    bounded-memory histogram/t-digest partial pre-agg — same pattern as
+    lineitem_agg's partial sums — at the cost of approximation.
+    """
+
+    def q(g: pa.Table) -> pa.Table:
+        val = g.column("value").to_numpy()
+        user = g.column("user_id")[0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array([user], pa.int64()),
+                "median_value": pa.array([float(np.quantile(val, 0.5, method="inverted_cdf"))], pa.float64()),
+                "p90_value": pa.array([float(np.quantile(val, 0.9, method="inverted_cdf"))], pa.float64()),
+            }
+        )
+
+    ds = _events(sf_dir, ["user_id", "value"])
+    return ds.groupby("user_id").map_groups(q, batch_format="pyarrow")
+
+
+USER_VALUE_QUANTILES_SQL = """
+SELECT user_id,
+       quantile_disc(value, 0.5) AS median_value,
+       quantile_disc(value, 0.9) AS p90_value
+FROM events GROUP BY user_id
+"""

@@ -190,6 +190,11 @@ def run_bench() -> dict:
         "hash_join_revenue",
         "q5_region_revenue",
         "part_brand_revenue",
+        "anti_join_customers",
+        "asof_join_events",
+        "events_rolling",
+        "grouped_topk_events",
+        "user_value_quantiles",
         "json_props_sum",
         "normalize_ws",
         "token_count",

@@ -61,7 +61,11 @@ def test_query_matches_oracle(name):
     assert len(got) == len(exp), (len(got), len(exp))
     for c in got.columns:
         if pd.api.types.is_float_dtype(exp[c]):
-            assert np.allclose(got[c].to_numpy(dtype=float), exp[c].to_numpy(dtype=float), rtol=0, atol=1e-9), c
+            # equal_nan: a NULL on both sides (e.g. as-of join with no
+            # prior match) is a MATCH, as in the DuckDB comparison
+            assert np.allclose(
+                got[c].to_numpy(dtype=float), exp[c].to_numpy(dtype=float), rtol=0, atol=1e-9, equal_nan=True
+            ), c
         else:
             assert got[c].tolist() == exp[c].tolist(), c
 

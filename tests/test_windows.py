@@ -1,0 +1,167 @@
+"""Edge cases for the ordered per-key operators in pipelines/windows.py
+(as-of join, rolling range window, grouped top-k, discrete quantiles).
+The happy path vs DuckDB is covered by test_driver_contract; these pin
+the corner semantics a SQL diff would only hit by luck: no-prior-match
+nulls, equal-timestamp peers in a RANGE frame, ties at the top-k
+boundary, and the inverted_cdf == quantile_disc convention."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from bank_statement_pdf_parser_ray.pipelines.windows import (
+    _rank_in_runs,
+    _topk_order_rank,
+)
+
+
+def _events_table(rows):
+    """rows: (event_id, user_id, ts_us, event_type, value)"""
+    eid, uid, ts, et, val = zip(*rows)
+    return pa.table(
+        {
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "event_type": pa.array(et, pa.string()),
+            "value": pa.array(val, pa.float64()),
+        }
+    )
+
+
+def _write_events(tmp_path, rows):
+    import pyarrow.parquet as pq
+
+    t = _events_table(rows)
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+class TestAsofJoin:
+    def test_no_prior_view_is_null_and_equal_ts_included(self, tmp_path):
+        from bank_statement_pdf_parser_ray.pipelines.windows import asof_join_events
+
+        H = 3_600_000_000
+        rows = [
+            # user 1: purchase BEFORE any view -> nulls
+            (1, 1, 0 * H, "purchase", 5.0),
+            (2, 1, 1 * H, "view", 10.0),
+            # equal-ts view with SMALLER event_id sorts before the purchase
+            (4, 1, 2 * H, "purchase", 6.0),
+            (3, 1, 2 * H, "view", 20.0),
+            # later view must not leak backwards
+            (5, 1, 3 * H, "view", 30.0),
+            # clicks are filtered out entirely
+            (6, 1, 2 * H, "click", 99.0),
+            # user 2: independent history
+            (7, 2, 5 * H, "view", 1.5),
+            (8, 2, 6 * H, "purchase", 2.0),
+        ]
+        sf = _write_events(tmp_path, rows)
+        out = asof_join_events(sf).to_pandas().sort_values("event_id").reset_index(drop=True)
+        assert out["event_id"].tolist() == [1, 4, 8]
+        assert np.isnan(out["last_view_value"][0])
+        assert out["last_view_ts"].isna()[0]
+        assert out["last_view_value"][1] == 20.0  # equal-ts, lower-eid view counts
+        assert out["last_view_value"][2] == 1.5
+
+
+class TestRolling:
+    def test_range_frame_includes_equal_ts_peers(self, tmp_path):
+        from bank_statement_pdf_parser_ray.pipelines.windows import events_rolling
+
+        H = 3_600_000_000
+        rows = [
+            (1, 1, 0, "view", 1.0),
+            (2, 1, H // 2, "view", 2.0),
+            # two events at the SAME ts: each must see the other (RANGE peers)
+            (3, 1, H, "view", 4.0),
+            (4, 1, H, "view", 8.0),
+            # exactly 1h after t=H/2: window [t-1h, t] is CLOSED on the left
+            (5, 1, H + H // 2, "view", 16.0),
+        ]
+        sf = _write_events(tmp_path, rows)
+        out = events_rolling(sf).to_pandas().sort_values("event_id")
+        got = dict(zip(out["event_id"], out["rolling_1h"]))
+        assert got[1] == 1.0
+        assert got[2] == 3.0
+        assert got[3] == 15.0  # 1+2+4+8: peer at same ts included
+        assert got[4] == 15.0
+        assert got[5] == 30.0  # 2+4+8+16: event at exactly ts-1h included
+
+    def test_old_events_fall_out(self, tmp_path):
+        from bank_statement_pdf_parser_ray.pipelines.windows import events_rolling
+
+        H = 3_600_000_000
+        rows = [(1, 7, 0, "view", 100.0), (2, 7, 2 * H, "view", 1.0)]
+        sf = _write_events(tmp_path, rows)
+        out = events_rolling(sf).to_pandas().sort_values("event_id")
+        assert out["rolling_1h"].tolist() == [100.0, 1.0]
+
+
+class TestGroupedTopk:
+    def test_value_ties_break_by_event_id(self, tmp_path):
+        from bank_statement_pdf_parser_ray.pipelines.windows import grouped_topk_events
+
+        rows = [
+            (10, 1, 0, "view", 5.0),
+            (11, 1, 1, "view", 5.0),
+            (12, 1, 2, "view", 5.0),
+            (13, 1, 3, "view", 5.0),  # tied 4th: must lose to lower event_ids
+            (20, 2, 0, "view", 1.0),  # group smaller than k kept whole
+        ]
+        sf = _write_events(tmp_path, rows)
+        out = grouped_topk_events(sf, k=3).to_pandas().sort_values(["user_id", "rn"])
+        u1 = out[out["user_id"] == 1]
+        assert u1["event_id"].tolist() == [10, 11, 12]
+        assert u1["rn"].tolist() == [1, 2, 3]
+        assert out[out["user_id"] == 2]["rn"].tolist() == [1]
+
+    def test_partial_cut_agrees_with_global(self, tmp_path):
+        """Many small blocks (partial pre-cut per block) must give the
+        same answer as one block."""
+        from bank_statement_pdf_parser_ray.pipelines.windows import grouped_topk_events
+
+        rng = np.random.default_rng(7)
+        rows = [
+            (int(i), int(rng.integers(0, 5)), int(i), "view", float(rng.integers(0, 20)))
+            for i in range(200)
+        ]
+        sf = _write_events(tmp_path, rows)
+        out = grouped_topk_events(sf, k=3).to_pandas()
+        # oracle in numpy over the full table
+        eid = np.array([r[0] for r in rows])
+        uid = np.array([r[1] for r in rows])
+        val = np.array([r[4] for r in rows])
+        order, rank = _topk_order_rank(uid, val, eid)
+        keep = rank < 3
+        exp = sorted(zip(uid[order][keep], eid[order][keep], rank[keep] + 1))
+        got = sorted(zip(out["user_id"], out["event_id"], out["rn"]))
+        assert got == exp
+
+
+class TestRankInRuns:
+    def test_basic(self):
+        assert _rank_in_runs(np.array([1, 1, 1, 4, 4, 9])).tolist() == [0, 1, 2, 0, 1, 0]
+
+    def test_single_run(self):
+        assert _rank_in_runs(np.array([3, 3, 3])).tolist() == [0, 1, 2]
+
+
+class TestQuantiles:
+    @pytest.mark.parametrize("n", [1, 2, 3, 4, 10, 11])
+    def test_inverted_cdf_matches_quantile_disc(self, n):
+        import duckdb
+
+        rng = np.random.default_rng(n)
+        vals = np.round(rng.uniform(0, 100, n), 2)
+        con = duckdb.connect()
+        vlist = ",".join(f"(CAST({v} AS DOUBLE))" for v in vals)
+        for q in (0.5, 0.9):
+            exp = con.sql(f"SELECT quantile_disc(x,{q}) FROM (VALUES {vlist}) t(x)").fetchone()[0]
+            got = float(np.quantile(vals, q, method="inverted_cdf"))
+            assert got == exp, (n, q)
+        con.close()
