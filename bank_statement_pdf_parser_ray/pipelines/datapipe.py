@@ -119,11 +119,17 @@ _BPE_ISH_RX = re.compile(r"[A-Za-z]+|\d{1,3}|[^\t\n\f\r A-Za-z\d]", re.ASCII)
 
 def token_count_bpe(sf_dir: str) -> "ray.data.Dataset":
     """BPE-ish token counting (letters runs / short digit runs / single
-    punctuation — the usual pre-tokenizer shape). Rows-only check."""
+    punctuation — the usual pre-tokenizer shape), oracle-paired.
+
+    Vectorized: one ``pc.count_substring_regex`` RE2 scan per batch —
+    no per-string Python loop. RE2 semantics equal the DuckDB oracle's
+    (same engine) AND the Python ``_BPE_ISH_RX`` used by the property
+    fuzzer: the character class spells out ``[\\t\\n\\f\\r ]`` instead
+    of ``\\s``, the one place ASCII-mode Python and RE2 diverge."""
 
     def f(t: pa.Table) -> pa.Table:
-        n = [len(_BPE_ISH_RX.findall(s)) for s in t.column("text").to_pylist()]
-        return pa.table({"doc_id": t.column("doc_id"), "n_bpe_tokens": pa.array(n, pa.int64())})
+        n = pc.count_substring_regex(t.column("text"), pattern=_BPE_ISH_RX.pattern)
+        return pa.table({"doc_id": t.column("doc_id"), "n_bpe_tokens": pc.cast(n, pa.int64())})
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -861,6 +867,23 @@ WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
 
+def _list_matrix(col) -> np.ndarray:
+    """``list<float>`` column -> (n, dim) float64 matrix WITHOUT the
+    Python-object round-trip a ``to_pylist()`` would take: the flatten
+    stays in Arrow (zero-copy view of the values buffer), then one
+    reshape and one dtype cast. Ragged rows (never produced by the
+    embeddings table, but legal Arrow) fall back to the object path."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+    if len(lens) == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    dim = int(lens[0])
+    if (lens == dim).all():
+        flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False)
+        return flat.reshape(len(lens), dim).astype(np.float64, copy=False)
+    return np.array(arr.to_pylist(), dtype=np.float64)
+
+
 def _query_matrix(sf_dir: str, query_ids: tuple[int, ...]) -> tuple[np.ndarray, list[int]]:
     import pyarrow.dataset as pads
 
@@ -869,15 +892,15 @@ def _query_matrix(sf_dir: str, query_ids: tuple[int, ...]) -> tuple[np.ndarray, 
         .to_table(columns=["vec_id", "embedding"], filter=pc.field("vec_id").isin(list(query_ids)))
     )
     ids = t.column("vec_id").to_pylist()
-    q = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    q = _list_matrix(t.column("embedding"))
     q /= np.linalg.norm(q, axis=1, keepdims=True)
     return q, ids
 
 
 def _batch_vectors(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     """(vec_ids, unit-normalized embedding matrix) for one Arrow batch."""
-    vec_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-    m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    vec_ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    m = _list_matrix(t.column("embedding"))
     m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
     return vec_ids, m
 
@@ -1039,7 +1062,7 @@ def _fit_centroids_sample(sf_dir: str, n_centroids: int, sample: int = 2048, ite
         pads.dataset(f"{sf_dir}/embeddings.parquet")
         .to_table(columns=["embedding"], filter=pc.field("vec_id") < sample)
     )
-    x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    x = _list_matrix(t.column("embedding"))
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
     rng = np.random.RandomState(99)
     cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
@@ -1181,15 +1204,15 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.4) -> "ray.data.Dataset"
     import pyarrow.dataset as pads
 
     t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(columns=["vec_id", "embedding"])
-    all_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-    m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    all_ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    m = _list_matrix(t.column("embedding"))
     m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
     ref = ray.put((all_ids, m))
 
     def pairs(batch: pa.Table) -> pa.Table:
         ids_all, mat = ray.get(ref)
-        b_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        b = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        b_ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        b = _list_matrix(batch.column("embedding"))
         b /= np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-30)
         sims = b @ mat.T
         bi, aj = np.nonzero(sims >= threshold)
@@ -1233,7 +1256,7 @@ class _CosineVerifier:
             columns=["vec_id", "embedding"], filter=pc.field("vec_id").isin(need)
         )
         ids = got.column("vec_id").to_pylist()
-        m = np.array(got.column("embedding").to_pylist(), dtype=np.float64)
+        m = _list_matrix(got.column("embedding"))
         m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
         pos = {v: i for i, v in enumerate(ids)}
         ai = np.array([pos[a] for a in a_ids], dtype=np.int64)
@@ -1298,8 +1321,8 @@ def embedding_neardup_lsh(
 
     def signatures(t: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)  # (T, P, D)
-        vec_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-        m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        vec_ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        m = _list_matrix(t.column("embedding"))
         m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
         # (n, T, P) sign bits -> (n, T) packed signatures
         bits = (np.einsum("nd,tpd->ntp", m, pl) > 0).astype(np.int64)
