@@ -184,6 +184,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": w.events_rolling,
         "grouped_topk_events": w.grouped_topk_events,
         "user_value_quantiles": w.user_value_quantiles,
+        "events_pivot": q.events_pivot,
+        "events_stats": q.events_stats,
         "sample_documents": q.sample_documents,
         "distinct_langs": q.distinct_langs,
         "json_props_sum": q.json_props_sum,
@@ -228,6 +230,8 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling": w.EVENTS_ROLLING_SQL,
         "grouped_topk_events": w.GROUPED_TOPK_EVENTS_SQL,
         "user_value_quantiles": w.USER_VALUE_QUANTILES_SQL,
+        "events_pivot": q.EVENTS_PIVOT_SQL,
+        "events_stats": q.EVENTS_STATS_SQL,
         "lineitem_agg": q.LINEITEM_AGG_SQL,
         "filter_highvalue": q.FILTER_HIGHVALUE_SQL,
         "topk_users": q.TOPK_USERS_SQL,

@@ -526,3 +526,103 @@ WHERE NOT EXISTS (
   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
 )
 """
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(sf_dir: str) -> pd.DataFrame:
+    """Pivot / one-hot aggregate (feature-engineering shape): per user,
+    the count of each event_type as its own column. Pure partial
+    pre-aggregation — each batch collapses to one row per in-batch user
+    BEFORE the shuffle, then one small groupby sums the partials, so
+    the exchange moves O(users x blocks) short int rows. Integer sums:
+    bit-exact vs the CASE-WHEN SQL oracle."""
+    from ray.data.aggregate import Sum
+
+    cols = [f"n_{k}" for k in _EVENT_TYPES]
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        tbl = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                **{f"n_{k}": pc.cast(pc.equal(et, k), pa.int64()) for k in _EVENT_TYPES},
+            }
+        )
+        g = pa.TableGroupBy(tbl, ["user_id"]).aggregate([(c, "sum") for c in cols])
+        return g.rename_columns(["user_id", *cols])
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.groupby("user_id").aggregate(*[Sum(c, alias_name=c) for c in cols]).to_pandas()
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+EVENTS_PIVOT_SQL = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+def events_stats(sf_dir: str) -> pd.DataFrame:
+    """Distributed second-moment statistics per event_type: n, mean,
+    sample stddev — computed from partial (n, Σv, Σv²) sums combined
+    per batch before the shuffle, the classic one-pass distributed
+    moments pattern (vs the oracle's streaming stddev_samp; both
+    rounded to 6 decimals, far above the ~1e-10 moment-cancellation
+    noise at this value range)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value")
+        tbl = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "v": v,
+                "v2": pc.multiply(v, v),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+        g = pa.TableGroupBy(tbl, ["event_type"]).aggregate(
+            [("v", "sum"), ("v2", "sum"), ("one", "sum")]
+        )
+        return g.rename_columns(["event_type", "p_v", "p_v2", "p_n"])
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = (
+        ds.groupby("event_type")
+        .aggregate(Sum("p_v", alias_name="s_v"), Sum("p_v2", alias_name="s_v2"), Sum("p_n", alias_name="n"))
+        .to_pandas()
+    )
+    n = out["n"].to_numpy(dtype=float)
+    sv = out["s_v"].to_numpy(dtype=float)
+    sv2 = out["s_v2"].to_numpy(dtype=float)
+    mean = sv / n
+    var = np.maximum(sv2 - sv * sv / n, 0.0) / np.maximum(n - 1, 1)
+    res = pd.DataFrame(
+        {
+            "event_type": out["event_type"],
+            "n": out["n"].astype("int64"),
+            "avg_value": np.round(mean, 6),
+            "stddev_value": np.round(np.sqrt(var), 6),
+        }
+    )
+    return res
+
+
+EVENTS_STATS_SQL = """
+SELECT event_type,
+       count(*)                        AS n,
+       round(avg(value), 6)            AS avg_value,
+       round(stddev_samp(value), 6)    AS stddev_value
+FROM events GROUP BY event_type
+"""

@@ -195,6 +195,8 @@ def run_bench() -> dict:
         "events_rolling",
         "grouped_topk_events",
         "user_value_quantiles",
+        "events_pivot",
+        "events_stats",
         "json_props_sum",
         "normalize_ws",
         "token_count",
