@@ -871,17 +871,20 @@ def _list_matrix(col) -> np.ndarray:
     """``list<float>`` column -> (n, dim) float64 matrix WITHOUT the
     Python-object round-trip a ``to_pylist()`` would take: the flatten
     stays in Arrow (zero-copy view of the values buffer), then one
-    reshape and one dtype cast. Ragged rows (never produced by the
-    embeddings table, but legal Arrow) fall back to the object path."""
+    reshape and one dtype cast. Null or ragged rows cannot form a
+    matrix at all (the old object path raised an opaque numpy error on
+    them), so they are rejected explicitly."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
-    if len(lens) == 0:
+    if len(arr) == 0:
         return np.empty((0, 0), dtype=np.float64)
+    if arr.null_count:
+        raise ValueError("embedding column contains null rows; a vector matrix needs one fixed-dim list per row")
+    lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
     dim = int(lens[0])
-    if (lens == dim).all():
-        flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False)
-        return flat.reshape(len(lens), dim).astype(np.float64, copy=False)
-    return np.array(arr.to_pylist(), dtype=np.float64)
+    if not (lens == dim).all():
+        raise ValueError(f"embedding column is ragged (lengths {sorted(set(lens.tolist()))[:5]}...); expected fixed dim {dim}")
+    flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False)
+    return flat.reshape(len(lens), dim).astype(np.float64, copy=False)
 
 
 def _query_matrix(sf_dir: str, query_ids: tuple[int, ...]) -> tuple[np.ndarray, list[int]]:

@@ -470,51 +470,64 @@ GROUP BY p_brand
 
 
 def anti_join_customers(sf_dir: str, threshold: float = 400_000.0) -> pd.DataFrame:
-    """Distributed ANTI join (SURVEY.md §2.4 J2 family): customers with
-    NO order above `threshold`. Non-trivial on the shared tables (FK
+    """Distributed ANTI join (SURVEY.md §2.4 J4): customers with NO
+    order above `threshold`. Non-trivial on the shared tables (FK
     integrity makes a plain no-orders anti join empty).
 
-    Scale shape: the probe side is first collapsed to DISTINCT matching
-    keys with a partial per-batch unique BEFORE the shuffle (the
-    exchange moves at most |distinct keys| x blocks int64s, never raw
-    orders), then a hash-partitioned ``Dataset.join(left_outer)``
-    co-locates customer rows with their key and a vectorized null-mask
-    drops the matches. No driver-side key set, no broadcast — both
-    sides stream, so the plan survives a probe side whose distinct keys
-    don't fit one machine (where the broadcast_join pattern would
-    not)."""
-    from ray.data.aggregate import Count
+    Scale shape — cogroup, not Dataset.join: the probe side collapses
+    to DISTINCT matching keys per batch BEFORE the shuffle (the
+    exchange moves int64 keys, never raw orders), both sides are tagged
+    and unioned, and ONE hash shuffle co-locates each key's customer
+    rows with any probe row; a vectorized per-group mask drops matched
+    keys. No driver-side key set, no broadcast — both sides stream, so
+    the plan survives a probe side whose distinct keys don't fit one
+    machine (where the broadcast_join pattern would not). The cogroup
+    also sidesteps a Dataset.join degeneracy: an ALL-EMPTY aggregated
+    side yields schema-less blocks that Arrow's hash join rejects
+    (ArrowInvalid on the key FieldRef) instead of returning all
+    left rows — found by probing the zero-match case."""
 
-    def matching_keys(t: pa.Table) -> pa.Table:
+    def probe_keys(t: pa.Table) -> pa.Table:
         keep = pc.greater(t.column("o_totalprice"), pa.scalar(threshold))
         keys = pc.unique(pc.filter(t.column("o_custkey"), keep))
-        return pa.table({"o_custkey": keys})
-
-    probe = (
-        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(matching_keys, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("o_custkey")
-        .aggregate(Count(alias_name="n_match"))
-    )
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    joined = cust.join(
-        probe,
-        join_type="left_outer",
-        num_partitions=8,
-        on=("c_custkey",),
-        right_on=("o_custkey",),
-    )
-
-    def keep_unmatched(t: pa.Table) -> pa.Table:
-        mask = pc.is_null(t.column("n_match"))
+        n = len(keys)
         return pa.table(
             {
-                "c_custkey": pc.filter(t.column("c_custkey"), mask),
-                "c_mktsegment": pc.filter(t.column("c_mktsegment"), mask),
+                "c_custkey": keys,
+                "c_mktsegment": pa.nulls(n, pa.string()),
+                "is_probe": pa.array(np.ones(n, dtype=bool)),
             }
         )
 
-    out = joined.map_batches(keep_unmatched, batch_format="pyarrow").to_pandas()
+    def cust_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "c_mktsegment": t.column("c_mktsegment"),
+                "is_probe": pa.array(np.zeros(t.num_rows, dtype=bool)),
+            }
+        )
+
+    probe = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        probe_keys, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        cust_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def keep_unmatched(g: pa.Table) -> pa.Table:
+        if pc.any(g.column("is_probe")).as_py():
+            return pa.table(
+                {"c_custkey": pa.array([], pa.int64()), "c_mktsegment": pa.array([], pa.string())}
+            )
+        return g.select(["c_custkey", "c_mktsegment"])
+
+    out = (
+        cust.union(probe)
+        .groupby("c_custkey")
+        .map_groups(keep_unmatched, batch_format="pyarrow")
+        .to_pandas()
+    )
     return out
 
 
@@ -607,7 +620,10 @@ def events_stats(sf_dir: str) -> pd.DataFrame:
     sv = out["s_v"].to_numpy(dtype=float)
     sv2 = out["s_v2"].to_numpy(dtype=float)
     mean = sv / n
-    var = np.maximum(sv2 - sv * sv / n, 0.0) / np.maximum(n - 1, 1)
+    # stddev_samp of a single row is NULL (NaN here), not 0 — the
+    # np.maximum(n-1, 1) only guards the divide, the where supplies
+    # the SQL semantics
+    var = np.where(n > 1, np.maximum(sv2 - sv * sv / n, 0.0) / np.maximum(n - 1, 1), np.nan)
     res = pd.DataFrame(
         {
             "event_type": out["event_type"],

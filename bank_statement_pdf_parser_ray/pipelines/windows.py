@@ -62,14 +62,21 @@ def asof_join_events(sf_dir: str) -> "ray.data.Dataset":
 
     def merge(g: pa.Table) -> pa.Table:
         order, ts_s, eid_s = _sorted_group(g)
-        etype = np.asarray(g.column("event_type").to_pylist())[order]
-        val_s = g.column("value").to_numpy()[order]
+        is_view_col = pc.and_(
+            pc.equal(g.column("event_type"), "view"), pc.is_valid(g.column("value"))
+        )
+        val_s = g.column("value").to_numpy(zero_copy_only=False)[order]
         n = len(ts_s)
-        is_view = etype == "view"
-        # forward-fill: index of the latest view row at-or-before each row
+        # Arrow-native mask (no per-row string objects); NULL-valued
+        # views are NOT matches — mirroring the oracle, which skips
+        # them for both the value (IGNORE NULLS) and the timestamp
+        is_view = is_view_col.to_numpy(zero_copy_only=False)[order]
+        # forward-fill: index of the latest matching view at-or-before each row
         src = np.where(is_view, np.arange(n), -1)
         last_view = np.maximum.accumulate(src)
-        take = ~is_view  # the purchase rows (read is filtered to the 2 types)
+        # explicit purchase mask — NOT ~is_view, which would sweep in
+        # null-valued view rows excluded from the match mask above
+        take = pc.equal(g.column("event_type"), "purchase").to_numpy(zero_copy_only=False)[order]
         lv = last_view[take]
         has = lv >= 0
         lv_safe = np.where(has, lv, 0)
@@ -101,7 +108,7 @@ WITH s AS (
          last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_value,
-         max(CASE WHEN event_type = 'view' THEN ts END)
+         max(CASE WHEN event_type = 'view' AND value IS NOT NULL THEN ts END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_ts
   FROM s
@@ -181,35 +188,27 @@ def grouped_topk_events(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
     1-based rank. Tie-break (value DESC, event_id ASC) matches the
     oracle's ``row_number() OVER`` exactly."""
 
-    def partial(t: pa.Table) -> pa.Table:
+    def cut(t: pa.Table, with_rank: bool) -> pa.Table:
         uid = t.column("user_id").to_numpy()
         val = t.column("value").to_numpy()
         eid = t.column("event_id").to_numpy()
         order, rank = _topk_order_rank(uid, val, eid)
-        idx = order[rank < k]
-        return pa.table(
-            {
-                "user_id": pa.array(uid[idx], pa.int64()),
-                "event_id": pa.array(eid[idx], pa.int64()),
-                "value": pa.array(val[idx], pa.float64()),
-            }
-        )
-
-    def final(g: pa.Table) -> pa.Table:
-        uid = g.column("user_id").to_numpy()
-        val = g.column("value").to_numpy()
-        eid = g.column("event_id").to_numpy()
-        order, rank = _topk_order_rank(uid, val, eid)
         keep = rank < k
         idx = order[keep]
-        return pa.table(
-            {
-                "user_id": pa.array(uid[idx], pa.int64()),
-                "event_id": pa.array(eid[idx], pa.int64()),
-                "value": pa.array(val[idx], pa.float64()),
-                "rn": pa.array(rank[keep] + 1, pa.int64()),
-            }
-        )
+        cols = {
+            "user_id": pa.array(uid[idx], pa.int64()),
+            "event_id": pa.array(eid[idx], pa.int64()),
+            "value": pa.array(val[idx], pa.float64()),
+        }
+        if with_rank:
+            cols["rn"] = pa.array(rank[keep] + 1, pa.int64())
+        return pa.table(cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return cut(t, with_rank=False)
+
+    def final(g: pa.Table) -> pa.Table:
+        return cut(g, with_rank=True)
 
     ds = _events(sf_dir, ["event_id", "user_id", "value"])
     ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)

@@ -165,3 +165,85 @@ class TestQuantiles:
             got = float(np.quantile(vals, q, method="inverted_cdf"))
             assert got == exp, (n, q)
         con.close()
+
+
+class TestAsofNullViews:
+    def test_null_valued_view_is_not_a_match(self, tmp_path):
+        """A view row with NULL value must be skipped (oracle IGNORE
+        NULLS semantics), falling back to the previous non-null view."""
+        from bank_statement_pdf_parser_ray.pipelines.windows import asof_join_events
+        import pyarrow.parquet as pq
+
+        H = 3_600_000_000
+        t = pa.table(
+            {
+                "event_id": pa.array([1, 2, 3], pa.int64()),
+                "user_id": pa.array([1, 1, 1], pa.int64()),
+                "ts": pa.array([0, H, 2 * H], pa.int64()).cast(pa.timestamp("us")),
+                "event_type": pa.array(["view", "view", "purchase"]),
+                "value": pa.array([7.0, None, 1.0], pa.float64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = asof_join_events(str(tmp_path)).to_pandas()
+        assert out["last_view_value"].tolist() == [7.0]
+        assert out["last_view_ts"].astype("int64").tolist() == [0]
+
+
+class TestAntiJoinEmptyProbe:
+    def test_no_matching_orders_returns_all_customers(self, tmp_path):
+        """Zero orders above the threshold must yield EVERY customer —
+        the Dataset.join formulation crashed here (schema-less empty
+        aggregate blocks -> ArrowInvalid); the cogroup one must not."""
+        import pyarrow.parquet as pq
+
+        from bank_statement_pdf_parser_ray.pipelines.queries import anti_join_customers
+
+        pq.write_table(
+            pa.table({"o_custkey": pa.array([1, 2], pa.int64()), "o_totalprice": pa.array([10.0, 20.0])}),
+            str(tmp_path / "orders.parquet"),
+        )
+        pq.write_table(
+            pa.table({"c_custkey": pa.array([1, 2, 3], pa.int64()), "c_mktsegment": pa.array(["A", "B", "C"])}),
+            str(tmp_path / "customer.parquet"),
+        )
+        out = anti_join_customers(str(tmp_path))
+        assert sorted(out["c_custkey"].tolist()) == [1, 2, 3]
+
+
+class TestStatsSingleRowGroup:
+    def test_stddev_of_one_row_is_null(self, tmp_path):
+        """stddev_samp(n=1) is NULL in SQL — the engine must emit NaN,
+        not 0.0."""
+        import pyarrow.parquet as pq
+
+        from bank_statement_pdf_parser_ray.pipelines.queries import events_stats
+
+        t = pa.table(
+            {
+                "event_type": pa.array(["click", "view", "view"]),
+                "value": pa.array([5.0, 1.0, 3.0], pa.float64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = events_stats(str(tmp_path)).set_index("event_type")
+        assert np.isnan(out.loc["click", "stddev_value"])
+        assert out.loc["view", "stddev_value"] == np.round(np.std([1.0, 3.0], ddof=1), 6)
+
+
+class TestListMatrix:
+    def test_rejects_null_and_ragged(self):
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import _list_matrix
+
+        ok = pa.chunked_array([pa.array([[1.0, 2.0], [3.0, 4.0]], pa.list_(pa.float32()))])
+        m = _list_matrix(ok)
+        assert m.shape == (2, 2) and m.dtype == np.float64
+        with pytest.raises(ValueError, match="null"):
+            _list_matrix(pa.chunked_array([pa.array([[1.0], None], pa.list_(pa.float32()))]))
+        with pytest.raises(ValueError, match="ragged"):
+            _list_matrix(pa.chunked_array([pa.array([[1.0], [1.0, 2.0]], pa.list_(pa.float32()))]))
+
+    def test_empty(self):
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import _list_matrix
+
+        assert _list_matrix(pa.chunked_array([pa.array([], pa.list_(pa.float32()))])).shape == (0, 0)
