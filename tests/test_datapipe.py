@@ -202,3 +202,36 @@ class TestMediaPlumbing:
         # deterministic fake decode: same text -> same feature
         f0 = out.set_index("media_id")["feature"]
         assert list(f0[0]) == list(f0[3])
+
+
+class TestLangId:
+    def test_classify_fixture_labels(self):
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import LangIdActor
+
+        c = LangIdActor()._classify
+        assert c("the cat and the dog is in that house for a while") == "en"
+        assert c("el perro y la casa de los niños que juegan con un globo") == "es"
+        assert c("le chien et la maison des enfants du village que nous aimons") == "fr"
+        assert c("der Hund und die Katze von dem Haus mit den Kindern ist ein") == "de"
+        assert c("这是中文文本") == "zh"
+
+    def test_never_silent_en(self):
+        """Zero stopword hits must be 'und', never a default 'en'."""
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import LangIdActor
+
+        c = LangIdActor()._classify
+        assert c("zzz qqq xxx lorem7 42") == "und"
+        assert c("") == "und"
+        assert c("12345 !!! ???") == "und"
+
+
+class TestSampling:
+    def test_seeded_sample_is_deterministic(self):
+        from bank_statement_pdf_parser_ray.pipelines.queries import sample_documents
+
+        sf = "/root/testdata/sf0.001"
+        a = sorted(sample_documents(sf).to_pandas()["doc_id"].tolist())
+        b = sorted(sample_documents(sf).to_pandas()["doc_id"].tolist())
+        assert a == b
+        n_docs = 600  # sf0.001 documents table
+        assert 0 < len(a) < n_docs
