@@ -47,8 +47,9 @@ def _sorted_group(g: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 def asof_join_events(sf_dir: str) -> "ray.data.Dataset":
     """As-of join (most-recent-prior match), the classic trades⋈quotes
     temporal join: each ``purchase`` event picks up the value of the
-    latest ``view`` event of the SAME user at-or-before it in
-    (ts, event_id) order.
+    latest non-NULL-valued ``view`` event of the SAME user at-or-before
+    it in (ts, event_id) order (a view whose value is NULL is no match
+    — on either side).
 
     Plan: one pruned + predicate-pushed read of the two event streams,
     one hash shuffle on user_id, then a per-group vectorized sorted
