@@ -187,6 +187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": q.events_pivot,
         "events_stats": q.events_stats,
         "sample_documents": q.sample_documents,
+        "stratified_sample": dp.stratified_sample_documents,
+        "approx_distinct_users": dp.approx_distinct_users,
         "distinct_langs": q.distinct_langs,
         "json_props_sum": q.json_props_sum,
         # text analysis
@@ -232,6 +234,7 @@ def oracle_sql() -> dict[str, str]:
         "user_value_quantiles": w.USER_VALUE_QUANTILES_SQL,
         "events_pivot": q.EVENTS_PIVOT_SQL,
         "events_stats": q.EVENTS_STATS_SQL,
+        "stratified_sample": dp.STRATIFIED_SAMPLE_SQL,
         "lineitem_agg": q.LINEITEM_AGG_SQL,
         "filter_highvalue": q.FILTER_HIGHVALUE_SQL,
         "topk_users": q.TOPK_USERS_SQL,

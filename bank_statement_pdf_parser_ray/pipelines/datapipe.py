@@ -1359,3 +1359,134 @@ def embedding_neardup_lsh(
         pa.table({"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())})
     )
     return empty.union(verified)
+
+
+# ---------------------------------------------------------------------------
+# approximate distinct count (HyperLogLog), fully distributed
+
+
+HLL_P = 12  # 2^12 = 4096 registers; standard error 1.04/sqrt(m) ~= 1.6%
+
+
+def _hll_registers(ids: np.ndarray, p: int = HLL_P) -> np.ndarray:
+    """One HyperLogLog register array (length 2^p, uint8) for a batch of
+    int64 keys — fully vectorized: splitmix64 avalanche, top-p bits pick
+    the register, rank = leading-zero count of the remaining bits + 1
+    (Flajolet et al. 2007, public algorithm)."""
+    x = ids.astype(np.uint64, copy=True)
+    # splitmix64 finalizer (public domain constant mix) — avalanche so
+    # sequential ids don't alias registers
+    x += np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    m = 1 << p
+    reg_idx = (x >> np.uint64(64 - p)).astype(np.int64)
+    rest = (x << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad low bits with 1s
+    # leading-zero count of `rest` via bit_length: rank = 64 - bit_length + 1
+    # (np.log2-free: count by successive shifts is slow; use the float trick
+    # safely only below 2^53, so compute via bit manipulation instead)
+    rank = np.zeros(len(x), dtype=np.uint8)
+    v = rest.copy()
+    # unrolled binary leading-zero count (6 steps for 64-bit)
+    for shift, bits in ((np.uint64(32), 32), (np.uint64(16), 16), (np.uint64(8), 8), (np.uint64(4), 4), (np.uint64(2), 2), (np.uint64(1), 1)):
+        mask = v < (np.uint64(1) << np.uint64(64 - bits))
+        rank[mask] += np.uint8(bits)
+        v[mask] = v[mask] << shift
+    rank += 1
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, reg_idx, rank)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    """Raw HLL estimate with the standard small-range (linear counting)
+    correction."""
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Approximate COUNT(DISTINCT user_id) over events via a distributed
+    HyperLogLog: each batch collapses to ONE 4096-register row, register
+    arrays merge by elementwise max through a groupby(register_id) —
+    the shuffle moves 4 KB per block regardless of input size, the
+    canonical sketch shape for 10^12-row cardinality estimation.
+    Rows-only in the driver check (approximate by construction); pytest
+    pins the relative error vs the exact count at <5%."""
+    from ray.data.aggregate import Max
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        regs = _hll_registers(ids)
+        return pa.table(
+            {
+                "register_id": pa.array(np.arange(len(regs), dtype=np.int32)),
+                "rank": pa.array(regs.astype(np.int32)),
+            }
+        )
+
+    merged = (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("register_id")
+        .aggregate(Max("rank", alias_name="rank"))
+        .to_pandas()
+    )
+    regs = np.zeros(1 << HLL_P, dtype=np.uint8)
+    regs[merged["register_id"].to_numpy()] = merged["rank"].to_numpy().astype(np.uint8)
+    return pd.DataFrame({"approx_distinct": [int(round(_hll_estimate(regs)))]})
+
+
+def stratified_sample_documents(sf_dir: str, per_stratum: int = 20) -> "ray.data.Dataset":
+    """Stratified DETERMINISTIC sampling: the `per_stratum` documents
+    with the smallest md5(doc_id) per language — a fixed-size sample
+    per stratum that is reproducible on ANY engine (md5 is md5), so
+    unlike RNG sampling it carries a real SQL oracle.
+
+    Same two-level shape as grouped top-k: each batch pre-cuts to
+    ≤per_stratum rows per in-batch lang BEFORE the shuffle, then one
+    groupby(lang) selects the final sample. The md5 loop is per-row
+    Python (no Arrow md5 kernel) but runs on ≤per_stratum × langs ×
+    blocks candidates after the first cut's own hashing — the raw
+    corpus never shuffles."""
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        return t.append_column("sample_key", pa.array(keys, pa.string()))
+
+    def cut(t: pa.Table) -> pa.Table:
+        lang = np.asarray(t.column("lang").to_pylist())
+        key = np.asarray(t.column("sample_key").to_pylist())
+        order = np.lexsort((key, lang))
+        n = len(order)
+        is_start = np.ones(n, dtype=bool)
+        ls = lang[order]
+        is_start[1:] = ls[1:] != ls[:-1]
+        starts = np.flatnonzero(is_start)
+        run_id = np.cumsum(is_start) - 1
+        rank = np.arange(n) - starts[run_id]
+        idx = order[rank < per_stratum]
+        return t.take(pa.array(np.sort(idx)))
+
+    ds = _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        add_key, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ds = ds.map_batches(cut, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.groupby("lang").map_groups(cut, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "lang", "sample_key"])
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang, sample_key FROM (
+  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS sample_key,
+         row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 20
+"""

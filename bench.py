@@ -197,6 +197,8 @@ def run_bench() -> dict:
         "user_value_quantiles",
         "events_pivot",
         "events_stats",
+        "stratified_sample",
+        "approx_distinct_users",
         "json_props_sum",
         "normalize_ws",
         "token_count",
@@ -237,6 +239,33 @@ def run_bench() -> dict:
     }
 
 
+def _burn(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i
+    return x
+
+
+def effective_cores(procs: int, n: int = 8_000_000) -> float:
+    """Achievable parallel speedup at `procs`-way parallelism on THIS
+    box right now, via a pure-CPU integer loop (no I/O, no Ray): the
+    hardware ceiling any pipeline measurement is bounded by. The
+    sandbox advertises 32 schedulable vCPUs (lscpu: 1 thread/core) but
+    they share drifting HOST capacity — measured effective cores at
+    32-way have ranged ~15-21 across a single day, which moves whole-job walls 2x with no
+    code change (BASELINE.md §3)."""
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    _burn(n)
+    t1 = time.perf_counter() - t0
+    with mp.Pool(procs) as p:
+        t0 = time.perf_counter()
+        p.map(_burn, [n] * procs)
+        tp = time.perf_counter() - t0
+    return round(procs * t1 / tp, 1)
+
+
 def run_scaling() -> dict:
     def run_once(ncpu: int) -> dict:
         env = dict(
@@ -260,8 +289,18 @@ def run_scaling() -> dict:
         best["all_sec"] = [r["value"] for r in reps]
         return best
 
+    # calibrate the box BEFORE and AFTER: the achievable parallel
+    # speedup bounds any pipeline ratio measured between them
+    ec8_a, ec32_a = effective_cores(8), effective_cores(32)
     lo, hi = run(8), run(32)
+    ec8_b, ec32_b = effective_cores(8), effective_cores(32)
+    ec8, ec32 = (ec8_a + ec8_b) / 2, (ec32_a + ec32_b) / 2
     eff = (lo["value"] / hi["value"]) / (32 / 8)
+    # fraction of the HARDWARE-achievable ratio the pipeline realizes:
+    # the nominal 4x denominator assumes 4x the silicon, which this
+    # box does not deliver (SMT threads on a shared host)
+    hw_ratio = ec32 / max(ec8, 1e-9)
+    eff_vs_achievable = (lo["value"] / hi["value"]) / hw_ratio
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -274,9 +313,15 @@ def run_scaling() -> dict:
         "turns_per_sec_32": hi["turns_per_sec"],
         "oracle_pass_rate": hi.get("oracle_pass_rate"),
         "turns": lo["turns"],
+        "effective_cores_8": [ec8_a, ec8_b],
+        "effective_cores_32": [ec32_a, ec32_b],
+        "hw_achievable_ratio": round(hw_ratio, 2),
+        "efficiency_vs_achievable": round(eff_vs_achievable, 3),
         "note": (
             "same seeded corpus, fresh ray.init per level, best of "
-            f"{max(1, SCALING_REPS)} reps per level (ambient-load noise); see BASELINE.md §3"
+            f"{max(1, SCALING_REPS)} reps per level; effective_cores_* = pure-CPU "
+            "achievable parallelism measured before/after (hardware ceiling on the "
+            "ratio; the box's 32 vCPUs share drifting host capacity); see BASELINE.md §3"
         ),
     }
 

@@ -235,3 +235,43 @@ class TestSampling:
         assert a == b
         n_docs = 600  # sf0.001 documents table
         assert 0 < len(a) < n_docs
+
+
+class TestHLL:
+    def test_register_kernel_known_ranks(self):
+        """clz kernel sanity: rank must equal 64-bit leading zeros of the
+        post-avalanche suffix + 1, checked against a pure-Python clz."""
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import HLL_P, _hll_registers
+
+        ids = np.arange(5000, dtype=np.int64)
+        regs = _hll_registers(ids)
+        assert regs.shape == (1 << HLL_P,)
+        assert regs.max() >= 1
+        # python reference for a few ids
+        def ref(i):
+            x = (i + 0x9E3779B97F4A7C15) % (1 << 64)
+            x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) % (1 << 64)
+            x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) % (1 << 64)
+            x = x ^ (x >> 31)
+            reg = x >> (64 - HLL_P)
+            rest = ((x << HLL_P) | ((1 << HLL_P) - 1)) % (1 << 64)
+            rank = 64 - rest.bit_length() + 1
+            return reg, rank
+        expected = {}
+        for i in range(5000):
+            r, k = ref(i)
+            expected[r] = max(expected.get(r, 0), k)
+        got = {int(r): int(regs[r]) for r in expected}
+        assert got == expected
+
+    def test_approx_distinct_within_5pct(self):
+        import duckdb
+
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import approx_distinct_users
+
+        sf = "/root/testdata/sf0.01"
+        approx = approx_distinct_users(sf)["approx_distinct"][0]
+        exact = duckdb.sql(
+            f"SELECT count(DISTINCT user_id) FROM read_parquet('{sf}/events.parquet')"
+        ).fetchone()[0]
+        assert abs(approx - exact) / exact < 0.05, (approx, exact)
