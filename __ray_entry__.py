@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": w.events_rolling,
         "grouped_topk_events": w.grouped_topk_events,
         "user_value_quantiles": w.user_value_quantiles,
+        "range_join_counts": w.range_join_counts,
         "events_pivot": q.events_pivot,
         "events_stats": q.events_stats,
         "sample_documents": q.sample_documents,
@@ -232,6 +233,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling": w.EVENTS_ROLLING_SQL,
         "grouped_topk_events": w.GROUPED_TOPK_EVENTS_SQL,
         "user_value_quantiles": w.USER_VALUE_QUANTILES_SQL,
+        "range_join_counts": w.RANGE_JOIN_COUNTS_SQL,
         "events_pivot": q.EVENTS_PIVOT_SQL,
         "events_stats": q.EVENTS_STATS_SQL,
         "stratified_sample": dp.STRATIFIED_SAMPLE_SQL,

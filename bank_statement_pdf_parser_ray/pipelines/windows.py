@@ -133,17 +133,24 @@ def events_rolling(sf_dir: str) -> "ray.data.Dataset":
 
     def roll(g: pa.Table) -> pa.Table:
         order, ts_s, eid_s = _sorted_group(g)
-        val_s = g.column("value").to_numpy()[order]
-        csum = np.concatenate(([0.0], np.cumsum(val_s)))
+        val_s = g.column("value").to_numpy(zero_copy_only=False)[order]
+        valid = pc.is_valid(g.column("value")).to_numpy(zero_copy_only=False)[order]
+        # SQL sum() IGNORES NULLs and returns NULL only when the whole
+        # window is NULL — a NaN inside a plain cumsum would instead
+        # poison every later window (caught by the randomized fuzz)
+        csum = np.concatenate(([0.0], np.cumsum(np.where(valid, val_s, 0.0))))
+        ccnt = np.concatenate(([0], np.cumsum(valid.astype(np.int64))))
         lo = np.searchsorted(ts_s, ts_s - US_PER_HOUR, side="left")
         hi = np.searchsorted(ts_s, ts_s, side="right")
+        n_valid = ccnt[hi] - ccnt[lo]
+        sums = np.round(csum[hi] - csum[lo], 2)
         user = g.column("user_id")[0].as_py()
         return pa.table(
             {
                 "event_id": pa.array(eid_s, pa.int64()),
                 "user_id": pa.array(np.full(len(ts_s), user), pa.int64()),
                 "ts": pa.array(ts_s, pa.int64()).cast(pa.timestamp("us")),
-                "rolling_1h": pa.array(np.round(csum[hi] - csum[lo], 2), pa.float64()),
+                "rolling_1h": pa.array(sums, pa.float64(), mask=n_valid == 0),
             }
         )
 
@@ -245,13 +252,19 @@ def user_value_quantiles(sf_dir: str) -> "ray.data.Dataset":
     """
 
     def q(g: pa.Table) -> pa.Table:
-        val = g.column("value").to_numpy()
+        val = g.column("value").to_numpy(zero_copy_only=False)
+        val = val[~np.isnan(val)]  # quantile_disc ignores NULLs
         user = g.column("user_id")[0].as_py()
+        if len(val) == 0:  # all-NULL group -> NULL quantiles, like SQL
+            med = p90 = [None]
+        else:
+            med = [float(np.quantile(val, 0.5, method="inverted_cdf"))]
+            p90 = [float(np.quantile(val, 0.9, method="inverted_cdf"))]
         return pa.table(
             {
                 "user_id": pa.array([user], pa.int64()),
-                "median_value": pa.array([float(np.quantile(val, 0.5, method="inverted_cdf"))], pa.float64()),
-                "p90_value": pa.array([float(np.quantile(val, 0.9, method="inverted_cdf"))], pa.float64()),
+                "median_value": pa.array(med, pa.float64()),
+                "p90_value": pa.array(p90, pa.float64()),
             }
         )
 
@@ -264,4 +277,47 @@ SELECT user_id,
        quantile_disc(value, 0.5) AS median_value,
        quantile_disc(value, 0.9) AS p90_value
 FROM events GROUP BY user_id
+"""
+
+
+US_PER_5MIN = 300_000_000
+
+
+def range_join_counts(sf_dir: str) -> "ray.data.Dataset":
+    """Range (band) self-join, the third temporal-join shape after
+    equi and as-of: for every event, the COUNT of the same user's other
+    events with ts in [ts-5min, ts+5min]. Emitting the count rather
+    than the pair list keeps the output linear in the input — a band
+    join's pair set is quadratic in dense regions, which is exactly
+    what kills naive implementations at scale.
+
+    Per-group kernel: two ``np.searchsorted`` probes against the sorted
+    ts array give each row its band [lo, hi) in O(log n); count =
+    hi - lo - 1 (minus self). One hash shuffle on user_id, same
+    partitioning contract as the rest of this module (SCALE.md §8a).
+    The SQL oracle is a correlated range-predicate subquery."""
+
+    def band(g: pa.Table) -> pa.Table:
+        order, ts_s, eid_s = _sorted_group(g)
+        lo = np.searchsorted(ts_s, ts_s - US_PER_5MIN, side="left")
+        hi = np.searchsorted(ts_s, ts_s + US_PER_5MIN, side="right")
+        user = g.column("user_id")[0].as_py()
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s, pa.int64()),
+                "user_id": pa.array(np.full(len(ts_s), user), pa.int64()),
+                "n_near": pa.array(hi - lo - 1, pa.int64()),
+            }
+        )
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts"])
+    return ds.groupby("user_id").map_groups(band, batch_format="pyarrow")
+
+
+RANGE_JOIN_COUNTS_SQL = """
+SELECT a.event_id, a.user_id,
+       (SELECT count(*) FROM events b
+        WHERE b.user_id = a.user_id AND b.event_id <> a.event_id
+          AND b.ts BETWEEN a.ts - INTERVAL 5 MINUTE AND a.ts + INTERVAL 5 MINUTE) AS n_near
+FROM events a
 """

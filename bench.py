@@ -195,6 +195,7 @@ def run_bench() -> dict:
         "events_rolling",
         "grouped_topk_events",
         "user_value_quantiles",
+        "range_join_counts",
         "events_pivot",
         "events_stats",
         "stratified_sample",

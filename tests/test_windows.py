@@ -247,3 +247,78 @@ class TestListMatrix:
         from bank_statement_pdf_parser_ray.pipelines.datapipe import _list_matrix
 
         assert _list_matrix(pa.chunked_array([pa.array([], pa.list_(pa.float32()))])).shape == (0, 0)
+
+
+class TestRandomizedOracleParity:
+    """Engine vs DuckDB on seeded RANDOM events tables that are messier
+    than the shared fixtures: duplicate timestamps, NULL values, skewed
+    user distribution, ties everywhere. Catches semantic drift the
+    curated fixtures would only hit by luck."""
+
+    OPS = [
+        "asof_join_events",
+        "events_rolling",
+        "grouped_topk_events",
+        "user_value_quantiles",
+        "range_join_counts",
+    ]
+
+    @pytest.mark.parametrize("seed", [1, 2, 3])
+    def test_windows_family_matches_duckdb(self, seed, tmp_path):
+        import duckdb
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        import importlib.util, os, sys
+
+        spec = importlib.util.spec_from_file_location(
+            "_entry_for_fuzz", os.path.join(os.path.dirname(__file__), "..", "__ray_entry__.py")
+        )
+        entry = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(entry)
+
+        rng = np.random.default_rng(seed)
+        n = 400
+        H = 3_600_000_000
+        ts = rng.integers(0, 6 * H, n)          # dense: many in-window neighbors
+        ts[rng.random(n) < 0.2] = ts[0]          # planted duplicate timestamps
+        vals = np.round(rng.uniform(0, 100, n), 2).astype(object)
+        null_mask = rng.random(n) < 0.1
+        t = pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "user_id": pa.array(rng.integers(0, 4, n), pa.int64()),  # skewed few users
+                "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+                "event_type": pa.array(rng.choice(["purchase", "view", "click"], n)),
+                "value": pa.array([None if m else float(v) for m, v in zip(null_mask, vals)], pa.float64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')")
+        Q, O = entry.queries(), entry.oracle_sql()
+
+        def canon(df):
+            df = df[sorted(df.columns)].copy()
+            for c in df.columns:
+                if pd.api.types.is_datetime64_any_dtype(df[c]):
+                    df[c] = df[c].astype("datetime64[us]")
+                elif pd.api.types.is_integer_dtype(df[c]):
+                    df[c] = df[c].astype("int64")
+            return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+        for name in self.OPS:
+            r = Q[name](str(tmp_path))
+            got = canon(r if isinstance(r, pd.DataFrame) else r.to_pandas())
+            exp = canon(con.sql(O[name]).df())
+            assert list(got.columns) == list(exp.columns), name
+            assert len(got) == len(exp), (name, len(got), len(exp))
+            for c in got.columns:
+                if pd.api.types.is_float_dtype(exp[c]):
+                    ga = got[c].to_numpy(dtype=float)
+                    ea = exp[c].to_numpy(dtype=float)
+                    assert (np.isnan(ga) == np.isnan(ea)).all(), (name, c)
+                    assert np.allclose(np.nan_to_num(ga), np.nan_to_num(ea), rtol=0, atol=1e-9), (name, c)
+                else:
+                    assert got[c].tolist() == exp[c].tolist(), (name, c)
+        con.close()
