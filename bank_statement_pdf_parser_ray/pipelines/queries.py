@@ -117,7 +117,9 @@ def events_windowed(sf_dir: str) -> pd.DataFrame:
         ts_us = pc.cast(pc.cast(t.column("ts"), pa.int64()), pa.float64())
         win = pc.cast(pc.floor(pc.divide(ts_us, 3.6e9)), pa.int64())
         t = t.append_column("window_h", win)
-        g = pa.TableGroupBy(t, ["user_id", "window_h"]).aggregate([("value", "sum"), ("value", "count")])
+        # count_all, not ("value", "count"): Arrow's count skips NULLs
+        # but the oracle's count(*) does not (randomized-fuzz catch)
+        g = pa.TableGroupBy(t, ["user_id", "window_h"]).aggregate([("value", "sum"), ([], "count_all")])
         return g.rename_columns(["user_id", "window_h", "p_sum", "p_n"])
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
@@ -269,7 +271,9 @@ def events_sessionized(sf_dir: str) -> "ray.data.Dataset":
             .agg(
                 user_id=("user_id", "first"),
                 n_events=("event_id", "size"),
-                sum_value=("value", "sum"),
+                # min_count=1: an all-NULL session sums to NULL like SQL,
+                # not pandas' default 0.0
+                sum_value=("value", lambda s: s.sum(min_count=1)),
             )
             .reset_index()
         )
@@ -601,29 +605,39 @@ def events_stats(sf_dir: str) -> pd.DataFrame:
                 "event_type": t.column("event_type"),
                 "v": v,
                 "v2": pc.multiply(v, v),
+                # avg/stddev_samp divide by the NON-NULL count, while the
+                # n column is count(*) — two separate counters, or NULL
+                # values skew the mean (randomized-fuzz catch)
+                "valid": pc.cast(pc.is_valid(v), pa.int64()),
                 "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
             }
         )
         g = pa.TableGroupBy(tbl, ["event_type"]).aggregate(
-            [("v", "sum"), ("v2", "sum"), ("one", "sum")]
+            [("v", "sum"), ("v2", "sum"), ("valid", "sum"), ("one", "sum")]
         )
-        return g.rename_columns(["event_type", "p_v", "p_v2", "p_n"])
+        return g.rename_columns(["event_type", "p_v", "p_v2", "p_valid", "p_n"])
 
     ds = _read(sf_dir, "events", ["event_type", "value"])
     ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     out = (
         ds.groupby("event_type")
-        .aggregate(Sum("p_v", alias_name="s_v"), Sum("p_v2", alias_name="s_v2"), Sum("p_n", alias_name="n"))
+        .aggregate(
+            Sum("p_v", alias_name="s_v"),
+            Sum("p_v2", alias_name="s_v2"),
+            Sum("p_valid", alias_name="n_valid"),
+            Sum("p_n", alias_name="n"),
+        )
         .to_pandas()
     )
-    n = out["n"].to_numpy(dtype=float)
-    sv = out["s_v"].to_numpy(dtype=float)
-    sv2 = out["s_v2"].to_numpy(dtype=float)
-    mean = sv / n
-    # stddev_samp of a single row is NULL (NaN here), not 0 — the
-    # np.maximum(n-1, 1) only guards the divide, the where supplies
-    # the SQL semantics
-    var = np.where(n > 1, np.maximum(sv2 - sv * sv / n, 0.0) / np.maximum(n - 1, 1), np.nan)
+    nv = out["n_valid"].to_numpy(dtype=float)
+    sv = np.nan_to_num(out["s_v"].to_numpy(dtype=float))
+    sv2 = np.nan_to_num(out["s_v2"].to_numpy(dtype=float))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean = np.where(nv > 0, sv / np.maximum(nv, 1), np.nan)
+        # stddev_samp needs >=2 NON-NULL rows, else NULL — the
+        # np.maximum guards the divide, the where supplies SQL semantics
+        var = np.where(nv > 1, np.maximum(sv2 - sv * sv / np.maximum(nv, 1), 0.0) / np.maximum(nv - 1, 1), np.nan)
+    out = out.drop(columns=["n_valid"])
     res = pd.DataFrame(
         {
             "event_type": out["event_type"],

@@ -261,6 +261,12 @@ class TestRandomizedOracleParity:
         "grouped_topk_events",
         "user_value_quantiles",
         "range_join_counts",
+        "events_windowed",
+        "events_sessionized",
+        "events_ordered",
+        "topk_users",
+        "events_pivot",
+        "events_stats",
     ]
 
     @pytest.mark.parametrize("seed", [1, 2, 3])
@@ -322,3 +328,29 @@ class TestRandomizedOracleParity:
                 else:
                     assert got[c].tolist() == exp[c].tolist(), (name, c)
         con.close()
+
+
+class TestSessionizedAllNullSession:
+    def test_all_null_session_sums_to_null(self, tmp_path):
+        """A session whose every value is NULL must report NULL
+        sum_value (SQL sum over no non-null inputs), not pandas' 0.0."""
+        import duckdb
+        import pyarrow.parquet as pq
+
+        from bank_statement_pdf_parser_ray.pipelines.queries import events_sessionized
+
+        H = 3_600_000_000
+        t = pa.table(
+            {
+                "event_id": pa.array([1, 2, 3], pa.int64()),
+                "user_id": pa.array([1, 1, 1], pa.int64()),
+                # two sessions: [1,2] (gap < 30min, both NULL), [3]
+                "ts": pa.array([0, 60_000_000, 3 * H], pa.int64()).cast(pa.timestamp("us")),
+                "event_type": pa.array(["view"] * 3),
+                "value": pa.array([None, None, 5.0], pa.float64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = events_sessionized(str(tmp_path)).to_pandas().sort_values("session_id")
+        assert np.isnan(out.iloc[0]["sum_value"])
+        assert out.iloc[1]["sum_value"] == 5.0
