@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_stats": q.events_stats,
         "sample_documents": q.sample_documents,
         "stratified_sample": dp.stratified_sample_documents,
+        "prep_corpus": dp.prep_corpus,
         "approx_distinct_users": dp.approx_distinct_users,
         "distinct_langs": q.distinct_langs,
         "json_props_sum": q.json_props_sum,
@@ -237,6 +238,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": q.EVENTS_PIVOT_SQL,
         "events_stats": q.EVENTS_STATS_SQL,
         "stratified_sample": dp.STRATIFIED_SAMPLE_SQL,
+        "prep_corpus": dp.PREP_CORPUS_SQL,
         "lineitem_agg": q.LINEITEM_AGG_SQL,
         "filter_highvalue": q.FILTER_HIGHVALUE_SQL,
         "topk_users": q.TOPK_USERS_SQL,

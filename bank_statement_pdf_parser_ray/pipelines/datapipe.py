@@ -1443,6 +1443,42 @@ def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"approx_distinct": [int(round(_hll_estimate(regs)))]})
 
 
+def _add_sample_key(t: pa.Table) -> pa.Table:
+    """md5(doc_id) as a cross-engine-reproducible ranking key (no Arrow
+    md5 kernel — per-row hashlib, bounded by the pre-cut below)."""
+    ids = t.column("doc_id").to_pylist()
+    keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+    return t.append_column("sample_key", pa.array(keys, pa.string()))
+
+
+def _stratified_cut(t: pa.Table, per_stratum: int) -> pa.Table:
+    """Keep the per_stratum smallest sample_keys per lang within one
+    table — vectorized lexsort + run-rank, the same pre-cut/final-cut
+    kernel shape as grouped top-k."""
+    lang = np.asarray(t.column("lang").to_pylist())
+    key = np.asarray(t.column("sample_key").to_pylist())
+    order = np.lexsort((key, lang))
+    n = len(order)
+    is_start = np.ones(n, dtype=bool)
+    ls = lang[order]
+    is_start[1:] = ls[1:] != ls[:-1]
+    starts = np.flatnonzero(is_start)
+    run_id = np.cumsum(is_start) - 1
+    rank = np.arange(n) - starts[run_id]
+    idx = order[rank < per_stratum]
+    return t.take(pa.array(np.sort(idx)))
+
+
+def _stratified_select(ds: "ray.data.Dataset", per_stratum: int) -> "ray.data.Dataset":
+    """Two-level stratified selection: per-batch pre-cut (the shuffle
+    moves ≤ per_stratum × langs × blocks rows), then one groupby(lang)
+    final cut."""
+    cut = lambda t: _stratified_cut(t, per_stratum)
+    ds = ds.map_batches(cut, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.groupby("lang").map_groups(cut, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "lang", "sample_key"])
+
+
 def stratified_sample_documents(sf_dir: str, per_stratum: int = 20) -> "ray.data.Dataset":
     """Stratified DETERMINISTIC sampling: the `per_stratum` documents
     with the smallest md5(doc_id) per language — a fixed-size sample
@@ -1456,31 +1492,10 @@ def stratified_sample_documents(sf_dir: str, per_stratum: int = 20) -> "ray.data
     blocks candidates after the first cut's own hashing — the raw
     corpus never shuffles."""
 
-    def add_key(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
-        return t.append_column("sample_key", pa.array(keys, pa.string()))
-
-    def cut(t: pa.Table) -> pa.Table:
-        lang = np.asarray(t.column("lang").to_pylist())
-        key = np.asarray(t.column("sample_key").to_pylist())
-        order = np.lexsort((key, lang))
-        n = len(order)
-        is_start = np.ones(n, dtype=bool)
-        ls = lang[order]
-        is_start[1:] = ls[1:] != ls[:-1]
-        starts = np.flatnonzero(is_start)
-        run_id = np.cumsum(is_start) - 1
-        rank = np.arange(n) - starts[run_id]
-        idx = order[rank < per_stratum]
-        return t.take(pa.array(np.sort(idx)))
-
     ds = _docs(sf_dir, ["doc_id", "lang"]).map_batches(
-        add_key, batch_format="pyarrow", zero_copy_batch=True
+        _add_sample_key, batch_format="pyarrow", zero_copy_batch=True
     )
-    ds = ds.map_batches(cut, batch_format="pyarrow", zero_copy_batch=True)
-    out = ds.groupby("lang").map_groups(cut, batch_format="pyarrow")
-    return out.select_columns(["doc_id", "lang", "sample_key"])
+    return _stratified_select(ds, per_stratum)
 
 
 STRATIFIED_SAMPLE_SQL = """
@@ -1490,3 +1505,82 @@ SELECT doc_id, lang, sample_key FROM (
   FROM documents
 ) WHERE rn <= 20
 """
+
+
+class _DocMetaFetcher:
+    """Actor-pool join-back stage: survivors arrive as doc_id batches,
+    each batch selectively reads its (doc_id, lang) rows via parquet
+    predicate pushdown — the broadcast-free point-lookup pattern shared
+    with JaccardVerifier/_CosineVerifier."""
+
+    def __init__(self, docs_path: str) -> None:
+        import pyarrow.dataset as pads
+
+        self.dataset = pads.dataset(docs_path, format="parquet")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        got = self.dataset.to_table(
+            columns=["doc_id", "lang"], filter=pc.field("doc_id").isin(ids)
+        )
+        return got
+
+
+def prep_corpus(sf_dir: str, per_stratum: int = 10) -> "ray.data.Dataset":
+    """The COMPOSED training-data prep DAG end-to-end — what a user of
+    this engine actually runs over a raw 100 TB crawl:
+
+        quality gates -> exact dedup (keep min doc_id)
+        -> join survivors back to metadata (selective reads, no shuffle)
+        -> deterministic stratified sample per language
+
+    Every stage streams; the only exchanges are corpus_clean's 16 B/row
+    dedup groupby and the stratified final cut over the ALREADY-CUT
+    candidate set. The whole composition is SQL-checkable in one oracle
+    (gates + GROUP BY text + join + md5-ranked window), so the
+    composed result — not just each stage — is hash-verified against
+    DuckDB."""
+    cleaned = corpus_clean(sf_dir)
+    joined = cleaned.map_batches(
+        _DocMetaFetcher,
+        fn_constructor_args=(f"{sf_dir}/documents.parquet",),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=2048,
+        concurrency=_pool(),
+    )
+    keyed = joined.map_batches(_add_sample_key, batch_format="pyarrow", zero_copy_batch=True)
+    return _stratified_select(keyed, per_stratum)
+
+
+PREP_CORPUS_SQL = r"""
+WITH q AS (
+  SELECT doc_id, text,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+         length(text) AS n_chars
+  FROM documents
+),
+f AS (SELECT * FROM q WHERE n_tokens >= 5 AND n_punct <= 0.2 * n_chars),
+cleaned AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY text),
+joined AS (
+  SELECT d.doc_id, d.lang FROM documents d JOIN cleaned c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, lang, sample_key FROM (
+  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS sample_key,
+         row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM joined
+) WHERE rn <= 10
+"""
+
+
+def write_prep_corpus(sf_dir: str, out_dir: str, per_stratum: int = 10) -> dict:
+    """Materialize ``prep_corpus`` as lang-partitioned parquet (the
+    resumable-output convention: one directory per stratum, never one
+    giant file)."""
+    ds = prep_corpus(sf_dir, per_stratum=per_stratum)
+    ds.write_parquet(out_dir, partition_cols=["lang"])
+    import os
+
+    parts = sorted(d for d in os.listdir(out_dir) if d.startswith("lang="))
+    return {"strata_written": len(parts), "out_dir": out_dir}

@@ -199,6 +199,7 @@ def run_bench() -> dict:
         "events_pivot",
         "events_stats",
         "stratified_sample",
+        "prep_corpus",
         "approx_distinct_users",
         "json_props_sum",
         "normalize_ws",

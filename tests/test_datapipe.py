@@ -275,3 +275,26 @@ class TestHLL:
             f"SELECT count(DISTINCT user_id) FROM read_parquet('{sf}/events.parquet')"
         ).fetchone()[0]
         assert abs(approx - exact) / exact < 0.05, (approx, exact)
+
+
+class TestPrepCorpus:
+    def test_composition_equals_stagewise(self):
+        """prep_corpus must equal running its stages separately."""
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import corpus_clean, prep_corpus
+
+        sf = "/root/testdata/sf0.001"
+        composed = prep_corpus(sf).to_pandas().sort_values("sample_key").reset_index(drop=True)
+        survivors = set(corpus_clean(sf).to_pandas()["doc_id"])
+        assert set(composed["doc_id"]).issubset(survivors)
+        # per-stratum cap respected
+        assert composed.groupby("lang").size().max() <= 10
+
+    def test_write_partitioned_by_lang(self, tmp_path):
+        import os
+
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import write_prep_corpus
+
+        out = str(tmp_path / "prep")
+        summary = write_prep_corpus("/root/testdata/sf0.001", out)
+        assert summary["strata_written"] >= 1
+        assert all(d.startswith("lang=") for d in os.listdir(out))
