@@ -1422,7 +1422,10 @@ def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Max
 
     def partial(t: pa.Table) -> pa.Table:
-        ids = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        # COUNT(DISTINCT x) excludes NULLs; an unfiltered NULL would
+        # survive the NaN->int64 cast as a phantom key (review catch)
+        col = t.column("user_id")
+        ids = col.drop_null().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         regs = _hll_registers(ids)
         return pa.table(
             {
@@ -1453,18 +1456,21 @@ def _add_sample_key(t: pa.Table) -> pa.Table:
 
 def _stratified_cut(t: pa.Table, per_stratum: int) -> pa.Table:
     """Keep the per_stratum smallest sample_keys per lang within one
-    table — vectorized lexsort + run-rank, the same pre-cut/final-cut
-    kernel shape as grouped top-k."""
-    lang = np.asarray(t.column("lang").to_pylist())
+    table — vectorized lexsort + run-rank (the shared
+    ``windows._rank_in_runs`` kernel). The stratum key is dictionary-
+    encoded to int codes first: NULL-safe (a NULL lang is its own
+    stratum, as in SQL PARTITION BY; an object-array lexsort would
+    crash comparing None with str — review catch) and cheaper to sort
+    than strings."""
+    from bank_statement_pdf_parser_ray.pipelines.windows import _rank_in_runs
+
+    if t.num_rows == 0:
+        return t
+    codes_arr = pc.dictionary_encode(t.column("lang").combine_chunks()).indices
+    codes = pc.fill_null(codes_arr, -1).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     key = np.asarray(t.column("sample_key").to_pylist())
-    order = np.lexsort((key, lang))
-    n = len(order)
-    is_start = np.ones(n, dtype=bool)
-    ls = lang[order]
-    is_start[1:] = ls[1:] != ls[:-1]
-    starts = np.flatnonzero(is_start)
-    run_id = np.cumsum(is_start) - 1
-    rank = np.arange(n) - starts[run_id]
+    order = np.lexsort((key, codes))
+    rank = _rank_in_runs(codes[order])
     idx = order[rank < per_stratum]
     return t.take(pa.array(np.sort(idx)))
 
@@ -1507,16 +1513,11 @@ SELECT doc_id, lang, sample_key FROM (
 """
 
 
-class _DocMetaFetcher:
+class _DocMetaFetcher(_SelectiveDocReader):
     """Actor-pool join-back stage: survivors arrive as doc_id batches,
     each batch selectively reads its (doc_id, lang) rows via parquet
-    predicate pushdown — the broadcast-free point-lookup pattern shared
-    with JaccardVerifier/_CosineVerifier."""
-
-    def __init__(self, docs_path: str) -> None:
-        import pyarrow.dataset as pads
-
-        self.dataset = pads.dataset(docs_path, format="parquet")
+    predicate pushdown — the shared ``_SelectiveDocReader`` point-lookup
+    pattern (one subclass per fetched column set)."""
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_pylist()

@@ -117,21 +117,37 @@ def events_windowed(sf_dir: str) -> pd.DataFrame:
         ts_us = pc.cast(pc.cast(t.column("ts"), pa.int64()), pa.float64())
         win = pc.cast(pc.floor(pc.divide(ts_us, 3.6e9)), pa.int64())
         t = t.append_column("window_h", win)
-        # count_all, not ("value", "count"): Arrow's count skips NULLs
-        # but the oracle's count(*) does not (randomized-fuzz catch)
-        g = pa.TableGroupBy(t, ["user_id", "window_h"]).aggregate([("value", "sum"), ([], "count_all")])
-        return g.rename_columns(["user_id", "window_h", "p_sum", "p_n"])
+        # Valid NaN values need explicit tracking: Ray's Sum over
+        # partials treats a NaN partial as missing and SKIPS it (the
+        # SQL sum would propagate NaN), so the partial sums are
+        # NaN-stripped and a NaN counter re-poisons affected groups at
+        # finalize (randomized-fuzz catch). count_all, not
+        # ("value", "count"): Arrow's count skips NULLs but count(*)
+        # does not.
+        v = t.column("value")
+        nan_mask = pc.and_(pc.is_valid(v), pc.is_nan(pc.fill_null(v, 0.0)))
+        t = t.set_column(t.schema.get_field_index("value"), "value", pc.if_else(nan_mask, pa.scalar(0.0), v))
+        t = t.append_column("is_nan", pc.cast(nan_mask, pa.int64()))
+        g = pa.TableGroupBy(t, ["user_id", "window_h"]).aggregate(
+            [("value", "sum"), ("is_nan", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["user_id", "window_h", "p_sum", "p_nan", "p_n"])
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
     ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     out = (
         ds.groupby(["user_id", "window_h"])
-        .aggregate(Sum("p_sum", alias_name="sum_value"), Sum("p_n", alias_name="n_events"))
+        .aggregate(
+            Sum("p_sum", alias_name="sum_value"),
+            Sum("p_nan", alias_name="n_nan"),
+            Sum("p_n", alias_name="n_events"),
+        )
         .to_pandas()
     )
     out["sum_value"] = out["sum_value"].round(2)
+    out.loc[out["n_nan"] > 0, "sum_value"] = np.nan
     out["n_events"] = out["n_events"].astype("int64")
-    return out
+    return out.drop(columns=["n_nan"])
 
 
 EVENTS_WINDOWED_SQL = """
@@ -257,7 +273,12 @@ def events_sessionized(sf_dir: str) -> "ray.data.Dataset":
     ray_guide "Streaming-shaped workloads"): events of one user form a
     new session whenever the gap to the previous event exceeds 30min.
     Implemented as groupby(user_id).map_groups over the ts-sorted group;
-    SQL oracle uses a window-function cumulative sum of gap markers."""
+    SQL oracle uses a window-function cumulative sum of gap markers.
+
+    NaN note: the pandas kernel cannot distinguish NULL from a stored
+    NaN double (both are NaN in a float64 frame), so valid NaN values
+    are treated as missing in sum_value — declared semantics, asserted
+    by the randomized fuzz against a NaN->NULL oracle."""
 
     GAP_US = 30 * 60 * 1_000_000
 
@@ -603,12 +624,25 @@ def events_stats(sf_dir: str) -> pd.DataFrame:
         tbl = pa.table(
             {
                 "event_type": t.column("event_type"),
-                "v": v,
-                "v2": pc.multiply(v, v),
+                # NaN values are treated as MISSING for the moments:
+                # there is no SQL semantics to match — DuckDB's
+                # stddev_samp literally raises OutOfRange on NaN input
+                # (measured) — so the declared behavior is stats over
+                # finite values, asserted by the fuzz against a
+                # NaN->NULL oracle. NULL->NaN after to_numpy makes one
+                # isnan test cover both.
+                "v": pc.if_else(pc.is_nan(pc.fill_null(v, 0.0)), pa.scalar(None, pa.float64()), v),
+                "v2": pc.if_else(
+                    pc.is_nan(pc.fill_null(v, 0.0)),
+                    pa.scalar(None, pa.float64()),
+                    pc.multiply(v, v),
+                ),
                 # avg/stddev_samp divide by the NON-NULL count, while the
                 # n column is count(*) — two separate counters, or NULL
                 # values skew the mean (randomized-fuzz catch)
-                "valid": pc.cast(pc.is_valid(v), pa.int64()),
+                "valid": pc.cast(
+                    pc.and_(pc.is_valid(v), pc.invert(pc.is_nan(pc.fill_null(v, 0.0)))), pa.int64()
+                ),
                 "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
             }
         )
@@ -630,8 +664,8 @@ def events_stats(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     nv = out["n_valid"].to_numpy(dtype=float)
-    sv = np.nan_to_num(out["s_v"].to_numpy(dtype=float))
-    sv2 = np.nan_to_num(out["s_v2"].to_numpy(dtype=float))
+    sv = out["s_v"].to_numpy(dtype=float)
+    sv2 = out["s_v2"].to_numpy(dtype=float)
     with np.errstate(divide="ignore", invalid="ignore"):
         mean = np.where(nv > 0, sv / np.maximum(nv, 1), np.nan)
         # stddev_samp needs >=2 NON-NULL rows, else NULL — the

@@ -137,13 +137,20 @@ def events_rolling(sf_dir: str) -> "ray.data.Dataset":
         valid = pc.is_valid(g.column("value")).to_numpy(zero_copy_only=False)[order]
         # SQL sum() IGNORES NULLs and returns NULL only when the whole
         # window is NULL — a NaN inside a plain cumsum would instead
-        # poison every later window (caught by the randomized fuzz)
-        csum = np.concatenate(([0.0], np.cumsum(np.where(valid, val_s, 0.0))))
+        # poison every later window (caught by the randomized fuzz).
+        # A VALID NaN value is a third case: it must make exactly the
+        # frames CONTAINING it NaN (SQL sums it), not every later one —
+        # so it is excluded from the prefix sum and tracked by its own
+        # prefix count (review catch).
+        is_nan = valid & np.isnan(val_s)
+        csum = np.concatenate(([0.0], np.cumsum(np.where(valid & ~is_nan, val_s, 0.0))))
         ccnt = np.concatenate(([0], np.cumsum(valid.astype(np.int64))))
+        cnan = np.concatenate(([0], np.cumsum(is_nan.astype(np.int64))))
         lo = np.searchsorted(ts_s, ts_s - US_PER_HOUR, side="left")
         hi = np.searchsorted(ts_s, ts_s, side="right")
         n_valid = ccnt[hi] - ccnt[lo]
         sums = np.round(csum[hi] - csum[lo], 2)
+        sums = np.where(cnan[hi] - cnan[lo] > 0, np.nan, sums)
         user = g.column("user_id")[0].as_py()
         return pa.table(
             {
@@ -179,11 +186,29 @@ def _rank_in_runs(sorted_keys: np.ndarray) -> np.ndarray:
     return np.arange(n) - starts[run_id]
 
 
-def _topk_order_rank(uid: np.ndarray, val: np.ndarray, eid: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def _topk_order_rank(
+    uid: np.ndarray, val: np.ndarray, eid: np.ndarray, valid: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray]:
     """(sort order, 0-based within-user rank) for the deterministic
     (value DESC, event_id ASC) per-user ordering — one lexsort, no
-    Python loop."""
-    order = np.lexsort((eid, -val, uid))
+    Python loop.
+
+    SQL ordering has THREE value classes, all distinct from each other
+    (review catch): NULL sorts last (DuckDB default NULLS LAST), a
+    valid NaN sorts as the GREATEST value (before +inf), numbers by
+    value. numpy's native NaN-last would conflate the first two, so
+    the key maps valid-NaN -> -inf (first under ASC of -val) and
+    NULL -> +inf (last)."""
+    key = -val
+    is_nan = np.isnan(val)
+    if valid is None:
+        valid = ~is_nan
+    key = np.where(is_nan & valid, -np.inf, key)  # valid NaN: greatest
+    key = np.where(~valid, np.inf, key)  # NULL: after every value...
+    # ...including a VALID -inf value whose key is also +inf — the
+    # explicit null flag breaks that collision deterministically
+    null_flag = (~valid).astype(np.int8)
+    order = np.lexsort((eid, null_flag, key, uid))
     return order, _rank_in_runs(uid[order])
 
 
@@ -198,15 +223,19 @@ def grouped_topk_events(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
 
     def cut(t: pa.Table, with_rank: bool) -> pa.Table:
         uid = t.column("user_id").to_numpy()
-        val = t.column("value").to_numpy()
+        val = t.column("value").to_numpy(zero_copy_only=False)
         eid = t.column("event_id").to_numpy()
-        order, rank = _topk_order_rank(uid, val, eid)
+        valid = pc.is_valid(t.column("value")).to_numpy(zero_copy_only=False)
+        order, rank = _topk_order_rank(uid, val, eid, valid)
         keep = rank < k
         idx = order[keep]
         cols = {
             "user_id": pa.array(uid[idx], pa.int64()),
             "event_id": pa.array(eid[idx], pa.int64()),
-            "value": pa.array(val[idx], pa.float64()),
+            # mask keeps NULL distinct from valid NaN ACROSS the shuffle
+            # — a NULL flattened to NaN between partial and final would
+            # be re-ranked as the greatest value instead of last
+            "value": pa.array(val[idx], pa.float64(), mask=~valid[idx]),
         }
         if with_rank:
             cols["rn"] = pa.array(rank[keep] + 1, pa.int64())
@@ -253,9 +282,14 @@ def user_value_quantiles(sf_dir: str) -> "ray.data.Dataset":
 
     def q(g: pa.Table) -> pa.Table:
         val = g.column("value").to_numpy(zero_copy_only=False)
-        val = val[~np.isnan(val)]  # quantile_disc ignores NULLs
+        # one isnan filter drops BOTH NULLs (NaN after to_numpy) and
+        # valid NaN values: measured DuckDB behavior — quantile_disc
+        # ignores NaN exactly like NULL even though ORDER BY sorts NaN
+        # as the greatest value (probed: quantile_disc(0.9) over
+        # [1,2,NaN,3] = 3.0, not NaN)
+        val = val[~np.isnan(val)]
         user = g.column("user_id")[0].as_py()
-        if len(val) == 0:  # all-NULL group -> NULL quantiles, like SQL
+        if len(val) == 0:  # all-NULL/NaN group -> NULL quantiles, like SQL
             med = p90 = [None]
         else:
             med = [float(np.quantile(val, 0.5, method="inverted_cdf"))]

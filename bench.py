@@ -286,17 +286,23 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     def run(ncpu: int) -> dict:
-        reps = [run_once(ncpu) for _ in range(max(1, SCALING_REPS))]
+        # calibrate immediately before EVERY rep, at the rep's own
+        # width, so each wall time is paired with the host capacity
+        # that produced it (suite-level bracketing left the pairing
+        # ambiguous — a slow leg could not be attributed)
+        reps = []
+        ecs = []
+        for _ in range(max(1, SCALING_REPS)):
+            ecs.append(effective_cores(ncpu))
+            reps.append(run_once(ncpu))
         best = min(reps, key=lambda r: r["value"])
         best["all_sec"] = [r["value"] for r in reps]
+        best["ec_per_rep"] = ecs
         return best
 
-    # calibrate the box BEFORE and AFTER: the achievable parallel
-    # speedup bounds any pipeline ratio measured between them
-    ec8_a, ec32_a = effective_cores(8), effective_cores(32)
     lo, hi = run(8), run(32)
-    ec8_b, ec32_b = effective_cores(8), effective_cores(32)
-    ec8, ec32 = (ec8_a + ec8_b) / 2, (ec32_a + ec32_b) / 2
+    ec8 = sum(lo["ec_per_rep"]) / len(lo["ec_per_rep"])
+    ec32 = sum(hi["ec_per_rep"]) / len(hi["ec_per_rep"])
     eff = (lo["value"] / hi["value"]) / (32 / 8)
     # fraction of the HARDWARE-achievable ratio the pipeline realizes:
     # the nominal 4x denominator assumes 4x the silicon, which this
@@ -315,8 +321,8 @@ def run_scaling() -> dict:
         "turns_per_sec_32": hi["turns_per_sec"],
         "oracle_pass_rate": hi.get("oracle_pass_rate"),
         "turns": lo["turns"],
-        "effective_cores_8": [ec8_a, ec8_b],
-        "effective_cores_32": [ec32_a, ec32_b],
+        "effective_cores_8": lo["ec_per_rep"],
+        "effective_cores_32": hi["ec_per_rep"],
         "hw_achievable_ratio": round(hw_ratio, 2),
         "efficiency_vs_achievable": round(eff_vs_achievable, 3),
         "note": (

@@ -279,15 +279,31 @@ class TestHLL:
 
 class TestPrepCorpus:
     def test_composition_equals_stagewise(self):
-        """prep_corpus must equal running its stages separately."""
+        """prep_corpus must EQUAL the stagewise computation: survivors
+        from corpus_clean, joined to lang, then the per-lang smallest-10
+        md5 keys — frame equality, not just subset/caps."""
+        import hashlib
+
+        import pyarrow.dataset as pads
+
         from bank_statement_pdf_parser_ray.pipelines.datapipe import corpus_clean, prep_corpus
 
         sf = "/root/testdata/sf0.001"
-        composed = prep_corpus(sf).to_pandas().sort_values("sample_key").reset_index(drop=True)
-        survivors = set(corpus_clean(sf).to_pandas()["doc_id"])
-        assert set(composed["doc_id"]).issubset(survivors)
-        # per-stratum cap respected
-        assert composed.groupby("lang").size().max() <= 10
+        composed = (
+            prep_corpus(sf).to_pandas().sort_values(["lang", "sample_key"]).reset_index(drop=True)
+        )
+        survivors = corpus_clean(sf).to_pandas()
+        meta = pads.dataset(f"{sf}/documents.parquet").to_table(columns=["doc_id", "lang"]).to_pandas()
+        staged = survivors.merge(meta, on="doc_id")
+        staged["sample_key"] = staged["doc_id"].map(lambda i: hashlib.md5(str(i).encode()).hexdigest())
+        staged = (
+            staged.sort_values(["lang", "sample_key"])
+            .groupby("lang")
+            .head(10)
+            .sort_values(["lang", "sample_key"])
+            .reset_index(drop=True)
+        )
+        assert composed[["doc_id", "lang", "sample_key"]].equals(staged[["doc_id", "lang", "sample_key"]])
 
     def test_write_partitioned_by_lang(self, tmp_path):
         import os

