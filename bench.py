@@ -328,7 +328,7 @@ def run_scaling() -> dict:
         "note": (
             "same seeded corpus, fresh ray.init per level, best of "
             f"{max(1, SCALING_REPS)} reps per level; effective_cores_* = pure-CPU "
-            "achievable parallelism measured before/after (hardware ceiling on the "
+            "achievable parallelism probed immediately before each rep (hardware ceiling on the "
             "ratio; the box's 32 vCPUs share drifting host capacity); see BASELINE.md §3"
         ),
     }
