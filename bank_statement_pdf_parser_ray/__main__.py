@@ -56,6 +56,13 @@ def main(argv: list[str] | None = None) -> int:
     dedupp.add_argument("--threshold", type=float, default=0.8, help="Jaccard threshold (verified)")
     dedupp.add_argument("--out", required=True, help="output parquet dir")
     dedupp.add_argument("--num-cpus", type=int, default=None)
+
+    # the composed prep DAG: gates -> dedup -> join-back -> stratified sample
+    prepp = sub.add_parser("prep", help="run the composed training-data prep pipeline")
+    prepp.add_argument("--sf-dir", required=True, help="dir containing documents.parquet")
+    prepp.add_argument("--per-stratum", type=int, default=10, help="sample size per language")
+    prepp.add_argument("--out", required=True, help="output root (lang-partitioned parquet)")
+    prepp.add_argument("--num-cpus", type=int, default=None)
     args = p.parse_args(argv)
 
     if args.cmd == "parse":
@@ -81,6 +88,26 @@ def main(argv: list[str] | None = None) -> int:
         return 1 if res["error"] else 0
 
     import ray
+
+    if args.cmd == "prep":
+        owns = not ray.is_initialized()
+        if owns:
+            ray.init(
+                address="local",
+                num_cpus=args.num_cpus,
+                include_dashboard=False,
+                ignore_reinit_error=True,
+                logging_level="ERROR",
+            )
+        try:
+            from bank_statement_pdf_parser_ray.pipelines.datapipe import write_prep_corpus
+
+            summary = write_prep_corpus(args.sf_dir, args.out, per_stratum=args.per_stratum)
+            print(json.dumps(summary))
+            return 0
+        finally:
+            if owns:
+                ray.shutdown()
 
     if args.cmd == "dedup":
         owns = not ray.is_initialized()

@@ -162,3 +162,23 @@ class TestParseCLI:
         lines = out.read_text().strip().splitlines()
         assert lines[0] == "date,description,debit,credit,balance"
         assert lines[1] == "2024-01-05,GIRO SALARY,,5000.00,5000.00"
+
+
+class TestPrepCLI:
+    def test_prep_command(self, tmp_path):
+        import json as _json
+        import os
+
+        from bank_statement_pdf_parser_ray.__main__ import main
+
+        out = str(tmp_path / "prep")
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = main(["prep", "--sf-dir", "/root/testdata/sf0.001", "--out", out, "--per-stratum", "3"])
+        assert rc == 0
+        summary = _json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert summary["strata_written"] >= 1
+        assert all(d.startswith("lang=") for d in os.listdir(out))
