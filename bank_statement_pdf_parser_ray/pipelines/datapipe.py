@@ -1138,32 +1138,98 @@ def knn_cosine_ivf_full(sf_dir: str) -> pa.Table:
 
 class MediaDecodeActor:
     """Actor-pool stage for opaque binary media columns: schema, batch
-    sizing and output layout are real; the decode kernel is a
-    deterministic fake (no image/audio libraries ship in this
-    environment — a real deployment drops PIL/ffmpeg into `_decode`).
-    """
+    sizing and output layout are real. The decode kernel REALLY decodes
+    the uncompressed raster formats a pure-numpy parser can handle —
+    binary PGM (P5), PPM (P6), and 24-bit uncompressed BMP — and falls
+    back to a deterministic fake for anything else (JPEG/PNG/audio need
+    codec libraries this environment does not ship; a real deployment
+    drops PIL/ffmpeg into `_decode_image`). Reported height/width are
+    the SOURCE dims for real decodes, the target dims for the fake."""
 
     def __init__(self, target_size: tuple[int, int] = (32, 32)) -> None:
         self.target = target_size
 
-    def _decode(self, blob: bytes) -> np.ndarray:
-        # STUB: deterministic fake decode — a real build would use an
-        # image library here. Derives a target-sized float32 "image"
-        # from the payload bytes so the plumbing is testable.
+    @staticmethod
+    def _decode_image(blob: bytes) -> "np.ndarray | None":
+        """blob -> float32 grayscale HxW in [0,1], or None if the format
+        needs a codec library. Pure numpy/struct — no external deps."""
+        if len(blob) < 16:
+            return None
+        if blob[:2] in (b"P5", b"P6"):
+            # netpbm binary: magic, then whitespace/comment-separated
+            # width height maxval, one whitespace byte, raw samples
+            toks, pos = [], 2
+            while len(toks) < 3 and pos < len(blob):
+                while pos < len(blob) and blob[pos : pos + 1].isspace():
+                    pos += 1
+                if blob[pos : pos + 1] == b"#":
+                    while pos < len(blob) and blob[pos] != 0x0A:
+                        pos += 1
+                    continue
+                start = pos
+                while pos < len(blob) and not blob[pos : pos + 1].isspace():
+                    pos += 1
+                toks.append(blob[start:pos])
+            pos += 1  # the single whitespace after maxval
+            try:
+                w, h, maxval = (int(x) for x in toks)
+            except ValueError:
+                return None
+            if maxval > 255 or w <= 0 or h <= 0:
+                return None
+            ch = 3 if blob[:2] == b"P6" else 1
+            need = w * h * ch
+            data = np.frombuffer(blob, dtype=np.uint8, count=min(need, len(blob) - pos), offset=pos)
+            if len(data) < need:
+                return None
+            img = data.reshape(h, w, ch).astype(np.float32) / maxval
+            return img.mean(axis=2) if ch == 3 else img[:, :, 0]
+        if blob[:2] == b"BM" and len(blob) > 54:
+            import struct
+
+            pix_off = struct.unpack_from("<I", blob, 10)[0]
+            w, h = struct.unpack_from("<ii", blob, 18)
+            bpp = struct.unpack_from("<H", blob, 28)[0]
+            comp = struct.unpack_from("<I", blob, 30)[0]
+            if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+                return None
+            flip = h > 0  # positive height = bottom-up row order
+            h = abs(h)
+            stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+            if pix_off + stride * h > len(blob):
+                return None
+            rows = np.frombuffer(blob, dtype=np.uint8, count=stride * h, offset=pix_off)
+            img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+            if flip:
+                img = img[::-1]
+            return img.astype(np.float32).mean(axis=2) / 255.0
+        return None
+
+    def _decode(self, blob: bytes) -> tuple[np.ndarray, int, int]:
+        """(target-sized grayscale, source_h, source_w)."""
         h, w = self.target
-        if not blob:
-            return np.zeros((h, w), dtype=np.float32)
-        arr = np.frombuffer(blob, dtype=np.uint8)
-        reps = int(np.ceil(h * w / len(arr)))
-        return (np.tile(arr, reps)[: h * w].reshape(h, w) / 255.0).astype(np.float32)
+        img = self._decode_image(blob) if blob else None
+        if img is None:
+            # STUB path for codec-requiring formats: deterministic fake
+            # derived from the payload bytes so the plumbing is testable
+            if not blob:
+                return np.zeros((h, w), dtype=np.float32), h, w
+            arr = np.frombuffer(blob, dtype=np.uint8)
+            reps = int(np.ceil(h * w / len(arr)))
+            return (np.tile(arr, reps)[: h * w].reshape(h, w) / 255.0).astype(np.float32), h, w
+        sh, sw = img.shape
+        # nearest-neighbor resize to the target via index gather
+        yi = np.minimum((np.arange(h) * sh) // h, sh - 1)
+        xi = np.minimum((np.arange(w) * sw) // w, sw - 1)
+        return img[yi][:, xi].astype(np.float32), sh, sw
 
     def __call__(self, t: pa.Table) -> pa.Table:
         feats, widths, heights, n_bytes = [], [], [], []
         for blob in t.column("media").to_pylist():
-            img = self._decode(blob or b"")
+            img, sh, sw = self._decode(blob or b"")
             feats.append(img.mean(axis=0).tolist())  # column-mean feature vector
-            heights.append(img.shape[0])
-            widths.append(img.shape[1])
+            heights.append(sh)
+            widths.append(sw)
             n_bytes.append(len(blob or b""))
         return pa.table(
             {
