@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": _embedding_neardup_lsh_checked,
         # multimodal plumbing (decode stubbed, see MediaDecodeActor)
         "media_features": dp.media_features,
+        "audio_features": dp.audio_features,
     }
 
 

@@ -1651,3 +1651,99 @@ def write_prep_corpus(sf_dir: str, out_dir: str, per_stratum: int = 10) -> dict:
 
     parts = sorted(d for d in os.listdir(out_dir) if d.startswith("lang="))
     return {"strata_written": len(parts), "out_dir": out_dir}
+
+
+class AudioDecodeActor:
+    """Actor-pool stage for opaque binary AUDIO columns. The decode is
+    REAL for the uncompressed case: a pure-struct/numpy RIFF/WAVE
+    parser (PCM16, chunk walking, multi-channel downmix) — compressed
+    codecs (mp3/ogg/aac) would need libraries this environment does not
+    ship and yield NULL features rather than a fake, so a caller can
+    tell decoded from undecodable rows."""
+
+    @staticmethod
+    def _decode_wav(blob: bytes) -> "tuple[np.ndarray, int] | None":
+        """blob -> (mono float32 samples in [-1,1], sample_rate)."""
+        import struct
+
+        if len(blob) < 44 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+            return None
+        pos, sr, n_ch, bits, data = 12, None, None, None, None
+        while pos + 8 <= len(blob):
+            cid = blob[pos : pos + 4]
+            size = struct.unpack_from("<I", blob, pos + 4)[0]
+            body = blob[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                if len(body) < 16:
+                    return None
+                fmt, n_ch, sr, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+                if fmt != 1 or bits != 16:  # PCM16 only
+                    return None
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if sr is None or data is None or not n_ch:
+            return None
+        samples = np.frombuffer(data, dtype="<i2", count=(len(data) // 2 // n_ch) * n_ch)
+        mono = samples.reshape(-1, n_ch).astype(np.float32).mean(axis=1) / 32768.0
+        return mono, sr
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        sr_c, dur_c, rms_c, zcr_c = [], [], [], []
+        for blob in t.column("media").to_pylist():
+            dec = self._decode_wav(blob or b"")
+            if dec is None or len(dec[0]) == 0:
+                sr_c.append(None), dur_c.append(None), rms_c.append(None), zcr_c.append(None)
+                continue
+            x, sr = dec
+            sr_c.append(sr)
+            dur_c.append(round(len(x) / sr, 6))
+            rms_c.append(round(float(np.sqrt(np.mean(x * x))), 6))
+            # zero-crossing rate per second: sign changes / duration
+            zcr_c.append(round(float(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))) / (len(x) / sr), 2))
+        return pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "sample_rate": pa.array(sr_c, pa.int32()),
+                "duration_s": pa.array(dur_c, pa.float64()),
+                "rms": pa.array(rms_c, pa.float64()),
+                "zcr_hz": pa.array(zcr_c, pa.float64()),
+            }
+        )
+
+
+def _synth_wav(doc_id: int, sr: int = 8000, dur_s: float = 0.25) -> bytes:
+    """Deterministic PCM16 WAV: a sine whose frequency derives from the
+    id — real audio bytes, so the decode path is exercised for real."""
+    import struct
+
+    f = 100.0 + (doc_id % 50) * 17.0
+    t = np.arange(int(sr * dur_s), dtype=np.float64) / sr
+    x = (0.5 * np.sin(2 * np.pi * f * t) * 32767).astype("<i2")
+    data = x.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def audio_features(sf_dir: str) -> "ray.data.Dataset":
+    """Multimodal audio pipeline: synthesize deterministic PCM16 WAV
+    blobs (one per document id — REAL wav bytes, not a fake), then the
+    actor-pool decode/feature stage (duration, RMS, zero-crossing
+    rate). Small batches for large binary payloads, same memory rule as
+    media_features. Rows-only in the driver check; pytest pins the
+    features against closed-form expectations for a pure sine."""
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "media_id": t.column("doc_id"),
+                "media": pa.array([_synth_wav(int(i)) for i in ids], pa.binary()),
+            }
+        )
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
+        AudioDecodeActor, batch_format="pyarrow", zero_copy_batch=True, batch_size=64, concurrency=_pool()
+    )

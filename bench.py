@@ -217,6 +217,7 @@ def run_bench() -> dict:
         "knn_cosine_ivf",
         "embedding_neardup_lsh",
         "media_features",
+        "audio_features",
     ]
     qtimes = {}
     for name in bench_queries:

@@ -395,3 +395,63 @@ class TestMediaRealDecode:
         got = sorted(zip(out["media_id"], (np.array(f. tolist() if hasattr(f,'tolist') else f).mean() for f in out["feature"])))
         for i, m in got:
             assert abs(m - (i * 30) / 255.0) < 1e-6
+
+
+class TestAudioDecode:
+    def test_sine_features_closed_form(self):
+        """A pure 440 Hz sine at amplitude 0.5: RMS = 0.5/sqrt(2),
+        ZCR = 2f crossings/sec, duration = n/sr."""
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import AudioDecodeActor, _synth_wav
+        import struct
+
+        sr = 8000
+        f = 440.0
+        t = np.arange(sr, dtype=np.float64) / sr  # 1.0 s
+        x = (0.5 * np.sin(2 * np.pi * f * t) * 32767).astype("<i2")
+        data = x.tobytes()
+        blob = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+                + b"data" + struct.pack("<I", len(data)) + data)
+        tb = pa.table({"media_id": pa.array([1], pa.int64()), "media": pa.array([blob], pa.binary())})
+        out = AudioDecodeActor()(tb)
+        assert out.column("sample_rate")[0].as_py() == sr
+        assert abs(out.column("duration_s")[0].as_py() - 1.0) < 1e-9
+        assert abs(out.column("rms")[0].as_py() - 0.5 / np.sqrt(2)) < 1e-3
+        assert abs(out.column("zcr_hz")[0].as_py() - 2 * f) < 5
+
+    def test_stereo_downmix_and_word_alignment(self):
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import AudioDecodeActor
+        import struct
+
+        sr = 4000
+        left = np.full(100, 16384, dtype="<i2")
+        right = np.full(100, -16384, dtype="<i2")
+        inter = np.empty(200, dtype="<i2"); inter[0::2] = left; inter[1::2] = right
+        data = inter.tobytes()
+        # an odd-sized junk chunk BEFORE fmt exercises word-aligned walking
+        junk = b"JUNK" + struct.pack("<I", 3) + b"abc" + b"\x00"
+        blob = (b"RIFF" + struct.pack("<I", 100) + b"WAVE" + junk
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, sr, sr * 4, 4, 16)
+                + b"data" + struct.pack("<I", len(data)) + data)
+        out = AudioDecodeActor()(pa.table({"media_id": pa.array([7], pa.int64()), "media": pa.array([blob], pa.binary())}))
+        # L+R cancel -> silence
+        assert out.column("rms")[0].as_py() == 0.0
+        assert out.column("sample_rate")[0].as_py() == sr
+
+    def test_compressed_yields_null_not_fake(self):
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import AudioDecodeActor
+
+        out = AudioDecodeActor()(pa.table({
+            "media_id": pa.array([1], pa.int64()),
+            "media": pa.array([b"ID3\x04" + bytes(64)], pa.binary()),
+        }))
+        assert out.column("rms")[0].as_py() is None
+
+    def test_synth_wav_roundtrip(self):
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import AudioDecodeActor, _synth_wav
+
+        blob = _synth_wav(12)
+        dec = AudioDecodeActor._decode_wav(blob)
+        assert dec is not None
+        x, sr = dec
+        assert sr == 8000 and len(x) == 2000
