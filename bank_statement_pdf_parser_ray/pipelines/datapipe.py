@@ -73,7 +73,8 @@ def row_hash_md5(sf_dir: str) -> "ray.data.Dataset":
     """F5 content hashing (md5 hex to match the DuckDB oracle)."""
 
     def f(t: pa.Table) -> pa.Table:
-        hs = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in t.column("text").to_pylist()]
+        # md5(NULL) = NULL, like the oracle
+        hs = [None if s is None else hashlib.md5(s.encode("utf-8")).hexdigest() for s in t.column("text").to_pylist()]
         return pa.table({"doc_id": t.column("doc_id"), "h": pa.array(hs, pa.string())})
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
@@ -163,7 +164,7 @@ class LangIdActor:
         return best  # zero stopword hits -> "und", never a silent "en"
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        preds = [self._classify(s) for s in t.column("text").to_pylist()]
+        preds = ["und" if s is None else self._classify(s) for s in t.column("text").to_pylist()]
         return pa.table({"doc_id": t.column("doc_id"), "lang_pred": pa.array(preds, pa.string())})
 
 
@@ -236,7 +237,7 @@ def doc_fingerprint(sf_dir: str) -> "ray.data.Dataset":
     """Rolling-hash document fingerprint (winnowing-style min k-gram hash)."""
 
     def f(t: pa.Table) -> pa.Table:
-        fps = [_fingerprint(s) for s in t.column("text").to_pylist()]
+        fps = [None if s is None else _fingerprint(s) for s in t.column("text").to_pylist()]
         return pa.table({"doc_id": t.column("doc_id"), "fp": pa.array(fps, pa.int64())})
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
@@ -277,6 +278,9 @@ class _FetchTexts(_SelectiveDocReader):
         )
 
 
+_NULL_TEXT_H = -0x7FF3_9A1C_55E0_0001  # reserved group key for NULL text
+
+
 def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
     """Exact dedup: keep min doc_id per distinct text — the 100 TB shape:
 
@@ -294,7 +298,13 @@ def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
     from ray.data.aggregate import Min
 
     def add_hash(t: pa.Table) -> pa.Table:
-        hs = pa.array([stable_hash64(s) for s in t.column("text").to_pylist()], pa.int64())
+        # NULL text forms ONE group, exactly like SQL GROUP BY text —
+        # mapped to a reserved hash (the same negligible-collision
+        # argument as the hash itself)
+        hs = pa.array(
+            [_NULL_TEXT_H if s is None else stable_hash64(s) for s in t.column("text").to_pylist()],
+            pa.int64(),
+        )
         return pa.table({"text_h": hs, "doc_id": t.column("doc_id")})  # payload dropped pre-shuffle
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
@@ -759,6 +769,9 @@ def simhash(sf_dir: str) -> "ray.data.Dataset":
     def f(t: pa.Table) -> pa.Table:
         out = []
         for text in t.column("text").to_pylist():
+            if text is None:
+                out.append(None)
+                continue
             words = text.split()
             if not words:
                 out.append(0)

@@ -393,3 +393,91 @@ class TestSessionizedAllNullSession:
         out = events_sessionized(str(tmp_path)).to_pandas().sort_values("session_id")
         assert np.isnan(out.iloc[0]["sum_value"])
         assert out.iloc[1]["sum_value"] == 5.0
+
+
+class TestRandomizedDocumentsParity:
+    """Seeded engine-vs-DuckDB parity for the documents-hosted queries
+    over messy text: exotic whitespace (NBSP, ideographic space, tabs),
+    combining marks, empty strings, exact duplicates, mixed scripts.
+    The per-string hypothesis fuzz covers kernel semantics; this covers
+    the DISTRIBUTED composition (group-by-text shuffles, partial
+    counts, stratified cuts) end-to-end."""
+
+    OPS = [
+        "normalize_ws",
+        "token_count",
+        "token_count_bpe",
+        "quality_score",
+        "row_hash_md5",
+        "exact_dedup",
+        "corpus_clean",
+        "vocab_topk",
+        "stratified_sample",
+        "prep_corpus",
+    ]
+
+    @pytest.mark.parametrize("seed", [11, 12])
+    def test_documents_family_matches_duckdb(self, seed, tmp_path):
+        import duckdb
+        import importlib.util
+        import os
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        spec = importlib.util.spec_from_file_location(
+            "_entry_for_doc_fuzz", os.path.join(os.path.dirname(__file__), "..", "__ray_entry__.py")
+        )
+        entry = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(entry)
+
+        rng = np.random.default_rng(seed)
+        alphabet = list("abcdef XY.,!?09") + [
+            "\u00a0", "", "\u3000", "\u0301", "\u6c49", "\u00df", "\t", "\n"
+        ]
+        n = 300
+        texts = []
+        for i in range(n):
+            k = int(rng.integers(0, 40))
+            texts.append("".join(rng.choice(alphabet, k)))
+        # planted exact duplicates (dedup must collapse them)
+        for j in range(0, 30, 3):
+            texts[j + 1] = texts[j]
+        # planted NULL texts: md5(NULL)=NULL, GROUP BY text keeps one
+        # NULL group, counts/filters treat NULL per SQL
+        for j in range(40, 52, 4):
+            texts[j] = None
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(rng.choice(["en", "de", "zz"], n)),
+                "source": pa.array(["fuzz"] * n),
+                "n_chars": pa.array([0 if s is None else len(s) for s in texts], pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')")
+        Q, O = entry.queries(), entry.oracle_sql()
+
+        def canon(df):
+            df = df[sorted(df.columns)].copy()
+            for c in df.columns:
+                if pd.api.types.is_integer_dtype(df[c]):
+                    df[c] = df[c].astype("int64")
+            return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+        for name in self.OPS:
+            r = Q[name](str(tmp_path))
+            got = canon(r if isinstance(r, pd.DataFrame) else r.to_pandas())
+            exp = canon(con.sql(O[name]).df())
+            assert list(got.columns) == list(exp.columns), name
+            assert len(got) == len(exp), (name, len(got), len(exp))
+            for c in got.columns:
+                if pd.api.types.is_float_dtype(exp[c]):
+                    assert np.allclose(
+                        got[c].to_numpy(dtype=float), exp[c].to_numpy(dtype=float), rtol=0, atol=1e-9, equal_nan=True
+                    ), (name, c)
+                else:
+                    assert got[c].tolist() == exp[c].tolist(), (name, c)
+        con.close()
