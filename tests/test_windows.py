@@ -481,3 +481,64 @@ class TestRandomizedDocumentsParity:
                 else:
                     assert got[c].tolist() == exp[c].tolist(), (name, c)
         con.close()
+
+
+class TestRandomizedEmbeddingsParity:
+    """Seeded engine-vs-DuckDB parity for the vector family over
+    adversarial embeddings: planted exact duplicates (cos=1 ties),
+    antipodal pairs, a zero vector (DuckDB list_cosine_similarity
+    returns -1 for it, the engine treats it as all-zero sims — outputs
+    must still agree), tiny norms, duplicate similarity values."""
+
+    OPS = ["knn_cosine", "knn_cosine_filtered", "knn_cosine_ivf_full", "embedding_neardup"]
+
+    @pytest.mark.parametrize("seed", [21, 22])
+    def test_embeddings_family_matches_duckdb(self, seed, tmp_path):
+        import duckdb
+        import importlib.util
+        import os
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        spec = importlib.util.spec_from_file_location(
+            "_entry_for_emb_fuzz", os.path.join(os.path.dirname(__file__), "..", "__ray_entry__.py")
+        )
+        entry = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(entry)
+
+        rng = np.random.default_rng(seed)
+        n, d = 120, 16
+        m = rng.normal(size=(n, d))
+        m[5] = m[3]                    # exact duplicate of a query vector
+        m[7] = -m[3]                   # antipodal
+        m[9] = 0.0                     # zero vector
+        m[11] = m[2] * 1e-6            # tiny norm, same direction
+        m[13] = m[4] + rng.normal(size=d) * 1e-3  # near-duplicate
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), pa.int64()),
+                "embedding": pa.array([row.astype(np.float32).tolist() for row in m], pa.list_(pa.float32())),
+                "label": pa.array((np.arange(n) % 2).astype(np.int32), pa.int32()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{tmp_path}/embeddings.parquet')")
+        Q, O = entry.queries(), entry.oracle_sql()
+
+        def canon(df):
+            df = df[sorted(df.columns)].copy()
+            for c in df.columns:
+                if pd.api.types.is_integer_dtype(df[c]):
+                    df[c] = df[c].astype("int64")
+            return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+        for name in self.OPS:
+            r = Q[name](str(tmp_path))
+            got = canon(r if isinstance(r, pd.DataFrame) else r.to_pandas())
+            exp = canon(con.sql(O[name]).df())
+            assert list(got.columns) == list(exp.columns), name
+            assert len(got) == len(exp), (name, len(got), len(exp))
+            for c in got.columns:
+                assert got[c].tolist() == exp[c].tolist(), (name, c)
+        con.close()
