@@ -200,6 +200,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": dp.token_count_bpe,
         "quality_score": dp.quality_score,
         "vocab_topk": dp.vocab_topk,
+        "pii_scrub": dp.pii_scrub,
+        "repetition_ratio": dp.repetition_ratio,
+        "hash_split": dp.hash_split,
+        "decontaminate": dp.decontaminate,
         "langid": dp.langid,
         "doc_fingerprint": dp.doc_fingerprint,
         # dedup family
@@ -280,6 +284,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_verified": dp.MINHASH_VERIFIED_SQL,
         "dedup_clusters": dp.DEDUP_CLUSTERS_SQL,
         "vocab_topk": dp.VOCAB_TOPK_SQL,
+        "pii_scrub": dp.PII_SCRUB_SQL,
+        "repetition_ratio": dp.REPETITION_RATIO_SQL,
+        "hash_split": dp.HASH_SPLIT_SQL,
+        "decontaminate": dp.DECONTAMINATE_SQL,
         "corpus_clean": dp.CORPUS_CLEAN_SQL,
         "embedding_neardup": dp.EMBEDDING_NEARDUP_SQL,
         "knn_cosine_filtered": dp.KNN_COSINE_FILTERED_SQL,

@@ -1760,3 +1760,252 @@ def audio_features(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(
         AudioDecodeActor, batch_format="pyarrow", zero_copy_batch=True, batch_size=64, concurrency=_pool()
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus governance: PII scrubbing, repetition, splits, decontamination
+# ---------------------------------------------------------------------------
+
+# Both patterns are pure-ASCII RE2 classes, so the Arrow kernel (RE2) and
+# the DuckDB oracle (also RE2) scan with the SAME engine — no Python-vs-RE2
+# class divergence to pin (cf. the token_count_bpe note above).
+_EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_LONGNUM_RX = r"\d[\d \-]{6,}\d"  # phone/account-shaped long digit runs
+
+
+def pii_scrub(sf_dir: str) -> "ray.data.Dataset":
+    """PII redaction over the corpus: replace email addresses and long
+    digit runs (phone/account shapes) with typed placeholders, and count
+    the redactions per document.
+
+    Fully vectorized — two RE2 scans and two RE2 replaces per batch, no
+    Python loop; NULL text propagates to NULL outputs (matching SQL
+    semantics). The number-count is taken AFTER email redaction so the
+    two counters never double-count the digits inside an address — the
+    oracle states the same composition."""
+
+    def f(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        n_emails = pc.cast(pc.count_substring_regex(text, pattern=_EMAIL_RX), pa.int64())
+        no_email = pc.replace_substring_regex(text, pattern=_EMAIL_RX, replacement="<EMAIL>")
+        n_nums = pc.cast(pc.count_substring_regex(no_email, pattern=_LONGNUM_RX), pa.int64())
+        scrubbed = pc.replace_substring_regex(no_email, pattern=_LONGNUM_RX, replacement="<NUM>")
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "scrubbed": scrubbed,
+                "n_emails": n_emails,
+                "n_nums": n_nums,
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+PII_SCRUB_SQL = r"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                      '\d[\d \-]{6,}\d', '<NUM>', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                                   '\d[\d \-]{6,}\d')) AS BIGINT) AS n_nums
+FROM documents
+"""
+
+
+def repetition_ratio(sf_dir: str) -> "ray.data.Dataset":
+    """Gopher-style repetition signal: per document, the fraction of
+    newline-delimited lines that are duplicates of an earlier line.
+    High ratios flag boilerplate/template pages for the quality gates.
+
+    Vectorized shape: one Arrow split per batch, then ONE hash-dedup
+    over the flattened (row, line) pairs (pandas drop_duplicates — a
+    hash build, not a per-row Python loop). The ratio uses the exact
+    same float expression as the oracle (``(n - d) / n`` in float64) so
+    the compare is bit-stable, not tolerance-dependent."""
+
+    def f(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        lines = pc.split_pattern(text, pattern="\n")
+        total = pc.cast(pc.list_value_length(lines), pa.int64())  # NULL for NULL text
+        n = t.num_rows
+        tot_np = pc.fill_null(total, 0).to_numpy(zero_copy_only=False)
+        row_of = np.repeat(np.arange(n), tot_np)
+        flat = pc.list_flatten(lines)
+        dd = pd.DataFrame({"i": row_of, "line": flat.to_pandas()}).drop_duplicates()
+        per_row = dd.groupby("i").size()
+        distinct_np = np.zeros(n, dtype=np.int64)
+        distinct_np[per_row.index.to_numpy()] = per_row.to_numpy()
+        distinct = pc.if_else(pc.is_valid(total), pa.array(distinct_np, pa.int64()), pa.scalar(None, pa.int64()))
+        # split("") == [""] so total >= 1 whenever text is non-NULL: no 0-divide
+        ratio = pc.divide(
+            pc.cast(pc.subtract(total, distinct), pa.float64()), pc.cast(total, pa.float64())
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_lines": total,
+                "n_distinct_lines": distinct,
+                "dup_line_ratio": ratio,
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+REPETITION_RATIO_SQL = """
+SELECT doc_id,
+       CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+       CAST(len(list_distinct(string_split(text, chr(10)))) AS BIGINT) AS n_distinct_lines,
+       CAST(len(string_split(text, chr(10))) - len(list_distinct(string_split(text, chr(10)))) AS DOUBLE)
+         / len(string_split(text, chr(10))) AS dup_line_ratio
+FROM documents
+"""
+
+
+def _split_of(md5_hex: str) -> str:
+    """Deterministic corpus split from the first md5 byte: 00-cc train
+    (205/256 = 80.1%), cd-e5 val (25/256 = 9.8%), e6-ff test (10.2%).
+    Pure hex-string comparison so any engine (Python, SQL, anything
+    with md5) assigns identically — no float thresholds, no RNG."""
+    b = md5_hex[:2]
+    return "train" if b <= "cc" else ("val" if b <= "e5" else "test")
+
+
+def hash_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test assignment by content-independent
+    id hash (md5 of the decimal doc_id), rolled up per (lang, split).
+
+    The assignment is the per-row map; the rollup is the partial
+    pre-agg pattern: each batch collapses to at most |langs| x 3 rows
+    via a local Arrow group-by before the (tiny) global exchange."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        splits = [_split_of(hashlib.md5(str(i).encode("ascii")).hexdigest()) for i in ids]
+        local = pa.table({"lang": t.column("lang"), "split": pa.array(splits, pa.string())})
+        g = pa.TableGroupBy(local, ["lang", "split"]).aggregate([("split", "count")])
+        return g.rename_columns(["lang", "split", "p_n"])
+
+    ds = _docs(sf_dir, ["doc_id", "lang"]).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.groupby(["lang", "split"]).aggregate(Sum("p_n", alias_name="n_docs")).to_pandas()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values(["lang", "split"]).reset_index(drop=True)
+
+
+HASH_SPLIT_SQL = """
+SELECT lang,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'cc' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5' THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+_DECON_MOD = 41  # doc_id % 41 == 0 marks the held-out benchmark docs
+_DECON_N = 5  # word n-gram order
+_DECON_TOKEN_RX = re.compile(r"[A-Za-z0-9]+")  # pure-ASCII class == RE2 class
+
+
+class _DeconProbe:
+    """Actor-pool probe stage: the benchmark n-gram set is shipped via
+    the object store ONCE and dereferenced once per actor in __init__
+    (broadcast pattern), never per batch. Per batch the work is
+    tokenize + gram membership against the in-memory set."""
+
+    def __init__(self, bench_ref) -> None:
+        self.bench: frozenset = ray.get(bench_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n_hits = []
+        for s in t.column("text").to_pylist():
+            toks = _DECON_TOKEN_RX.findall(s or "")
+            hits = 0
+            for j in range(len(toks) - _DECON_N + 1):
+                if " ".join(toks[j : j + _DECON_N]) in self.bench:
+                    hits += 1
+            n_hits.append(hits)
+        hits_arr = pa.array(n_hits, pa.int64())
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_hits": hits_arr,
+                "contaminated": pc.greater(hits_arr, 0),
+            }
+        )
+
+
+def decontaminate(sf_dir: str) -> "ray.data.Dataset":
+    """Benchmark decontamination: flag training documents sharing any
+    word 5-gram with a held-out benchmark set (here: docs whose id is
+    divisible by 41, deterministically derived from the shared table).
+
+    Scale shape: the benchmark side is SMALL by definition (eval sets
+    are thousands of docs, not billions), so its gram set is built once
+    and broadcast via ray.put — the big side streams through an actor
+    pool doing set probes; no shuffle at all. At 100 TB the only change
+    is hashing grams to int64 before broadcast to shrink the set. The
+    tokenizer is a pure-ASCII regex class, identical in Python, RE2 and
+    the DuckDB oracle's regexp_split_to_array."""
+    bench_tbls = []
+    for b in (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            lambda t: t.filter(pa.array(t.column("doc_id").to_numpy() % _DECON_MOD == 0)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .iter_batches(batch_format="pyarrow")
+    ):
+        bench_tbls.append(b)
+    grams: set[str] = set()
+    for b in bench_tbls:
+        for s in b.column("text").to_pylist():
+            toks = _DECON_TOKEN_RX.findall(s or "")
+            for j in range(len(toks) - _DECON_N + 1):
+                grams.add(" ".join(toks[j : j + _DECON_N]))
+    bench_ref = ray.put(frozenset(grams))
+
+    train = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pa.array(t.column("doc_id").to_numpy() % _DECON_MOD != 0)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return train.map_batches(
+        _DeconProbe,
+        fn_constructor_args=(bench_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=_pool(),
+    )
+
+
+DECONTAMINATE_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+),
+bg AS (
+  SELECT DISTINCT array_to_string(w[CAST(i AS BIGINT):CAST(i + 4 AS BIGINT)], ' ') AS g
+  FROM w, UNNEST(range(1, greatest(len(w) - 3, 1))) AS t(i)
+  WHERE doc_id % 41 = 0
+),
+dg AS (
+  SELECT doc_id, array_to_string(w[CAST(i AS BIGINT):CAST(i + 4 AS BIGINT)], ' ') AS g
+  FROM w, UNNEST(range(1, greatest(len(w) - 3, 1))) AS t(i)
+  WHERE doc_id % 41 <> 0
+),
+hits AS (
+  SELECT dg.doc_id, count(*) AS n FROM dg JOIN bg USING (g) GROUP BY dg.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM documents d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 41 <> 0
+"""

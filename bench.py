@@ -207,6 +207,10 @@ def run_bench() -> dict:
         "quality_score",
         "vocab_topk",
         "corpus_clean",
+        "pii_scrub",
+        "repetition_ratio",
+        "hash_split",
+        "decontaminate",
         "langid",
         "exact_dedup",
         "minhash_candidates",

@@ -455,3 +455,87 @@ class TestAudioDecode:
         assert dec is not None
         x, sr = dec
         assert sr == 8000 and len(x) == 2000
+
+
+class TestCorpusGovernance:
+    """Planted fixtures for the governance operators (pii_scrub,
+    repetition_ratio, hash_split, decontaminate); cross-engine parity
+    vs DuckDB is covered by test_driver_contract."""
+
+    def _write(self, tmp_path, texts, langs=None):
+        n = len(texts)
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs or ["en"] * n, pa.string()),
+                "source": pa.array(["s"] * n, pa.string()),
+                "n_chars": pa.array([len(x) if x else 0 for x in texts], pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    def test_pii_scrub_redacts_and_counts(self, tmp_path):
+        d = self._write(
+            tmp_path,
+            [
+                "contact alice.smith+x@example.co.uk or call 555-123-4567 now",
+                "no pii here",
+                None,
+            ],
+        )
+        out = dp.pii_scrub(d).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert out.loc[0, "scrubbed"] == "contact <EMAIL> or call <NUM> now"
+        assert out.loc[0, "n_emails"] == 1 and out.loc[0, "n_nums"] == 1
+        assert out.loc[1, "scrubbed"] == "no pii here"
+        assert out.loc[1, "n_emails"] == 0 and out.loc[1, "n_nums"] == 0
+        assert out.loc[2, "scrubbed"] is None or out.loc[2, "scrubbed"] != out.loc[2, "scrubbed"]
+
+    def test_pii_scrub_email_digits_not_double_counted(self, tmp_path):
+        # the account number INSIDE the address must not also count as a num
+        d = self._write(tmp_path, ["acct 12345678 of u12345678@bank.com"])
+        out = dp.pii_scrub(d).to_pandas()
+        assert out.loc[0, "n_emails"] == 1
+        assert out.loc[0, "n_nums"] == 1
+        assert out.loc[0, "scrubbed"] == "acct <NUM> of <EMAIL>"
+
+    def test_repetition_ratio_counts_duplicate_lines(self, tmp_path):
+        d = self._write(tmp_path, ["a\nb\na\na", "x\ny", "", None])
+        out = dp.repetition_ratio(d).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert out.loc[0, "n_lines"] == 4 and out.loc[0, "n_distinct_lines"] == 2
+        assert out.loc[0, "dup_line_ratio"] == 0.5
+        assert out.loc[1, "dup_line_ratio"] == 0.0
+        # empty text splits to [""] -> 1 line, 0 dups
+        assert out.loc[2, "n_lines"] == 1 and out.loc[2, "dup_line_ratio"] == 0.0
+        assert np.isnan(out.loc[3, "dup_line_ratio"])
+
+    def test_hash_split_deterministic_and_complete(self, tmp_path):
+        d = self._write(tmp_path, [f"doc {i}" for i in range(200)], langs=["en", "fr"] * 100)
+        out1 = dp.hash_split(d)
+        out2 = dp.hash_split(d)
+        assert out1.equals(out2)  # deterministic
+        assert out1["n_docs"].sum() == 200
+        assert set(out1["split"]) <= {"train", "val", "test"}
+        # train dominates by construction (~80%)
+        train = out1[out1["split"] == "train"]["n_docs"].sum()
+        assert train > 120
+
+    def test_split_of_boundaries(self):
+        assert dp._split_of("cc" + "0" * 30) == "train"
+        assert dp._split_of("cd" + "0" * 30) == "val"
+        assert dp._split_of("e5" + "0" * 30) == "val"
+        assert dp._split_of("e6" + "0" * 30) == "test"
+        assert dp._split_of("00" + "0" * 30) == "train"
+        assert dp._split_of("ff" + "0" * 30) == "test"
+
+    def test_decontaminate_flags_planted_overlap(self, tmp_path):
+        bench = "alpha beta gamma delta epsilon zeta eta theta"  # doc_id 0 (0 % 41 == 0)
+        leaked = "prefix words then alpha beta gamma delta epsilon and more"  # shares a 5-gram
+        clean = "totally unrelated content with no shared phrases at all here"
+        d = self._write(tmp_path, [bench, leaked, clean])
+        out = dp.decontaminate(d).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        # benchmark doc itself is excluded from the output
+        assert out["doc_id"].tolist() == [1, 2]
+        assert bool(out.loc[0, "contaminated"]) and out.loc[0, "n_hits"] >= 1
+        assert not bool(out.loc[1, "contaminated"]) and out.loc[1, "n_hits"] == 0
