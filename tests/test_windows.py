@@ -414,6 +414,10 @@ class TestRandomizedDocumentsParity:
         "vocab_topk",
         "stratified_sample",
         "prep_corpus",
+        "pii_scrub",
+        "repetition_ratio",
+        "hash_split",
+        "decontaminate",
     ]
 
     @pytest.mark.parametrize("seed", [11, 12])
