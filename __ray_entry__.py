@@ -204,6 +204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_ratio": dp.repetition_ratio,
         "hash_split": dp.hash_split,
         "decontaminate": dp.decontaminate,
+        "mixture_sample": dp.mixture_sample,
+        "pack_sequences": dp.pack_sequences,
         "langid": dp.langid,
         "doc_fingerprint": dp.doc_fingerprint,
         # dedup family
@@ -288,6 +290,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_ratio": dp.REPETITION_RATIO_SQL,
         "hash_split": dp.HASH_SPLIT_SQL,
         "decontaminate": dp.DECONTAMINATE_SQL,
+        "mixture_sample": dp.MIXTURE_SAMPLE_SQL,
         "corpus_clean": dp.CORPUS_CLEAN_SQL,
         "embedding_neardup": dp.EMBEDDING_NEARDUP_SQL,
         "knn_cosine_filtered": dp.KNN_COSINE_FILTERED_SQL,

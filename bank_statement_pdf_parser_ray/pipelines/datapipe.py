@@ -2009,3 +2009,112 @@ FROM documents d
 LEFT JOIN hits h ON d.doc_id = h.doc_id
 WHERE d.doc_id % 41 <> 0
 """
+
+
+# ---------------------------------------------------------------------------
+# Pretraining assembly: mixture weighting and sequence packing
+# ---------------------------------------------------------------------------
+
+# Per-source sampling rates for the data mixture; unknown sources get the
+# default. The hex thresholds are derived ONCE here and shared between the
+# engine and the generated SQL oracle, so both sides accept exactly the
+# same doc_ids (deterministic md5-prefix acceptance, no RNG).
+MIXTURE_WEIGHTS = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
+MIXTURE_DEFAULT = 0.1
+
+
+def _mixture_hex(rate: float) -> str:
+    """rate in (0,1] -> 4-hex-digit acceptance ceiling: accept when the
+    first 4 md5 hex digits are <= the ceiling (rate 1.0 -> 'ffff')."""
+    return format(max(0, min(65535, int(rate * 65536) - 1)), "04x")
+
+
+def mixture_sample(sf_dir: str) -> "ray.data.Dataset":
+    """Data-mixture weighting: keep each document with a per-source
+    probability (MIXTURE_WEIGHTS), decided by a deterministic md5
+    prefix of its id — the standard reweight-sources-before-training
+    op, reproducible across engines and runs (same doc set at any
+    cluster size, no RNG state).
+
+    Pure per-row map + filter: no shuffle; the md5 prefix comparison is
+    the same hex-string trick as ``hash_split``."""
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        srcs = t.column("source").to_pylist()
+        keep = [
+            hashlib.md5(str(i).encode("ascii")).hexdigest()[:4]
+            <= _mixture_hex(MIXTURE_WEIGHTS.get(s, MIXTURE_DEFAULT))
+            for i, s in zip(ids, srcs)
+        ]
+        return t.filter(pa.array(keep))
+
+    return _docs(sf_dir, ["doc_id", "source", "lang"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _mixture_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN '{_mixture_hex(r)}'" for s, r in sorted(MIXTURE_WEIGHTS.items())
+    )
+    return (
+        "SELECT doc_id, source, lang FROM documents "
+        f"WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <= "
+        f"(CASE source {cases} ELSE '{_mixture_hex(MIXTURE_DEFAULT)}' END)"
+    )
+
+
+MIXTURE_SAMPLE_SQL = _mixture_sql()
+
+
+def pack_sequences(sf_dir: str, seq_len: int = 512) -> "ray.data.Dataset":
+    """Greedy sequence packing — assemble documents into fixed-capacity
+    training sequences (the step between a cleaned corpus and a
+    pretraining dataloader). Documents are token-counted vectorized
+    (one RE2 scan), truncated at ``seq_len``, and packed first-fit in
+    id order WITHIN each batch; each emitted row is one packed sequence
+    keyed by its first document's id.
+
+    Scale shape: packing never crosses a batch/block boundary, so the
+    op is a pure streaming map — no shuffle, no cross-task state, and
+    the ragged tail is bounded at one under-filled sequence per batch
+    (fill loss <= batches/docs, negligible at real block sizes). This
+    is the deliberate distributed trade: a GLOBAL first-fit-decreasing
+    pack would need a sort exchange for ~1% better fill.
+
+    Not SQL-expressible (the greedy fold is inherently sequential);
+    pytest pins conservation + capacity + determinism invariants."""
+
+    def f(t: pa.Table) -> pa.Table:
+        n_tok = pc.cast(
+            pc.fill_null(pc.count_substring_regex(t.column("text"), pattern=r"\S+"), 0),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        n_tok = np.minimum(n_tok, seq_len)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        seq_key, seq_docs, seq_toks = [], [], []
+        cur_key, cur_docs, cur_toks = None, 0, 0
+        for i in range(len(ids)):
+            if n_tok[i] == 0:
+                continue  # nothing to pack (empty/NULL text)
+            if cur_key is None or cur_toks + n_tok[i] > seq_len:
+                if cur_key is not None:
+                    seq_key.append(cur_key), seq_docs.append(cur_docs), seq_toks.append(cur_toks)
+                cur_key, cur_docs, cur_toks = int(ids[i]), 0, 0
+            cur_docs += 1
+            cur_toks += int(n_tok[i])
+        if cur_key is not None:
+            seq_key.append(cur_key), seq_docs.append(cur_docs), seq_toks.append(cur_toks)
+        return pa.table(
+            {
+                "seq_id": pa.array(seq_key, pa.int64()),
+                "n_docs": pa.array(seq_docs, pa.int64()),
+                "n_tokens": pa.array(seq_toks, pa.int64()),
+                "fill": pa.array([x / seq_len for x in seq_toks], pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096
+    )

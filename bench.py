@@ -211,6 +211,8 @@ def run_bench() -> dict:
         "repetition_ratio",
         "hash_split",
         "decontaminate",
+        "mixture_sample",
+        "pack_sequences",
         "langid",
         "exact_dedup",
         "minhash_candidates",

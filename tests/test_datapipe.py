@@ -539,3 +539,55 @@ class TestCorpusGovernance:
         assert out["doc_id"].tolist() == [1, 2]
         assert bool(out.loc[0, "contaminated"]) and out.loc[0, "n_hits"] >= 1
         assert not bool(out.loc[1, "contaminated"]) and out.loc[1, "n_hits"] == 0
+
+
+class TestPretrainAssembly:
+    def _write(self, tmp_path, texts, sources=None):
+        n = len(texts)
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(sources or ["src0"] * n, pa.string()),
+                "n_chars": pa.array([len(x) if x else 0 for x in texts], pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    def test_mixture_sample_rates(self, tmp_path):
+        n = 400
+        srcs = (["src0"] * 100) + (["src2"] * 100) + (["srcX"] * 200)
+        d = self._write(tmp_path, [f"doc {i}" for i in range(n)], sources=srcs)
+        out = dp.mixture_sample(d).to_pandas()
+        by = out.groupby("source").size()
+        assert by.get("src0", 0) == 100  # rate 1.0 keeps everything
+        assert 25 <= by.get("src2", 0) <= 75  # rate 0.5
+        assert by.get("srcX", 0) <= 45  # default rate 0.1
+        # deterministic
+        out2 = dp.mixture_sample(d).to_pandas()
+        assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+    def test_pack_sequences_invariants(self, tmp_path):
+        rng = np.random.default_rng(3)
+        texts = [" ".join(["w"] * int(rng.integers(1, 700))) for _ in range(300)]
+        texts += ["", None]  # unpackable rows are skipped
+        d = self._write(tmp_path, texts)
+        out = dp.pack_sequences(d, seq_len=512).to_pandas()
+        # capacity: no sequence exceeds seq_len
+        assert (out["n_tokens"] <= 512).all()
+        # conservation: truncated token mass is fully assigned
+        expect = sum(min(len(t.split()), 512) for t in texts if t)
+        assert out["n_tokens"].sum() == expect
+        assert out["n_docs"].sum() == 300
+        # greedy fill is high for random doc lengths
+        assert out["fill"].mean() > 0.6
+        # deterministic across runs
+        out2 = dp.pack_sequences(d, seq_len=512).to_pandas()
+        assert out.equals(out2)
+
+    def test_pack_sequences_truncates_long_doc(self, tmp_path):
+        d = self._write(tmp_path, [" ".join(["x"] * 2000)])
+        out = dp.pack_sequences(d, seq_len=512).to_pandas()
+        assert len(out) == 1 and out.loc[0, "n_tokens"] == 512 and out.loc[0, "fill"] == 1.0

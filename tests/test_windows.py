@@ -418,6 +418,7 @@ class TestRandomizedDocumentsParity:
         "repetition_ratio",
         "hash_split",
         "decontaminate",
+        "mixture_sample",
     ]
 
     @pytest.mark.parametrize("seed", [11, 12])
