@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_region_revenue": q.q5_region_revenue,
         "part_brand_revenue": q.part_brand_revenue,
         "anti_join_customers": q.anti_join_customers,
+        "union_event_slices": q.union_event_slices,
+        "intersect_users": q.intersect_users,
         "asof_join_events": w.asof_join_events,
         "events_rolling": w.events_rolling,
         "grouped_topk_events": w.grouped_topk_events,
@@ -237,6 +239,8 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "anti_join_customers": q.ANTI_JOIN_CUSTOMERS_SQL,
+        "union_event_slices": q.UNION_EVENT_SLICES_SQL,
+        "intersect_users": q.INTERSECT_USERS_SQL,
         "asof_join_events": w.ASOF_JOIN_EVENTS_SQL,
         "events_rolling": w.EVENTS_ROLLING_SQL,
         "grouped_topk_events": w.GROUPED_TOPK_EVENTS_SQL,

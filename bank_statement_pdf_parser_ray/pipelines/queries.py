@@ -690,3 +690,111 @@ SELECT event_type,
        round(stddev_samp(value), 6)    AS stddev_value
 FROM events GROUP BY event_type
 """
+
+
+def union_event_slices(sf_dir: str) -> pd.DataFrame:
+    """Set op: UNION ALL of two independently-filtered event slices
+    (Dataset.union concatenates lazily — no shuffle, blocks from both
+    inputs stream straight into the downstream partial pre-agg), then a
+    per-type count/sum rollup."""
+    from ray.data.aggregate import Count, Sum
+
+    def _nan_to_null(t: pa.Table) -> pa.Table:
+        # declared NaN-as-missing semantics (see the oracle note below);
+        # mapping NaN -> NULL here also sidesteps Ray Sum's NaN-partial
+        # skip, which would silently drop every VALID value sharing a
+        # partial with one NaN (the events_windowed fuzz catch)
+        v = t.column("value")
+        nan_mask = pc.and_(pc.is_valid(v), pc.is_nan(pc.fill_null(v, 0.0)))
+        return t.set_column(
+            t.schema.get_field_index("value"), "value", pc.if_else(nan_mask, pa.scalar(None, pa.float64()), v)
+        )
+
+    def keep_high(t: pa.Table) -> pa.Table:
+        t = _nan_to_null(t)
+        return t.filter(pc.greater(pc.fill_null(t.column("value"), -1e308), pa.scalar(90.0)))
+
+    def keep_clicks(t: pa.Table) -> pa.Table:
+        t = _nan_to_null(t)
+        return t.filter(pc.equal(t.column("event_type"), pa.scalar("click")))
+
+    high = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        keep_high, batch_format="pyarrow", zero_copy_batch=True
+    )
+    clicks = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        keep_clicks, batch_format="pyarrow", zero_copy_batch=True
+    )
+    both = high.union(clicks)
+    out = (
+        both.groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(2)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# NaN policy stated IN the oracle: the engine's Arrow comparison follows
+# IEEE (NaN > 90 is false) and Ray's Sum skips NaN partials, so the SQL
+# declares NaN-as-missing explicitly (isnan gate + NaN->NULL in the sum).
+# The shared driver tables are NaN-free, so the driver oracle is
+# unaffected; the randomized fuzz exercises the NaN legs.
+UNION_EVENT_SLICES_SQL = """
+WITH u AS (
+  SELECT event_type, value FROM events WHERE value > 90.0 AND NOT isnan(value)
+  UNION ALL
+  SELECT event_type, value FROM events WHERE event_type = 'click'
+)
+SELECT event_type, count(*) AS n,
+       round(sum(CASE WHEN isnan(value) THEN NULL ELSE value END), 2) AS sum_value
+FROM u GROUP BY event_type
+"""
+
+
+def intersect_users(sf_dir: str) -> pd.DataFrame:
+    """Set op: user_ids appearing with BOTH event types (INTERSECT of
+    two distinct projections). Scale shape: instead of materializing
+    two distinct sets and hash-joining them (two shuffles, and Ray's
+    hash join chokes on the schema-less empty partitions a sparse key
+    space produces), each batch collapses locally to one row per key
+    carrying has_click/has_view flags, a SINGLE pre-combined groupby
+    OR-merges the flags, and a streamed filter keeps keys with both.
+    Only unique (key, 2 bits) rows ever shuffle."""
+    from ray.data.aggregate import Max
+
+    def local_flags(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        is_click = pc.cast(pc.equal(et, pa.scalar("click")), pa.int8())
+        is_view = pc.cast(pc.equal(et, pa.scalar("view")), pa.int8())
+        flagged = pa.table(
+            {"user_id": t.column("user_id"), "is_click": is_click, "is_view": is_view}
+        ).filter(pc.or_(pc.equal(is_click, 1), pc.equal(is_view, 1)))
+        # per-batch pre-combine: one row per key leaves the batch
+        out = flagged.group_by(["user_id"]).aggregate([("is_click", "max"), ("is_view", "max")])
+        return out.rename_columns(["user_id", "is_click", "is_view"])
+
+    def keep_both(t: pa.Table) -> pa.Table:
+        # the groupby emits schema-less empty blocks for empty key
+        # ranges; rebuild them as typed empty tables
+        if "user_id" not in t.column_names:
+            return pa.table({"user_id": pa.array([], pa.int64())})
+        m = pc.and_(pc.equal(t.column("has_click"), 1), pc.equal(t.column("has_view"), 1))
+        return pa.table({"user_id": t.filter(m).column("user_id").cast(pa.int64())})
+
+    ds = (
+        _read(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(local_flags, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Max("is_click", alias_name="has_click"), Max("is_view", alias_name="has_view"))
+        .map_batches(keep_both, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    out = ds.to_pandas().astype({"user_id": "int64"})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+INTERSECT_USERS_SQL = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'view'
+"""

@@ -272,6 +272,8 @@ class TestRandomizedOracleParity:
         "topk_users",
         "events_pivot",
         "events_stats",
+        "union_event_slices",
+        "intersect_users",
     ]
 
     @pytest.mark.parametrize("seed", [1, 2, 3])
