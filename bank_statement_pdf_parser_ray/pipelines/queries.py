@@ -798,3 +798,57 @@ SELECT user_id FROM events WHERE event_type = 'click'
 INTERSECT
 SELECT user_id FROM events WHERE event_type = 'view'
 """
+
+
+def rollup_orders(sf_dir: str) -> pd.DataFrame:
+    """Multi-level aggregate (SQL ROLLUP): per (priority, status),
+    per priority, and grand total in one result. Scale shape: ONE
+    pre-combined shuffle at the finest grain only — the coarser levels
+    are derived from the already-reduced finest-grain table (at most
+    |priorities| x |statuses| rows, trivially driver-sized at any data
+    scale), so a 3-level rollup costs exactly one all-to-all."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            t.select(["o_orderpriority", "o_orderstatus", "o_totalprice"]),
+            ["o_orderpriority", "o_orderstatus"],
+        ).aggregate([("o_totalprice", "sum"), ("o_totalprice", "count")])
+        return g.rename_columns(["o_orderpriority", "o_orderstatus", "p_sum", "p_n"])
+
+    fine = (
+        _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(Sum("p_sum", alias_name="sum_price"), Sum("p_n", alias_name="n_orders"))
+        .to_pandas()
+    )
+    lvl1 = fine.groupby("o_orderpriority", as_index=False).agg(
+        sum_price=("sum_price", "sum"), n_orders=("n_orders", "sum")
+    )
+    lvl1["o_orderstatus"] = None
+    total = pd.DataFrame(
+        {
+            "o_orderpriority": pd.array([None], dtype=object),
+            "o_orderstatus": pd.array([None], dtype=object),
+            "sum_price": [fine["sum_price"].sum()],
+            "n_orders": [fine["n_orders"].sum()],
+        }
+    )
+    out = pd.concat([fine, lvl1, total], ignore_index=True)[
+        ["o_orderpriority", "o_orderstatus", "n_orders", "sum_price"]
+    ]
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["sum_price"] = out["sum_price"].round(2)
+    return out.reset_index(drop=True)
+
+
+ROLLUP_ORDERS_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       count(*)                    AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+

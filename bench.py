@@ -198,6 +198,9 @@ def run_bench() -> dict:
         "range_join_counts",
         "events_pivot",
         "events_stats",
+        "union_event_slices",
+        "intersect_users",
+        "rollup_orders",
         "stratified_sample",
         "prep_corpus",
         "approx_distinct_users",
