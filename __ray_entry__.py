@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_customers": q.anti_join_customers,
         "union_event_slices": q.union_event_slices,
         "intersect_users": q.intersect_users,
+        "except_users": q.except_users,
         "rollup_orders": q.rollup_orders,
         "asof_join_events": w.asof_join_events,
         "events_rolling": w.events_rolling,
@@ -242,6 +243,7 @@ def oracle_sql() -> dict[str, str]:
         "anti_join_customers": q.ANTI_JOIN_CUSTOMERS_SQL,
         "union_event_slices": q.UNION_EVENT_SLICES_SQL,
         "intersect_users": q.INTERSECT_USERS_SQL,
+        "except_users": q.EXCEPT_USERS_SQL,
         "rollup_orders": q.ROLLUP_ORDERS_SQL,
         "asof_join_events": w.ASOF_JOIN_EVENTS_SQL,
         "events_rolling": w.EVENTS_ROLLING_SQL,

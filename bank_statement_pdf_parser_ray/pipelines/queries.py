@@ -752,15 +752,15 @@ FROM u GROUP BY event_type
 """
 
 
-def intersect_users(sf_dir: str) -> pd.DataFrame:
-    """Set op: user_ids appearing with BOTH event types (INTERSECT of
-    two distinct projections). Scale shape: instead of materializing
-    two distinct sets and hash-joining them (two shuffles, and Ray's
-    hash join chokes on the schema-less empty partitions a sparse key
-    space produces), each batch collapses locally to one row per key
-    carrying has_click/has_view flags, a SINGLE pre-combined groupby
-    OR-merges the flags, and a streamed filter keeps keys with both.
-    Only unique (key, 2 bits) rows ever shuffle."""
+def _user_type_flag_sets(sf_dir: str, want_click: int, want_view: int) -> pd.DataFrame:
+    """Shared engine for INTERSECT/EXCEPT over event-type membership.
+    Scale shape: instead of materializing two distinct sets and
+    hash-joining them (two shuffles, and Ray's hash join chokes on the
+    schema-less empty partitions a sparse key space produces), each
+    batch collapses locally to one row per key carrying
+    has_click/has_view flags, a SINGLE pre-combined groupby OR-merges
+    the flags, and a streamed filter keeps keys matching the wanted bit
+    pattern. Only unique (key, 2 bits) rows ever shuffle."""
     from ray.data.aggregate import Max
 
     def local_flags(t: pa.Table) -> pa.Table:
@@ -774,12 +774,14 @@ def intersect_users(sf_dir: str) -> pd.DataFrame:
         out = flagged.group_by(["user_id"]).aggregate([("is_click", "max"), ("is_view", "max")])
         return out.rename_columns(["user_id", "is_click", "is_view"])
 
-    def keep_both(t: pa.Table) -> pa.Table:
+    def keep_wanted(t: pa.Table) -> pa.Table:
         # the groupby emits schema-less empty blocks for empty key
         # ranges; rebuild them as typed empty tables
         if "user_id" not in t.column_names:
             return pa.table({"user_id": pa.array([], pa.int64())})
-        m = pc.and_(pc.equal(t.column("has_click"), 1), pc.equal(t.column("has_view"), 1))
+        m = pc.and_(
+            pc.equal(t.column("has_click"), want_click), pc.equal(t.column("has_view"), want_view)
+        )
         return pa.table({"user_id": t.filter(m).column("user_id").cast(pa.int64())})
 
     ds = (
@@ -787,15 +789,38 @@ def intersect_users(sf_dir: str) -> pd.DataFrame:
         .map_batches(local_flags, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("user_id")
         .aggregate(Max("is_click", alias_name="has_click"), Max("is_view", alias_name="has_view"))
-        .map_batches(keep_both, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(keep_wanted, batch_format="pyarrow", zero_copy_batch=True)
     )
-    out = ds.to_pandas().astype({"user_id": "int64"})
+    out = ds.to_pandas()
+    if "user_id" not in out.columns:  # empty to_pandas loses columns
+        out = pd.DataFrame({"user_id": pd.Series([], dtype="int64")})
+    out = out.astype({"user_id": "int64"})
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def intersect_users(sf_dir: str) -> pd.DataFrame:
+    """Set op: user_ids appearing with BOTH event types (INTERSECT of
+    two distinct projections); see `_user_type_flag_sets`."""
+    return _user_type_flag_sets(sf_dir, want_click=1, want_view=1)
+
+
+def except_users(sf_dir: str) -> pd.DataFrame:
+    """Set op: user_ids with clicks but NO views (EXCEPT of two
+    distinct projections); see `_user_type_flag_sets` — same single
+    pre-combined shuffle, different wanted bit pattern."""
+    return _user_type_flag_sets(sf_dir, want_click=1, want_view=0)
 
 
 INTERSECT_USERS_SQL = """
 SELECT user_id FROM events WHERE event_type = 'click'
 INTERSECT
+SELECT user_id FROM events WHERE event_type = 'view'
+"""
+
+
+EXCEPT_USERS_SQL = """
+SELECT user_id FROM events WHERE event_type = 'click'
+EXCEPT
 SELECT user_id FROM events WHERE event_type = 'view'
 """
 

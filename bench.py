@@ -200,6 +200,7 @@ def run_bench() -> dict:
         "events_stats",
         "union_event_slices",
         "intersect_users",
+        "except_users",
         "rollup_orders",
         "stratified_sample",
         "prep_corpus",

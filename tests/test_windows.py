@@ -274,6 +274,7 @@ class TestRandomizedOracleParity:
         "events_stats",
         "union_event_slices",
         "intersect_users",
+        "except_users",
     ]
 
     @pytest.mark.parametrize("seed", [1, 2, 3])
