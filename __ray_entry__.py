@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_region_revenue": q.q5_region_revenue,
         "part_brand_revenue": q.part_brand_revenue,
         "anti_join_customers": q.anti_join_customers,
+        "semi_join_customers": q.semi_join_customers,
         "union_event_slices": q.union_event_slices,
         "intersect_users": q.intersect_users,
         "except_users": q.except_users,
@@ -241,6 +242,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "anti_join_customers": q.ANTI_JOIN_CUSTOMERS_SQL,
+        "semi_join_customers": q.SEMI_JOIN_CUSTOMERS_SQL,
         "union_event_slices": q.UNION_EVENT_SLICES_SQL,
         "intersect_users": q.INTERSECT_USERS_SQL,
         "except_users": q.EXCEPT_USERS_SQL,

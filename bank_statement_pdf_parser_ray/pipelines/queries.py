@@ -494,22 +494,21 @@ GROUP BY p_brand
 """
 
 
-def anti_join_customers(sf_dir: str, threshold: float = 400_000.0) -> pd.DataFrame:
-    """Distributed ANTI join (SURVEY.md §2.4 J4): customers with NO
-    order above `threshold`. Non-trivial on the shared tables (FK
-    integrity makes a plain no-orders anti join empty).
+def _exists_cogroup(sf_dir: str, threshold: float, keep_matched: bool) -> pd.DataFrame:
+    """Shared distributed EXISTS engine for the SEMI/ANTI join pair:
+    customers WITH (semi) / WITHOUT (anti) an order above `threshold`.
 
     Scale shape — cogroup, not Dataset.join: the probe side collapses
     to DISTINCT matching keys per batch BEFORE the shuffle (the
     exchange moves int64 keys, never raw orders), both sides are tagged
     and unioned, and ONE hash shuffle co-locates each key's customer
-    rows with any probe row; a vectorized per-group mask drops matched
-    keys. No driver-side key set, no broadcast — both sides stream, so
-    the plan survives a probe side whose distinct keys don't fit one
-    machine (where the broadcast_join pattern would not). The cogroup
-    also sidesteps a Dataset.join degeneracy: an ALL-EMPTY aggregated
-    side yields schema-less blocks that Arrow's hash join rejects
-    (ArrowInvalid on the key FieldRef) instead of returning all
+    rows with any probe row; a vectorized per-group mask keeps or drops
+    matched keys. No driver-side key set, no broadcast — both sides
+    stream, so the plan survives a probe side whose distinct keys don't
+    fit one machine (where the broadcast_join pattern would not). The
+    cogroup also sidesteps a Dataset.join degeneracy: an ALL-EMPTY
+    aggregated side yields schema-less blocks that Arrow's hash join
+    rejects (ArrowInvalid on the key FieldRef) instead of returning all
     left rows — found by probing the zero-match case."""
 
     def probe_keys(t: pa.Table) -> pa.Table:
@@ -540,26 +539,54 @@ def anti_join_customers(sf_dir: str, threshold: float = 400_000.0) -> pd.DataFra
         cust_rows, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def keep_unmatched(g: pa.Table) -> pa.Table:
-        if pc.any(g.column("is_probe")).as_py():
+    def select_group(g: pa.Table) -> pa.Table:
+        matched = pc.any(g.column("is_probe")).as_py()
+        if matched != keep_matched:
             return pa.table(
                 {"c_custkey": pa.array([], pa.int64()), "c_mktsegment": pa.array([], pa.string())}
             )
+        # drop the probe marker rows; customer rows carry the payload
+        g = g.filter(pc.invert(g.column("is_probe")))
         return g.select(["c_custkey", "c_mktsegment"])
 
     out = (
         cust.union(probe)
         .groupby("c_custkey")
-        .map_groups(keep_unmatched, batch_format="pyarrow")
+        .map_groups(select_group, batch_format="pyarrow")
         .to_pandas()
     )
     return out
+
+
+def anti_join_customers(sf_dir: str, threshold: float = 400_000.0) -> pd.DataFrame:
+    """Distributed ANTI join (SURVEY.md §2.4 J4): customers with NO
+    order above `threshold`; see `_exists_cogroup`. Non-trivial on the
+    shared tables (FK integrity makes a plain no-orders anti join
+    empty)."""
+    return _exists_cogroup(sf_dir, threshold, keep_matched=False)
+
+
+def semi_join_customers(sf_dir: str, threshold: float = 400_000.0) -> pd.DataFrame:
+    """Distributed SEMI join (EXISTS): customers WITH at least one
+    order above `threshold` — the complement of `anti_join_customers`,
+    same single-shuffle cogroup; see `_exists_cogroup`."""
+    return _exists_cogroup(sf_dir, threshold, keep_matched=True)
 
 
 ANTI_JOIN_CUSTOMERS_SQL = """
 SELECT c_custkey, c_mktsegment
 FROM customer c
 WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+)
+"""
+
+
+SEMI_JOIN_CUSTOMERS_SQL = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (
   SELECT 1 FROM orders o
   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
 )

@@ -191,6 +191,7 @@ def run_bench() -> dict:
         "q5_region_revenue",
         "part_brand_revenue",
         "anti_join_customers",
+        "semi_join_customers",
         "asof_join_events",
         "events_rolling",
         "grouped_topk_events",
