@@ -187,6 +187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_orders": q.rollup_orders,
         "asof_join_events": w.asof_join_events,
         "events_rolling": w.events_rolling,
+        "events_lag_lead": w.events_lag_lead,
+        "events_cumsum": w.events_cumsum,
         "grouped_topk_events": w.grouped_topk_events,
         "user_value_quantiles": w.user_value_quantiles,
         "range_join_counts": w.range_join_counts,
@@ -249,6 +251,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_orders": q.ROLLUP_ORDERS_SQL,
         "asof_join_events": w.ASOF_JOIN_EVENTS_SQL,
         "events_rolling": w.EVENTS_ROLLING_SQL,
+        "events_lag_lead": w.EVENTS_LAG_LEAD_SQL,
+        "events_cumsum": w.EVENTS_CUMSUM_SQL,
         "grouped_topk_events": w.GROUPED_TOPK_EVENTS_SQL,
         "user_value_quantiles": w.USER_VALUE_QUANTILES_SQL,
         "range_join_counts": w.RANGE_JOIN_COUNTS_SQL,

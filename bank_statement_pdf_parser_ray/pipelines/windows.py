@@ -314,6 +314,103 @@ FROM events GROUP BY user_id
 """
 
 
+def events_lag_lead(sf_dir: str) -> "ray.data.Dataset":
+    """Row-offset window functions (SQL ``lag``/``lead``): for every
+    event, the previous and next value and the previous timestamp of
+    the SAME user in (ts, event_id) order. Pure element shifts — no
+    sums, so values are carried bit-exact with no rounding, and the
+    NULL-vs-valid-NaN distinction must survive the shift (a lag of a
+    NULL is NULL; a lag of a stored NaN is NaN).
+
+    Same one-shuffle per-key plan as the rest of this module: hash
+    partition on user_id, per-group vectorized shift of the sorted
+    arrays. First/last rows of a group get NULL, exactly as SQL's
+    default one-row offset with no fill does."""
+
+    def shift(g: pa.Table) -> pa.Table:
+        order, ts_s, eid_s = _sorted_group(g)
+        val_s = g.column("value").to_numpy(zero_copy_only=False)[order]
+        valid_s = pc.is_valid(g.column("value")).to_numpy(zero_copy_only=False)[order]
+        n = len(ts_s)
+        user = g.column("user_id")[0].as_py()
+        prev_val = np.concatenate(([0.0], val_s[:-1]))
+        prev_valid = np.concatenate(([False], valid_s[:-1]))
+        next_val = np.concatenate((val_s[1:], [0.0]))
+        next_valid = np.concatenate((valid_s[1:], [False]))
+        prev_ts = np.concatenate(([0], ts_s[:-1]))
+        has_prev = np.arange(n) > 0
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s, pa.int64()),
+                "user_id": pa.array(np.full(n, user), pa.int64()),
+                "ts": pa.array(ts_s, pa.int64()).cast(pa.timestamp("us")),
+                "prev_value": pa.array(prev_val, pa.float64(), mask=~prev_valid),
+                "next_value": pa.array(next_val, pa.float64(), mask=~next_valid),
+                "prev_ts": pa.array(prev_ts, pa.int64(), mask=~has_prev).cast(pa.timestamp("us")),
+            }
+        )
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    return ds.groupby("user_id").map_groups(shift, batch_format="pyarrow")
+
+
+EVENTS_LAG_LEAD_SQL = """
+SELECT event_id, user_id, ts,
+       lag(value)  OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       lag(ts)     OVER w AS prev_ts
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def events_cumsum(sf_dir: str) -> "ray.data.Dataset":
+    """Running (cumulative) per-key aggregate — SQL ``sum/count OVER
+    (... ROWS UNBOUNDED PRECEDING)`` with the pinned (ts, event_id)
+    tie-break (a ROWS frame over an unpinned order would be
+    nondeterministic on duplicate timestamps; the explicit event_id
+    makes engine and oracle frame-identical).
+
+    NULL/NaN contract mirrors ``events_rolling``: NULLs are skipped by
+    the sum and counted by nothing; the running sum is NULL until the
+    first valid value; a VALID NaN is summed by SQL into every frame
+    containing it, so from its first occurrence onward the running sum
+    is NaN — implemented as a separate NaN prefix count, not by letting
+    NaN poison the cumsum arithmetic."""
+
+    def cumulate(g: pa.Table) -> pa.Table:
+        order, ts_s, eid_s = _sorted_group(g)
+        val_s = g.column("value").to_numpy(zero_copy_only=False)[order]
+        valid = pc.is_valid(g.column("value")).to_numpy(zero_copy_only=False)[order]
+        is_nan = valid & np.isnan(val_s)
+        csum = np.round(np.cumsum(np.where(valid & ~is_nan, val_s, 0.0)), 2)
+        n_valid = np.cumsum(valid.astype(np.int64))
+        csum = np.where(np.cumsum(is_nan.astype(np.int64)) > 0, np.nan, csum)
+        user = g.column("user_id")[0].as_py()
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s, pa.int64()),
+                "user_id": pa.array(np.full(len(ts_s), user), pa.int64()),
+                "ts": pa.array(ts_s, pa.int64()).cast(pa.timestamp("us")),
+                "cum_value": pa.array(csum, pa.float64(), mask=n_valid == 0),
+                "cum_n": pa.array(n_valid, pa.int64()),
+            }
+        )
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    return ds.groupby("user_id").map_groups(cumulate, batch_format="pyarrow")
+
+
+EVENTS_CUMSUM_SQL = """
+SELECT event_id, user_id, ts,
+       round(sum(value) OVER w, 2) AS cum_value,
+       count(value)     OVER w     AS cum_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 US_PER_5MIN = 300_000_000
 
 

@@ -194,6 +194,8 @@ def run_bench() -> dict:
         "semi_join_customers",
         "asof_join_events",
         "events_rolling",
+        "events_lag_lead",
+        "events_cumsum",
         "grouped_topk_events",
         "user_value_quantiles",
         "range_join_counts",

@@ -263,6 +263,8 @@ class TestRandomizedOracleParity:
     OPS = [
         "asof_join_events",
         "events_rolling",
+        "events_lag_lead",
+        "events_cumsum",
         "grouped_topk_events",
         "user_value_quantiles",
         "range_join_counts",
