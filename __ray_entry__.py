@@ -181,6 +181,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_brand_revenue": q.part_brand_revenue,
         "anti_join_customers": q.anti_join_customers,
         "semi_join_customers": q.semi_join_customers,
+        "left_join_big_orders": q.left_join_big_orders,
+        "full_outer_user_activity": q.full_outer_user_activity,
         "union_event_slices": q.union_event_slices,
         "intersect_users": q.intersect_users,
         "except_users": q.except_users,
@@ -245,6 +247,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "anti_join_customers": q.ANTI_JOIN_CUSTOMERS_SQL,
         "semi_join_customers": q.SEMI_JOIN_CUSTOMERS_SQL,
+        "left_join_big_orders": q.LEFT_JOIN_BIG_ORDERS_SQL,
+        "full_outer_user_activity": q.FULL_OUTER_USER_ACTIVITY_SQL,
         "union_event_slices": q.UNION_EVENT_SLICES_SQL,
         "intersect_users": q.INTERSECT_USERS_SQL,
         "except_users": q.EXCEPT_USERS_SQL,

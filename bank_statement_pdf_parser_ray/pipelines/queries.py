@@ -593,6 +593,152 @@ WHERE EXISTS (
 """
 
 
+def left_join_big_orders(sf_dir: str, threshold: float = 400_000.0) -> pd.DataFrame:
+    """Distributed LEFT OUTER join: every customer paired with each of
+    their orders above `threshold`, or a NULL order if they have none —
+    the join shape `Dataset.join` gets wrong on all-empty aggregated
+    sides (see `_exists_cogroup`), built on the same tagged-union
+    cogroup instead. The probe side is filtered at the parquet read
+    (predicate pushdown), both sides stream into ONE hash shuffle on
+    the key, and the per-group kernel replicates the single customer
+    payload row across that key's order rows (or emits the NULL-padded
+    row). No broadcast, no driver-side state — survives a right side of
+    any size. NULL keys would differ from SQL here (GROUP BY unifies
+    them, JOIN never matches them); the shared tables have none, and
+    the contract is documented rather than paid for with an extra
+    filter."""
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+        filter=pc.field("o_totalprice") > threshold,
+    )
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t.column("o_custkey"),
+                "c_mktsegment": pa.nulls(len(t), pa.string()),
+                "o_orderkey": t.column("o_orderkey"),
+                "o_totalprice": t.column("o_totalprice"),
+                "is_probe": pa.array(np.ones(len(t), dtype=bool)),
+            }
+        )
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "c_mktsegment": t.column("c_mktsegment"),
+                "o_orderkey": pa.nulls(len(t), pa.int64()),
+                "o_totalprice": pa.nulls(len(t), pa.float64()),
+                "is_probe": pa.array(np.zeros(len(t), dtype=bool)),
+            }
+        )
+
+    probe = orders.map_batches(order_rows, batch_format="pyarrow", zero_copy_batch=True)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        cust_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def pair_group(g: pa.Table) -> pa.Table:
+        is_probe = g.column("is_probe")
+        left = g.filter(pc.invert(is_probe))
+        empty = pa.table(
+            {
+                "c_custkey": pa.array([], pa.int64()),
+                "c_mktsegment": pa.array([], pa.string()),
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_totalprice": pa.array([], pa.float64()),
+            }
+        )
+        if len(left) == 0:  # orders referencing no customer: inner on the left side
+            return empty
+        right = g.filter(is_probe)
+        if len(right) == 0:  # unmatched customer: one NULL-padded row
+            return left.drop_columns(["is_probe"])
+        seg = left.column("c_mktsegment")[0].as_py()
+        n = len(right)
+        return pa.table(
+            {
+                "c_custkey": right.column("c_custkey"),
+                "c_mktsegment": pa.array([seg] * n, pa.string()),
+                "o_orderkey": right.column("o_orderkey"),
+                "o_totalprice": right.column("o_totalprice"),
+            }
+        )
+
+    return (
+        cust.union(probe)
+        .groupby("c_custkey")
+        .map_groups(pair_group, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+
+LEFT_JOIN_BIG_ORDERS_SQL = """
+SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+FROM customer c
+LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+  ON o.o_custkey = c.c_custkey
+"""
+
+
+def full_outer_user_activity(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER join of two per-user aggregates (click count vs
+    purchase count): a user appears when EITHER side has rows, with
+    NULL — not 0 — for the absent side. The two 'sides' never exist as
+    separate shuffled tables: one pruned read filtered to the two event
+    types, per-batch partial counts of each, ONE groupby summing both —
+    the full-outer semantics fall out of mapping a zero partial count
+    to NULL, because a user enters the pipeline only via rows of one of
+    the two types. One shuffle moving two int64s per (user, batch)
+    replaces SQL's two grouped subqueries plus an outer join."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    "p_clicks": pc.cast(pc.equal(et, "click"), pa.int64()),
+                    "p_purch": pc.cast(pc.equal(et, "purchase"), pa.int64()),
+                }
+            ),
+            ["user_id"],
+        ).aggregate([("p_clicks", "sum"), ("p_purch", "sum")])
+        return g.rename_columns(["user_id", "p_clicks", "p_purch"])
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type"],
+        filter=pc.field("event_type").isin(["click", "purchase"]),
+    )
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Sum("p_clicks", alias_name="n_clicks"), Sum("p_purch", alias_name="n_purchases"))
+        .to_pandas()
+    )
+    out["n_clicks"] = out["n_clicks"].astype("Int64").replace(0, pd.NA)
+    out["n_purchases"] = out["n_purchases"].astype("Int64").replace(0, pd.NA)
+    return out
+
+
+FULL_OUTER_USER_ACTIVITY_SQL = """
+WITH c AS (
+  SELECT user_id, count(*) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+), p AS (
+  SELECT user_id, count(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT coalesce(c.user_id, p.user_id) AS user_id, c.n_clicks, p.n_purchases
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+"""
+
+
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 

@@ -192,6 +192,8 @@ def run_bench() -> dict:
         "part_brand_revenue",
         "anti_join_customers",
         "semi_join_customers",
+        "left_join_big_orders",
+        "full_outer_user_activity",
         "asof_join_events",
         "events_rolling",
         "events_lag_lead",

@@ -277,6 +277,7 @@ class TestRandomizedOracleParity:
         "union_event_slices",
         "intersect_users",
         "except_users",
+        "full_outer_user_activity",
     ]
 
     @pytest.mark.parametrize("seed", [1, 2, 3])
