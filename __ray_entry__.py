@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_users": q.intersect_users,
         "except_users": q.except_users,
         "rollup_orders": q.rollup_orders,
+        "cube_orders": q.cube_orders,
         "asof_join_events": w.asof_join_events,
         "events_rolling": w.events_rolling,
         "events_lag_lead": w.events_lag_lead,
@@ -253,6 +254,7 @@ def oracle_sql() -> dict[str, str]:
         "intersect_users": q.INTERSECT_USERS_SQL,
         "except_users": q.EXCEPT_USERS_SQL,
         "rollup_orders": q.ROLLUP_ORDERS_SQL,
+        "cube_orders": q.CUBE_ORDERS_SQL,
         "asof_join_events": w.ASOF_JOIN_EVENTS_SQL,
         "events_rolling": w.EVENTS_ROLLING_SQL,
         "events_lag_lead": w.EVENTS_LAG_LEAD_SQL,

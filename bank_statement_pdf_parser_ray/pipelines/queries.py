@@ -998,13 +998,12 @@ SELECT user_id FROM events WHERE event_type = 'view'
 """
 
 
-def rollup_orders(sf_dir: str) -> pd.DataFrame:
-    """Multi-level aggregate (SQL ROLLUP): per (priority, status),
-    per priority, and grand total in one result. Scale shape: ONE
-    pre-combined shuffle at the finest grain only — the coarser levels
-    are derived from the already-reduced finest-grain table (at most
-    |priorities| x |statuses| rows, trivially driver-sized at any data
-    scale), so a 3-level rollup costs exactly one all-to-all."""
+def _orders_fine_agg(sf_dir: str) -> pd.DataFrame:
+    """Finest-grain (priority, status) sum/count of orders with partial
+    pre-aggregation — the ONE distributed reduction both `rollup_orders`
+    and `cube_orders` derive every coarser grouping set from. At most
+    |priorities| x |statuses| rows come back, trivially driver-sized at
+    any data scale."""
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
@@ -1014,31 +1013,80 @@ def rollup_orders(sf_dir: str) -> pd.DataFrame:
         ).aggregate([("o_totalprice", "sum"), ("o_totalprice", "count")])
         return g.rename_columns(["o_orderpriority", "o_orderstatus", "p_sum", "p_n"])
 
-    fine = (
+    return (
         _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["o_orderpriority", "o_orderstatus"])
         .aggregate(Sum("p_sum", alias_name="sum_price"), Sum("p_n", alias_name="n_orders"))
         .to_pandas()
     )
-    lvl1 = fine.groupby("o_orderpriority", as_index=False).agg(
-        sum_price=("sum_price", "sum"), n_orders=("n_orders", "sum")
-    )
-    lvl1["o_orderstatus"] = None
-    total = pd.DataFrame(
-        {
-            "o_orderpriority": pd.array([None], dtype=object),
-            "o_orderstatus": pd.array([None], dtype=object),
-            "sum_price": [fine["sum_price"].sum()],
-            "n_orders": [fine["n_orders"].sum()],
-        }
-    )
-    out = pd.concat([fine, lvl1, total], ignore_index=True)[
+
+
+def _coarsen(fine: pd.DataFrame, by: list[str]) -> pd.DataFrame:
+    """One grouping set derived from the reduced finest-grain table;
+    absent dimensions become NULL, as ROLLUP/CUBE emit them."""
+    if by:
+        lvl = fine.groupby(by, as_index=False).agg(
+            sum_price=("sum_price", "sum"), n_orders=("n_orders", "sum")
+        )
+    else:
+        lvl = pd.DataFrame(
+            {"sum_price": [fine["sum_price"].sum()], "n_orders": [fine["n_orders"].sum()]}
+        )
+    for dim in ("o_orderpriority", "o_orderstatus"):
+        if dim not in by:
+            lvl[dim] = pd.array([None] * len(lvl), dtype=object)
+    return lvl
+
+
+def _levels_out(levels: list[pd.DataFrame]) -> pd.DataFrame:
+    out = pd.concat(levels, ignore_index=True)[
         ["o_orderpriority", "o_orderstatus", "n_orders", "sum_price"]
     ]
     out["n_orders"] = out["n_orders"].astype("int64")
     out["sum_price"] = out["sum_price"].round(2)
     return out.reset_index(drop=True)
+
+
+def rollup_orders(sf_dir: str) -> pd.DataFrame:
+    """Multi-level aggregate (SQL ROLLUP): per (priority, status),
+    per priority, and grand total in one result. Scale shape: ONE
+    pre-combined shuffle at the finest grain only — the coarser levels
+    are derived from the already-reduced finest-grain table (see
+    `_orders_fine_agg`), so a 3-level rollup costs exactly one
+    all-to-all."""
+    fine = _orders_fine_agg(sf_dir)
+    return _levels_out(
+        [fine, _coarsen(fine, ["o_orderpriority"]), _coarsen(fine, [])]
+    )
+
+
+def cube_orders(sf_dir: str) -> pd.DataFrame:
+    """Full CUBE over (priority, status): all four grouping sets —
+    finest, each single dimension, and the grand total — still from the
+    SINGLE finest-grain shuffle of `_orders_fine_agg`; the 2^d - 1
+    coarser sets are pure driver arithmetic over the reduced table.
+    This is the right CUBE shape at any scale where the finest grain's
+    cardinality is bounded (categorical dims); high-cardinality CUBE
+    dims would instead need one shuffle per grouping set."""
+    fine = _orders_fine_agg(sf_dir)
+    return _levels_out(
+        [
+            fine,
+            _coarsen(fine, ["o_orderpriority"]),
+            _coarsen(fine, ["o_orderstatus"]),
+            _coarsen(fine, []),
+        ]
+    )
+
+
+CUBE_ORDERS_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       count(*)                    AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY CUBE(o_orderpriority, o_orderstatus)
+"""
 
 
 ROLLUP_ORDERS_SQL = """

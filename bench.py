@@ -207,6 +207,7 @@ def run_bench() -> dict:
         "intersect_users",
         "except_users",
         "rollup_orders",
+        "cube_orders",
         "stratified_sample",
         "prep_corpus",
         "approx_distinct_users",
