@@ -195,8 +195,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk_events": w.grouped_topk_events,
         "user_value_quantiles": w.user_value_quantiles,
         "range_join_counts": w.range_join_counts,
+        "events_ranked": w.events_ranked,
+        "user_event_paths": w.user_event_paths,
         "events_pivot": q.events_pivot,
         "events_stats": q.events_stats,
+        "lineitem_corr": q.lineitem_corr,
         "sample_documents": q.sample_documents,
         "stratified_sample": dp.stratified_sample_documents,
         "prep_corpus": dp.prep_corpus,
@@ -210,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": dp.token_count_bpe,
         "quality_score": dp.quality_score,
         "vocab_topk": dp.vocab_topk,
+        "tfidf_topterms": dp.tfidf_topterms,
         "pii_scrub": dp.pii_scrub,
         "repetition_ratio": dp.repetition_ratio,
         "hash_split": dp.hash_split,
@@ -262,8 +266,11 @@ def oracle_sql() -> dict[str, str]:
         "grouped_topk_events": w.GROUPED_TOPK_EVENTS_SQL,
         "user_value_quantiles": w.USER_VALUE_QUANTILES_SQL,
         "range_join_counts": w.RANGE_JOIN_COUNTS_SQL,
+        "events_ranked": w.EVENTS_RANKED_SQL,
+        "user_event_paths": w.USER_EVENT_PATHS_SQL,
         "events_pivot": q.EVENTS_PIVOT_SQL,
         "events_stats": q.EVENTS_STATS_SQL,
+        "lineitem_corr": q.LINEITEM_CORR_SQL,
         "stratified_sample": dp.STRATIFIED_SAMPLE_SQL,
         "prep_corpus": dp.PREP_CORPUS_SQL,
         "lineitem_agg": q.LINEITEM_AGG_SQL,
@@ -306,6 +313,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_verified": dp.MINHASH_VERIFIED_SQL,
         "dedup_clusters": dp.DEDUP_CLUSTERS_SQL,
         "vocab_topk": dp.VOCAB_TOPK_SQL,
+        "tfidf_topterms": dp.TFIDF_TOPTERMS_SQL,
         "pii_scrub": dp.PII_SCRUB_SQL,
         "repetition_ratio": dp.REPETITION_RATIO_SQL,
         "hash_split": dp.HASH_SPLIT_SQL,

@@ -233,6 +233,126 @@ LIMIT 50
 """
 
 
+def tfidf_topterms(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Per-document top-k terms by TF-IDF — the classic keyword /
+    salience extraction over a corpus, and the first operator here
+    whose per-row score depends on a GLOBAL corpus statistic (document
+    frequency).
+
+    Two streaming passes over the pruned text column, both reusing the
+    ``vocab_topk`` tokenizer (whitespace split, empty dropped — the
+    DuckDB-parity-pinned semantics):
+
+    1. DF pass: per batch, distinct (doc, word) pairs collapse to one
+       partial count per word (``pa.TableGroupBy``), so the shuffle
+       moves O(vocab x blocks) rows; a global pre-combined groupby
+       yields the document-frequency table.
+    2. Score pass: idf = ln(N/df) is broadcast once via ``ray.put``
+       (vocab ≪ corpus; the 100 TB fallback when a heavy-tail vocab
+       outgrows the broadcast is a hash join on word — same result,
+       one more shuffle); each batch computes per-doc term counts,
+       probes idf with vectorized ``pc.index_in``, rounds, and takes
+       the per-doc top-k with one ``np.lexsort`` — no Python row loop.
+
+    Ties are pinned (score desc, word asc) ON THE ROUNDED score, and
+    the oracle ranks the same way, keeping row_number frames identical.
+    """
+
+    def _tf(t: pa.Table) -> tuple[pa.Table, np.ndarray]:
+        words_list = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        words = pc.list_flatten(words_list)
+        parent = pc.list_parent_indices(words_list).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+        tf = pa.TableGroupBy(
+            pa.table(
+                {
+                    "i": pa.array(parent[keep], pa.int64()),
+                    "word": words.filter(pa.array(keep)),
+                }
+            ),
+            ["i", "word"],
+        ).aggregate([("word", "count")])
+        return tf.rename_columns(["i", "word", "tf"])
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        tf = _tf(t)  # (i, word) distinct by construction
+        g = pa.TableGroupBy(tf.select(["word"]), ["word"]).aggregate([([], "count_all")])
+        return g.rename_columns(["word", "p_df"])
+
+    from ray.data.aggregate import Sum
+
+    n_docs = _docs(sf_dir, ["doc_id"]).count()
+    df_tbl = (
+        _docs(sf_dir, ["text"])
+        .map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word")
+        .aggregate(Sum("p_df", alias_name="df"))
+        .to_arrow_refs()
+    )
+    df_tbl = pa.concat_tables([ray.get(r) for r in df_tbl])
+    # pre-sort the vocab once so the per-batch tie-break is a pure
+    # integer lexsort (word-rank), not Python string compares
+    vocab = df_tbl.column("word").combine_chunks()
+    sort_idx = pc.array_sort_indices(vocab)
+    vocab = vocab.take(sort_idx)
+    idf_np = np.log(
+        float(n_docs)
+        / df_tbl.column("df").combine_chunks().take(sort_idx).to_numpy(zero_copy_only=False).astype(np.float64)
+    )
+    bcast = ray.put((vocab, idf_np))
+
+    def score(t: pa.Table) -> pa.Table:
+        voc, idf = ray.get(bcast)
+        tf = _tf(t)
+        words = tf.column("word")
+        idx = pc.fill_null(pc.index_in(words, value_set=voc), -1).to_numpy(zero_copy_only=False)
+        # every token was seen by the DF pass (same tokenizer)
+        assert (idx >= 0).all()
+        sc = np.round(
+            tf.column("tf").to_numpy(zero_copy_only=False).astype(np.float64) * idf[idx], 6
+        )
+        i = tf.column("i").to_numpy(zero_copy_only=False)
+        order = np.lexsort((idx, -sc, i))  # (doc, score desc, word asc)
+        i_s, sc_s = i[order], sc[order]
+        new = np.concatenate(([True], i_s[1:] != i_s[:-1]))
+        run_start = np.maximum.accumulate(np.where(new, np.arange(len(i_s)), 0))
+        rk = np.arange(len(i_s)) - run_start + 1
+        take = rk <= k
+        doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[i_s[take]], pa.int64()),
+                "word": voc.take(pa.array(idx[order][take], pa.int64())),
+                "score": pa.array(sc_s[take], pa.float64()),
+                "rk": pa.array(rk[take], pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+TFIDF_TOPTERMS_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM tok WHERE word <> '' GROUP BY doc_id, word
+), df AS (
+  SELECT word, count(*) AS df FROM tf GROUP BY word
+), scored AS (
+  SELECT tf.doc_id, tf.word,
+         round(tf.tf * ln((SELECT count(*) FROM documents) / CAST(df.df AS DOUBLE)), 6) AS score
+  FROM tf JOIN df USING (word)
+), ranked AS (
+  SELECT doc_id, word, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rk
+  FROM scored
+)
+SELECT doc_id, word, score, rk FROM ranked WHERE rk <= 3
+"""
+
+
 def doc_fingerprint(sf_dir: str) -> "ray.data.Dataset":
     """Rolling-hash document fingerprint (winnowing-style min k-gram hash)."""
 

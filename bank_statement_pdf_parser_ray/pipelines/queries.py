@@ -1098,3 +1098,79 @@ GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
 """
 
 
+
+
+def lineitem_corr(sf_dir: str) -> pd.DataFrame:
+    """Distributed bivariate statistics — SQL ``corr`` /
+    ``covar_samp``: Pearson correlation and sample covariance of
+    (l_quantity, l_extendedprice) per return flag, from per-batch
+    partial sums of (n, Σx, Σy, Σx², Σy², Σxy) — the standard one-pass
+    distributed co-moment pattern; only one tiny pre-combined row per
+    (key, block) crosses the shuffle.
+
+    Rounding note: corr is dimensionless (rounded 6dp, far above
+    cancellation noise at this value range); the covariance subtracts
+    Σxy − ΣxΣy/n where both terms are ~1e10 at sf0.1, so it is rounded
+    to 2dp to stay above the ~1e-5 one-pass-vs-streaming float gap."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column("l_quantity").cast(pa.float64())
+        y = t.column("l_extendedprice").cast(pa.float64())
+        tbl = pa.table(
+            {
+                "k": t.column("l_returnflag"),
+                "x": x,
+                "y": y,
+                "xx": pc.multiply(x, x),
+                "yy": pc.multiply(y, y),
+                "xy": pc.multiply(x, y),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+        g = pa.TableGroupBy(tbl, ["k"]).aggregate(
+            [("x", "sum"), ("y", "sum"), ("xx", "sum"), ("yy", "sum"), ("xy", "sum"), ("one", "sum")]
+        )
+        return g.rename_columns(["l_returnflag", "p_x", "p_y", "p_xx", "p_yy", "p_xy", "p_n"])
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("p_x", alias_name="sx"),
+            Sum("p_y", alias_name="sy"),
+            Sum("p_xx", alias_name="sxx"),
+            Sum("p_yy", alias_name="syy"),
+            Sum("p_xy", alias_name="sxy"),
+            Sum("p_n", alias_name="n"),
+        )
+        .to_pandas()
+    )
+    n = out["n"].to_numpy(dtype=float)
+    sx, sy = out["sx"].to_numpy(dtype=float), out["sy"].to_numpy(dtype=float)
+    sxx, syy, sxy = (out[c].to_numpy(dtype=float) for c in ("sxx", "syy", "sxy"))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # sample co-moments need >=2 rows, else SQL NULL
+        cov = np.where(n > 1, (sxy - sx * sy / np.maximum(n, 1)) / np.maximum(n - 1, 1), np.nan)
+        vx = np.maximum(sxx - sx * sx / np.maximum(n, 1), 0.0)
+        vy = np.maximum(syy - sy * sy / np.maximum(n, 1), 0.0)
+        corr = np.where((n > 1) & (vx > 0) & (vy > 0), cov * (n - 1) / np.sqrt(vx * vy), np.nan)
+    res = pd.DataFrame(
+        {
+            "l_returnflag": out["l_returnflag"],
+            "n": out["n"].astype("int64"),
+            "corr_qty_price": np.round(corr, 6),
+            "covar_qty_price": np.round(cov, 2),
+        }
+    ).sort_values("l_returnflag").reset_index(drop=True)
+    return res
+
+
+LINEITEM_CORR_SQL = """
+SELECT l_returnflag,
+       count(*)                                       AS n,
+       round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""

@@ -452,3 +452,93 @@ SELECT a.event_id, a.user_id,
           AND b.ts BETWEEN a.ts - INTERVAL 5 MINUTE AND a.ts + INTERVAL 5 MINUTE) AS n_near
 FROM events a
 """
+
+
+def events_ranked(sf_dir: str, n_tiles: int = 4) -> "ray.data.Dataset":
+    """Ranking window functions — SQL ``rank`` / ``dense_rank`` /
+    ``ntile``: per user, the rank of each event by timestamp (ties on
+    duplicate timestamps share a rank, exactly as SQL rank does) and
+    its quartile bucket under the fully pinned (ts, event_id) order
+    (``ntile`` is row-positional, so its ORDER BY must be total — an
+    order with ties would make the bucket assignment
+    implementation-defined on both sides).
+
+    Per-group kernel on the sorted arrays: ts-run boundaries give rank
+    (``maximum.accumulate`` of run-start positions) and dense_rank
+    (``cumsum`` of boundaries); ntile is a ``searchsorted`` against the
+    cumulative SQL bucket sizes (first ``n % k`` buckets get the extra
+    row). Same one-shuffle plan and memory bound as the rest of this
+    module."""
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        order, ts_s, eid_s = _sorted_group(g)
+        n = len(ts_s)
+        new = np.concatenate(([True], ts_s[1:] != ts_s[:-1]))
+        rnk = np.maximum.accumulate(np.where(new, np.arange(n) + 1, 0))
+        drnk = np.cumsum(new)
+        k = min(n_tiles, n) if n else 0
+        sizes = np.full(k, n // n_tiles, dtype=np.int64) + (np.arange(k) < n % n_tiles)
+        tile = np.searchsorted(np.cumsum(sizes), np.arange(n), side="right") + 1
+        user = g.column("user_id")[0].as_py()
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s, pa.int64()),
+                "user_id": pa.array(np.full(n, user), pa.int64()),
+                "ts": pa.array(ts_s, pa.int64()).cast(pa.timestamp("us")),
+                "rnk": pa.array(rnk, pa.int64()),
+                "drnk": pa.array(drnk, pa.int64()),
+                "tile": pa.array(tile, pa.int64()),
+            }
+        )
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts"])
+    return ds.groupby("user_id").map_groups(rank_group, batch_format="pyarrow")
+
+
+EVENTS_RANKED_SQL = """
+SELECT event_id, user_id, ts,
+       rank()       OVER (PARTITION BY user_id ORDER BY ts) AS rnk,
+       dense_rank() OVER (PARTITION BY user_id ORDER BY ts) AS drnk,
+       ntile(4)     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tile
+FROM events
+"""
+
+
+def user_event_paths(sf_dir: str) -> "ray.data.Dataset":
+    """Ordered collect/concat aggregate — SQL ``string_agg(...  ORDER
+    BY ...)``: each user's full event-type journey as one
+    '>'-delimited string in (ts, event_id) order, plus the event
+    count. The canonical session-path input for funnel analysis.
+
+    A collect is inherently O(group-size) per output row — the path
+    column holds one token per event — so the per-worker bound is the
+    same single-key bound as every operator in this module; the output
+    row count is |users|, tiny. NULL event_types are skipped by SQL
+    string_agg (but still counted by count(*)); mirrored here with a
+    validity mask before the join."""
+
+    def concat_group(g: pa.Table) -> pa.Table:
+        order, ts_s, eid_s = _sorted_group(g)
+        et = g.column("event_type")
+        et_s = et.to_numpy(zero_copy_only=False)[order]
+        valid = pc.is_valid(et).to_numpy(zero_copy_only=False)[order]
+        path = ">".join(et_s[valid]) if valid.any() else None
+        user = g.column("user_id")[0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array([user], pa.int64()),
+                "n_events": pa.array([len(ts_s)], pa.int64()),
+                "path": pa.array([path], pa.string()),
+            }
+        )
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    return ds.groupby("user_id").map_groups(concat_group, batch_format="pyarrow")
+
+
+USER_EVENT_PATHS_SQL = """
+SELECT user_id, count(*) AS n_events,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+FROM events
+GROUP BY user_id
+"""

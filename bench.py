@@ -201,8 +201,11 @@ def run_bench() -> dict:
         "grouped_topk_events",
         "user_value_quantiles",
         "range_join_counts",
+        "events_ranked",
+        "user_event_paths",
         "events_pivot",
         "events_stats",
+        "lineitem_corr",
         "union_event_slices",
         "intersect_users",
         "except_users",
@@ -216,6 +219,7 @@ def run_bench() -> dict:
         "token_count",
         "quality_score",
         "vocab_topk",
+        "tfidf_topterms",
         "corpus_clean",
         "pii_scrub",
         "repetition_ratio",

@@ -268,6 +268,8 @@ class TestRandomizedOracleParity:
         "grouped_topk_events",
         "user_value_quantiles",
         "range_join_counts",
+        "events_ranked",
+        "user_event_paths",
         "events_windowed",
         "events_sessionized",
         "events_ordered",
@@ -375,6 +377,29 @@ FROM events GROUP BY user_id
         con.close()
 
 
+class TestEventPathsNullType:
+    def test_null_event_type_skipped_but_counted(self, tmp_path):
+        """string_agg skips NULL elements while count(*) counts the
+        row; an all-NULL group yields a NULL path."""
+        import pyarrow.parquet as pq
+
+        from bank_statement_pdf_parser_ray.pipelines.windows import user_event_paths
+
+        t = pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                "ts": pa.array([0, 1, 2, 0], pa.int64()).cast(pa.timestamp("us")),
+                "event_type": pa.array(["view", None, "click", None]),
+                "value": pa.array([1.0] * 4, pa.float64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = user_event_paths(str(tmp_path)).to_pandas().set_index("user_id")
+        assert out.loc[1, "path"] == "view>click" and out.loc[1, "n_events"] == 3
+        assert out.loc[2, "path"] is None and out.loc[2, "n_events"] == 1
+
+
 class TestSessionizedAllNullSession:
     def test_all_null_session_sums_to_null(self, tmp_path):
         """A session whose every value is NULL must report NULL
@@ -418,6 +443,7 @@ class TestRandomizedDocumentsParity:
         "exact_dedup",
         "corpus_clean",
         "vocab_topk",
+        "tfidf_topterms",
         "stratified_sample",
         "prep_corpus",
         "pii_scrub",
