@@ -200,6 +200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": q.events_pivot,
         "events_stats": q.events_stats,
         "lineitem_corr": q.lineitem_corr,
+        "value_histogram": q.value_histogram,
+        "approx_quantiles_events": dp.approx_quantiles_events,
         "sample_documents": q.sample_documents,
         "stratified_sample": dp.stratified_sample_documents,
         "prep_corpus": dp.prep_corpus,
@@ -271,6 +273,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": q.EVENTS_PIVOT_SQL,
         "events_stats": q.EVENTS_STATS_SQL,
         "lineitem_corr": q.LINEITEM_CORR_SQL,
+        "value_histogram": q.VALUE_HISTOGRAM_SQL,
         "stratified_sample": dp.STRATIFIED_SAMPLE_SQL,
         "prep_corpus": dp.PREP_CORPUS_SQL,
         "lineitem_agg": q.LINEITEM_AGG_SQL,

@@ -1645,6 +1645,76 @@ def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"approx_distinct": [int(round(_hll_estimate(regs)))]})
 
 
+def approx_quantiles_events(
+    sf_dir: str, qs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99), n_bins: int = 2048
+) -> pd.DataFrame:
+    """Approximate global quantiles of event values via a distributed
+    two-pass histogram sketch — the second mergeable sketch here after
+    the HLL. Exact global quantiles need a full sort (an all-to-all of
+    every row); the sketch needs two cheap passes whose shuffles carry
+    O(bins x blocks) tiny rows:
+
+    1. finite min/max (per-batch partial, one row per block);
+    2. equi-width bin counts over [lo, hi] (per-batch ``np.bincount``,
+       pre-combined before the groupby).
+
+    The driver walks the tiny cumulative histogram and reports the
+    bin midpoint at each requested rank, so the absolute error is
+    bounded by one bin width (hi-lo)/n_bins — asserted against exact
+    ``np.quantile`` in pytest. NULLs and valid NaNs are excluded
+    (same finite-values policy as ``events_stats``). Approximate by
+    construction, hence no SQL oracle; the exact per-key companion
+    (``user_value_quantiles``) is the oracle-paired path."""
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Min as _Min
+    from ray.data.aggregate import Sum
+
+    def finite(t: pa.Table) -> pa.Table:
+        v = t.column("value")
+        keep = pc.and_(pc.is_valid(v), pc.invert(pc.is_nan(pc.fill_null(v, 0.0))))
+        return pa.table({"v": v.filter(keep)})
+
+    ds = _read_events(sf_dir).map_batches(finite, batch_format="pyarrow", zero_copy_batch=True)
+    mm = ds.aggregate(_Min("v"), _Max("v"))
+    lo, hi = mm["min(v)"], mm["max(v)"]
+    if lo is None or hi is None:
+        return pd.DataFrame({"q": list(qs), "value_est": [np.nan] * len(qs)})
+    lo, hi = float(lo), float(hi)
+    if hi <= lo:
+        return pd.DataFrame({"q": list(qs), "value_est": [lo] * len(qs)})
+    w = (hi - lo) / n_bins
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        idx = np.clip(((v - lo) / w).astype(np.int64), 0, n_bins - 1)
+        counts = np.bincount(idx, minlength=n_bins)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {"bin": pa.array(nz, pa.int64()), "p_n": pa.array(counts[nz], pa.int64())}
+        )
+
+    htab = (
+        ds.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin")
+        .aggregate(Sum("p_n", alias_name="n"))
+        .to_pandas()
+    )
+    counts = np.zeros(n_bins, dtype=np.int64)
+    counts[htab["bin"].to_numpy(dtype=np.int64)] = htab["n"].to_numpy(dtype=np.int64)
+    cdf = np.cumsum(counts)
+    total = int(cdf[-1])
+    est = []
+    for q in qs:
+        rank = max(1, int(np.ceil(q * total)))
+        b = int(np.searchsorted(cdf, rank, side="left"))
+        est.append(lo + (b + 0.5) * w)
+    return pd.DataFrame({"q": list(qs), "value_est": np.round(est, 6)})
+
+
+def _read_events(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+
 def _add_sample_key(t: pa.Table) -> pa.Table:
     """md5(doc_id) as a cross-engine-reproducible ranking key (no Arrow
     md5 kernel — per-row hashlib, bounded by the pre-cut below)."""

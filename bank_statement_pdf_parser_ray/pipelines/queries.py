@@ -1174,3 +1174,44 @@ SELECT l_returnflag,
        round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+
+def value_histogram(sf_dir: str, width: float = 10.0) -> pd.DataFrame:
+    """Equi-width histogram of event values — the distributed
+    frequency-table shape: each batch bins vectorized
+    (floor(value/width)) and pre-combines to one row per (bin, block)
+    with ``pa.TableGroupBy``, so the shuffle moves O(bins x blocks)
+    rows no matter how large the input. NULLs and valid NaNs carry no
+    bin and are excluded on both sides (floor(NaN) has no integer
+    bin; the oracle states it with an isnan filter)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value")
+        keep = pc.and_(pc.is_valid(v), pc.invert(pc.is_nan(pc.fill_null(v, 0.0))))
+        v = v.filter(keep)
+        bins = pc.cast(pc.floor(pc.divide(v, width)), pa.int64())
+        g = pa.TableGroupBy(pa.table({"bin": bins}), ["bin"]).aggregate([([], "count_all")])
+        return g.rename_columns(["bin", "p_n"])
+
+    ds = _read(sf_dir, "events", ["value"])
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin")
+        .aggregate(Sum("p_n", alias_name="n"))
+        .to_pandas()
+    )
+    if out.empty:  # empty to_pandas loses columns — anchor the schema
+        return pd.DataFrame({"bin": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64")})
+    out = out.sort_values("bin").reset_index(drop=True)
+    out["bin"] = out["bin"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+VALUE_HISTOGRAM_SQL = """
+SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin, count(*) AS n
+FROM events
+WHERE value IS NOT NULL AND NOT isnan(value)
+GROUP BY bin ORDER BY bin
+"""

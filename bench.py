@@ -206,6 +206,8 @@ def run_bench() -> dict:
         "events_pivot",
         "events_stats",
         "lineitem_corr",
+        "value_histogram",
+        "approx_quantiles_events",
         "union_event_slices",
         "intersect_users",
         "except_users",

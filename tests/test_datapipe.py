@@ -277,6 +277,39 @@ class TestHLL:
         assert abs(approx - exact) / exact < 0.05, (approx, exact)
 
 
+class TestApproxQuantiles:
+    def test_error_bounded_by_bin_width(self):
+        """The histogram-sketch estimate must sit within one bin width
+        of the exact np.quantile over the finite values."""
+        import pyarrow.parquet as pq
+
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import approx_quantiles_events
+
+        sf = "/root/testdata/sf0.01"
+        out = approx_quantiles_events(sf)
+        v = pq.read_table(f"{sf}/events.parquet", columns=["value"]).column("value")
+        v = v.to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        w = (v.max() - v.min()) / 2048
+        for q, est in zip(out["q"], out["value_est"]):
+            exact = np.quantile(v, q)
+            assert abs(est - exact) <= w + 1e-9, (q, est, exact, w)
+
+    def test_degenerate_and_empty(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import approx_quantiles_events
+
+        t = pa.table({"value": pa.array([7.5] * 10, pa.float64())})
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = approx_quantiles_events(str(tmp_path))
+        assert (out["value_est"] == 7.5).all()
+        t = pa.table({"value": pa.array([None, float("nan")], pa.float64())})
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = approx_quantiles_events(str(tmp_path))
+        assert out["value_est"].isna().all()
+
+
 class TestPrepCorpus:
     def test_composition_equals_stagewise(self):
         """prep_corpus must EQUAL the stagewise computation: survivors

@@ -270,6 +270,7 @@ class TestRandomizedOracleParity:
         "range_join_counts",
         "events_ranked",
         "user_event_paths",
+        "value_histogram",
         "events_windowed",
         "events_sessionized",
         "events_ordered",
