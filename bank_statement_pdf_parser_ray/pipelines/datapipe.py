@@ -281,7 +281,11 @@ def tfidf_topterms(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
 
     from ray.data.aggregate import Sum
 
-    n_docs = _docs(sf_dir, ["doc_id"]).count()
+    # N from the parquet footer — no data pass (row-group metadata is
+    # exact and costs one footer read per file)
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     df_tbl = (
         _docs(sf_dir, ["text"])
         .map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
@@ -289,7 +293,12 @@ def tfidf_topterms(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
         .aggregate(Sum("p_df", alias_name="df"))
         .to_arrow_refs()
     )
-    df_tbl = pa.concat_tables([ray.get(r) for r in df_tbl])
+    # drop the schema-less EMPTY blocks Ray groupby emits for empty
+    # key ranges (they poison concat_tables — measured at sf0.1)
+    blocks = [b for b in map(ray.get, df_tbl) if b.num_rows > 0]
+    if not blocks:
+        blocks = [pa.table({"word": pa.array([], pa.string()), "df": pa.array([], pa.int64())})]
+    df_tbl = pa.concat_tables(blocks)
     # pre-sort the vocab once so the per-batch tie-break is a pure
     # integer lexsort (word-rank), not Python string compares
     vocab = df_tbl.column("word").combine_chunks()
