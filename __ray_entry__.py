@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": dp.quality_score,
         "vocab_topk": dp.vocab_topk,
         "tfidf_topterms": dp.tfidf_topterms,
+        "unigram_logprob": dp.unigram_logprob,
         "pii_scrub": dp.pii_scrub,
         "repetition_ratio": dp.repetition_ratio,
         "hash_split": dp.hash_split,
@@ -317,6 +318,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": dp.DEDUP_CLUSTERS_SQL,
         "vocab_topk": dp.VOCAB_TOPK_SQL,
         "tfidf_topterms": dp.TFIDF_TOPTERMS_SQL,
+        "unigram_logprob": dp.UNIGRAM_LOGPROB_SQL,
         "pii_scrub": dp.PII_SCRUB_SQL,
         "repetition_ratio": dp.REPETITION_RATIO_SQL,
         "hash_split": dp.HASH_SPLIT_SQL,

@@ -233,6 +233,27 @@ LIMIT 50
 """
 
 
+def _tfidf_tf(t: pa.Table) -> pa.Table:
+    """Per-(row, word) term counts for one batch — the shared
+    tokenize-and-count kernel of ``tfidf_topterms`` and
+    ``unigram_logprob`` (vocab_topk's pinned whitespace tokenizer,
+    grouped by local row index ``i``)."""
+    words_list = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+    words = pc.list_flatten(words_list)
+    parent = pc.list_parent_indices(words_list).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+    tf = pa.TableGroupBy(
+        pa.table(
+            {
+                "i": pa.array(parent[keep], pa.int64()),
+                "word": words.filter(pa.array(keep)),
+            }
+        ),
+        ["i", "word"],
+    ).aggregate([("word", "count")])
+    return tf.rename_columns(["i", "word", "tf"])
+
+
 def tfidf_topterms(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
     """Per-document top-k terms by TF-IDF — the classic keyword /
     salience extraction over a corpus, and the first operator here
@@ -258,24 +279,8 @@ def tfidf_topterms(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
     the oracle ranks the same way, keeping row_number frames identical.
     """
 
-    def _tf(t: pa.Table) -> tuple[pa.Table, np.ndarray]:
-        words_list = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
-        words = pc.list_flatten(words_list)
-        parent = pc.list_parent_indices(words_list).to_numpy(zero_copy_only=False)
-        keep = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
-        tf = pa.TableGroupBy(
-            pa.table(
-                {
-                    "i": pa.array(parent[keep], pa.int64()),
-                    "word": words.filter(pa.array(keep)),
-                }
-            ),
-            ["i", "word"],
-        ).aggregate([("word", "count")])
-        return tf.rename_columns(["i", "word", "tf"])
-
     def df_partial(t: pa.Table) -> pa.Table:
-        tf = _tf(t)  # (i, word) distinct by construction
+        tf = _tfidf_tf(t)  # (i, word) distinct by construction
         g = pa.TableGroupBy(tf.select(["word"]), ["word"]).aggregate([([], "count_all")])
         return g.rename_columns(["word", "p_df"])
 
@@ -312,7 +317,7 @@ def tfidf_topterms(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
 
     def score(t: pa.Table) -> pa.Table:
         voc, idf = ray.get(bcast)
-        tf = _tf(t)
+        tf = _tfidf_tf(t)
         words = tf.column("word")
         idx = pc.fill_null(pc.index_in(words, value_set=voc), -1).to_numpy(zero_copy_only=False)
         # every token was seen by the DF pass (same tokenizer)
@@ -359,6 +364,89 @@ WITH tok AS (
   FROM scored
 )
 SELECT doc_id, word, score, rk FROM ranked WHERE rk <= 3
+"""
+
+
+def unigram_logprob(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document mean log corpus-unigram probability — the classic
+    cheap language-model quality signal (a document of common words
+    scores near the corpus mean; gibberish / rare-token spam scores
+    far below it). Complements the surface heuristics in
+    ``quality_score`` with a corpus-level statistical signal.
+
+    Same two-pass global-statistic shape as ``tfidf_topterms`` (and
+    the same pinned tokenizer): pass 1 reduces to the corpus unigram
+    count table (O(vocab x blocks) shuffle); ln p(w) = ln(c(w)/T) is
+    broadcast once; pass 2 scores each doc with two weighted
+    ``np.bincount`` calls — token multiplicity included, no Python
+    row loop. Docs with zero tokens emit no row (SQL GROUP BY over
+    their empty token set does the same)."""
+    from ray.data.aggregate import Sum
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern_regex(t.column("text"), pattern=r"\s+"))
+        words = words.filter(pc.not_equal(words, ""))
+        g = pa.TableGroupBy(pa.table({"word": words}), ["word"]).aggregate([([], "count_all")])
+        return g.rename_columns(["word", "p_n"])
+
+    refs = (
+        _docs(sf_dir, ["text"])
+        .map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word")
+        .aggregate(Sum("p_n", alias_name="c"))
+        .to_arrow_refs()
+    )
+    blocks = [b for b in map(ray.get, refs) if b.num_rows > 0]
+    if not blocks:
+        blocks = [pa.table({"word": pa.array([], pa.string()), "c": pa.array([], pa.int64())})]
+    cnt = pa.concat_tables(blocks)
+    vocab = cnt.column("word").combine_chunks()
+    c_np = cnt.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+    total = float(c_np.sum())
+    lnp = np.log(c_np / total) if total else c_np
+    bcast = ray.put((vocab, lnp))
+
+    def score(t: pa.Table) -> pa.Table:
+        voc, lp = ray.get(bcast)
+        tf = _tfidf_tf(t)
+        idx = pc.fill_null(pc.index_in(tf.column("word"), value_set=voc), -1).to_numpy(
+            zero_copy_only=False
+        )
+        assert (idx >= 0).all()  # pass 1 saw every token (same tokenizer)
+        i = tf.column("i").to_numpy(zero_copy_only=False)
+        w = tf.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t.num_rows
+        tok_n = np.bincount(i, weights=w, minlength=n)
+        tok_lp = np.bincount(i, weights=w * lp[idx], minlength=n)
+        has = tok_n > 0
+        doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)[has]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_tokens": pa.array(tok_n[has].astype(np.int64), pa.int64()),
+                "logprob": pa.array(np.round(tok_lp[has] / tok_n[has], 6), pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+UNIGRAM_LOGPROB_SQL = r"""
+WITH tokf AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents
+  ) WHERE word <> ''
+), cnt AS (
+  SELECT word, count(*) AS c FROM tokf GROUP BY word
+), tot AS (
+  SELECT count(*) AS t FROM tokf
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(ln(c / CAST(t AS DOUBLE))), 6) AS logprob
+FROM tokf JOIN cnt USING (word) CROSS JOIN tot
+GROUP BY doc_id
 """
 
 

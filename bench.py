@@ -222,6 +222,7 @@ def run_bench() -> dict:
         "quality_score",
         "vocab_topk",
         "tfidf_topterms",
+        "unigram_logprob",
         "corpus_clean",
         "pii_scrub",
         "repetition_ratio",

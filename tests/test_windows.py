@@ -445,6 +445,7 @@ class TestRandomizedDocumentsParity:
         "corpus_clean",
         "vocab_topk",
         "tfidf_topterms",
+        "unigram_logprob",
         "stratified_sample",
         "prep_corpus",
         "pii_scrub",
