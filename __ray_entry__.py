@@ -157,6 +157,7 @@ def _embedding_neardup_lsh_checked(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from bank_statement_pdf_parser_ray.pipelines import corpusops as co
     from bank_statement_pdf_parser_ray.pipelines import datapipe as dp
     from bank_statement_pdf_parser_ray.pipelines import queries as q
     from bank_statement_pdf_parser_ray.pipelines import windows as w
@@ -199,6 +200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_paths": w.user_event_paths,
         "events_pivot": q.events_pivot,
         "events_stats": q.events_stats,
+        "user_top_event": q.user_top_event,
+        "user_first_last": q.user_first_last,
         "lineitem_corr": q.lineitem_corr,
         "value_histogram": q.value_histogram,
         "approx_quantiles_events": dp.approx_quantiles_events,
@@ -225,6 +228,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": dp.pack_sequences,
         "langid": dp.langid,
         "doc_fingerprint": dp.doc_fingerprint,
+        "passage_dedup": co.passage_dedup,
+        "gopher_quality": co.gopher_quality,
+        "bm25_search": co.bm25_search,
         # dedup family
         "exact_dedup": dp.exact_dedup,
         "corpus_clean": dp.corpus_clean,
@@ -248,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from bank_statement_pdf_parser_ray.pipelines import corpusops as co
     from bank_statement_pdf_parser_ray.pipelines import datapipe as dp
     from bank_statement_pdf_parser_ray.pipelines import queries as q
     from bank_statement_pdf_parser_ray.pipelines import windows as w
@@ -273,6 +280,11 @@ def oracle_sql() -> dict[str, str]:
         "user_event_paths": w.USER_EVENT_PATHS_SQL,
         "events_pivot": q.EVENTS_PIVOT_SQL,
         "events_stats": q.EVENTS_STATS_SQL,
+        "user_top_event": q.USER_TOP_EVENT_SQL,
+        "user_first_last": q.USER_FIRST_LAST_SQL,
+        "passage_dedup": co.PASSAGE_DEDUP_SQL,
+        "gopher_quality": co.GOPHER_QUALITY_SQL,
+        "bm25_search": co.BM25_SEARCH_SQL,
         "lineitem_corr": q.LINEITEM_CORR_SQL,
         "value_histogram": q.VALUE_HISTOGRAM_SQL,
         "stratified_sample": dp.STRATIFIED_SAMPLE_SQL,

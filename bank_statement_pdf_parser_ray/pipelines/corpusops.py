@@ -1,0 +1,448 @@
+"""Corpus-hygiene operators over the shared ``documents`` table:
+global passage-level dedup (CCNet/RefinedWeb-style repeated-passage
+removal), Gopher-style quality gates, and BM25 keyword search.
+
+All three follow the repo's two-pass global-statistic shape
+(pipelines/datapipe.py::tfidf_topterms): pass 1 reduces the corpus to a
+small global table (frequent passages / document frequencies) with a
+pre-combined O(distinct-keys x blocks) shuffle; the small side is
+broadcast ONCE via ``ray.put``; pass 2 is a streaming vectorized
+``map_batches`` probe. Every operator is oracle-paired (DuckDB SQL on
+the same parquet), with the tokenizer pinned to the repo's
+DuckDB-parity semantics: RE2 ``\\s+`` split, empty tokens dropped.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from bank_statement_pdf_parser_ray.pipelines.datapipe import _docs, _tfidf_tf
+
+# ---------------------------------------------------------------------------
+# Passage-level global dedup (repeated-passage removal)
+# ---------------------------------------------------------------------------
+
+PASSAGE_WORDS = 10  # fixed-width non-overlapping word windows
+PASSAGE_MIN_DOCS = 2  # a passage in >= this many DISTINCT docs is boilerplate
+
+
+def _empty_chunks() -> tuple[np.ndarray, np.ndarray, pa.Array]:
+    return (
+        np.array([], dtype=np.int64),
+        np.array([], dtype=np.int64),
+        pa.array([], pa.string()),
+    )
+
+
+def _doc_chunks(t: pa.Table) -> tuple[np.ndarray, np.ndarray, pa.Array]:
+    """Split each non-null doc of the batch into consecutive
+    ``PASSAGE_WORDS``-word passages. Returns (batch-local doc row index,
+    passage position within doc, passage string), order-preserving and
+    fully vectorized: one RE2 split, one boundary scan, one
+    ``pc.binary_join`` — no Python per-row loop."""
+    words_list = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+    words = pc.list_flatten(words_list).combine_chunks()
+    parent = pc.list_parent_indices(words_list).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+    if not keep.any():
+        return _empty_chunks()
+    words = words.filter(pa.array(keep))
+    parent = parent[keep].astype(np.int64)
+    new_doc = np.concatenate(([True], parent[1:] != parent[:-1]))
+    run_start = np.maximum.accumulate(np.where(new_doc, np.arange(len(parent)), 0))
+    cid = (np.arange(len(parent)) - run_start) // PASSAGE_WORDS
+    bnd = new_doc | np.concatenate(([False], cid[1:] != cid[:-1]))
+    starts = np.flatnonzero(bnd)
+    offsets = np.concatenate((starts, [len(parent)])).astype(np.int32)
+    chunks = pc.binary_join(pa.ListArray.from_arrays(pa.array(offsets), words), pa.scalar(" "))
+    return parent[starts], cid[starts] + 1, chunks
+
+
+def _frequent_passages(sf_dir: str, min_docs: int) -> pa.Array:
+    """Pass 1: the global set of passages present in >= ``min_docs``
+    distinct documents. Shuffle moves (passage, partial-count) rows —
+    O(distinct passages x blocks), never one row per occurrence; the
+    result is bounded above by total_passages / min_docs (each frequent
+    passage consumes >= min_docs occurrences)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        i, _, chunks = _doc_chunks(t)
+        if len(i) == 0:
+            return pa.table({"chunk": pa.array([], pa.string()), "p_n": pa.array([], pa.int64())})
+        # distinct (doc, passage) first: the global count is over DISTINCT
+        # docs, and within a batch each doc appears exactly once
+        d = pa.TableGroupBy(
+            pa.table({"i": pa.array(i, pa.int64()), "chunk": chunks}), ["i", "chunk"]
+        ).aggregate([([], "count_all")])
+        g = pa.TableGroupBy(d.select(["chunk"]), ["chunk"]).aggregate([([], "count_all")])
+        return g.rename_columns(["chunk", "p_n"])
+
+    refs = (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("chunk")
+        .aggregate(Sum("p_n", alias_name="n"))
+        .to_arrow_refs()
+    )
+    blocks = [b for b in map(ray.get, refs) if b.num_rows > 0]
+    if not blocks:
+        return pa.array([], pa.string())
+    tbl = pa.concat_tables(blocks)
+    hot = tbl.filter(pc.greater_equal(tbl.column("n"), pa.scalar(min_docs)))
+    return hot.column("chunk").combine_chunks()
+
+
+def passage_dedup(sf_dir: str, min_docs: int = PASSAGE_MIN_DOCS) -> "ray.data.Dataset":
+    """Global repeated-passage removal (the CCNet / RefinedWeb dedup
+    step): every non-overlapping ``PASSAGE_WORDS``-word passage that
+    occurs in >= ``min_docs`` distinct documents is dropped from every
+    document; survivors are re-joined in original order. Documents whose
+    every passage was boilerplate emit no row (matching the SQL GROUP BY
+    over their empty passage set).
+
+    100 TB shape: the frequent-passage set is broadcast once via
+    ``ray.put`` (size bounded by total_passages/min_docs at the chosen
+    threshold; the fallback when a pathological corpus outgrows the
+    broadcast is a hash ANTI join on the passage string — one more
+    shuffle, same result). Pass 2 streams: probe with vectorized
+    ``pc.is_in``, rebuild each doc with one ``pc.binary_join``."""
+    freq = _frequent_passages(sf_dir, min_docs)
+    bcast = ray.put(freq)
+
+    def strip(t: pa.Table) -> pa.Table:
+        i, _, chunks = _doc_chunks(t)
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "clean_text": pa.array([], pa.string())}
+        )
+        if len(i) == 0:
+            return empty
+        hot: pa.Array = ray.get(bcast)
+        keep = (
+            np.zeros(len(i), dtype=bool) | True
+            if len(hot) == 0
+            else ~pc.is_in(chunks, value_set=hot).to_numpy(zero_copy_only=False)
+        )
+        if not keep.any():
+            return empty
+        ik = i[keep]
+        kept = chunks.filter(pa.array(keep))
+        new_doc = np.concatenate(([True], ik[1:] != ik[:-1]))
+        starts = np.flatnonzero(new_doc)
+        offsets = np.concatenate((starts, [len(ik)])).astype(np.int32)
+        clean = pc.binary_join(pa.ListArray.from_arrays(pa.array(offsets), kept), pa.scalar(" "))
+        doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)[ik[starts]]
+        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()), "clean_text": clean})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        strip, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+PASSAGE_DEDUP_SQL = r"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+  FROM documents WHERE text IS NOT NULL
+), ch AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, CAST(ceil(len(words) / 10.0) AS BIGINT)),
+                i -> array_to_string(words[(i - 1) * 10 + 1 : i * 10], ' '))) AS chunk,
+         unnest(generate_series(1, CAST(ceil(len(words) / 10.0) AS BIGINT))) AS pos
+  FROM w
+), freq AS (
+  SELECT chunk FROM ch GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+FROM ch
+WHERE chunk NOT IN (SELECT chunk FROM freq)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality gates
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPWORDS = pa.array(
+    ["the", "a", "of", "to", "and", "in", "is", "for", "with", "that"], pa.string()
+)
+
+
+def gopher_quality(sf_dir: str) -> "ray.data.Dataset":
+    """Gopher-rule quality gates (Rae et al. 2021 §A1.1, adapted to the
+    signals this corpus carries): per-document word count, mean word
+    length, alphabetic-word fraction, unique-word fraction, stopword
+    hits — and the composed ``keep`` verdict. Single streaming pass, no
+    shuffle; every metric is one Arrow kernel + ``np.bincount``, and the
+    thresholds are applied to the ROUNDED metrics on both engine and
+    oracle side so the verdicts can't diverge on float dust."""
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("text")))
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_words": pa.array([], pa.int64()),
+                "mean_word_len": pa.array([], pa.float64()),
+                "frac_alpha": pa.array([], pa.float64()),
+                "frac_unique": pa.array([], pa.float64()),
+                "n_stop": pa.array([], pa.int64()),
+                "keep": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        words_list = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        words = pc.list_flatten(words_list).combine_chunks()
+        parent = pc.list_parent_indices(words_list).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+        words = words.filter(pa.array(nonempty))
+        parent = parent[nonempty].astype(np.int64)
+        n = t.num_rows
+        n_words = np.bincount(parent, minlength=n)
+        lens = pc.utf8_length(words).to_numpy(zero_copy_only=False).astype(np.float64)
+        sum_len = np.bincount(parent, weights=lens, minlength=n)
+        alpha = pc.match_substring_regex(words, pattern="[A-Za-z]").to_numpy(
+            zero_copy_only=False
+        )
+        n_alpha = np.bincount(parent, weights=alpha.astype(np.float64), minlength=n)
+        stop = pc.is_in(words, value_set=_GOPHER_STOPWORDS).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(parent, weights=stop.astype(np.float64), minlength=n)
+        # distinct words per doc: the distinct (i, word) table's row count
+        d = pa.TableGroupBy(
+            pa.table({"i": pa.array(parent, pa.int64()), "word": words}), ["i", "word"]
+        ).aggregate([([], "count_all")])
+        n_uniq = np.bincount(
+            d.column("i").to_numpy(zero_copy_only=False), minlength=n
+        ).astype(np.float64)
+        has = n_words > 0
+        nw = n_words[has].astype(np.float64)
+        mean_len = np.round(sum_len[has] / nw, 6)
+        frac_alpha = np.round(n_alpha[has] / nw, 6)
+        frac_unique = np.round(n_uniq[has] / nw, 6)
+        nstop = n_stop[has].astype(np.int64)
+        keep_flag = (
+            (n_words[has] >= 10)
+            & (n_words[has] <= 100000)
+            & (mean_len >= 2)
+            & (mean_len <= 12)
+            & (frac_alpha >= 0.7)
+            & (frac_unique >= 0.2)
+            & (nstop >= 1)
+        )
+        doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)[has]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_words": pa.array(n_words[has].astype(np.int64), pa.int64()),
+                "mean_word_len": pa.array(mean_len, pa.float64()),
+                "frac_alpha": pa.array(frac_alpha, pa.float64()),
+                "frac_unique": pa.array(frac_unique, pa.float64()),
+                "n_stop": pa.array(nstop, pa.int64()),
+                "keep": pa.array(keep_flag.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+GOPHER_QUALITY_SQL = r"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+  FROM documents WHERE text IS NOT NULL
+), m AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         round(list_aggregate(list_transform(words, x -> CAST(length(x) AS DOUBLE)), 'avg'), 6) AS mean_word_len,
+         round(CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(words), 6) AS frac_alpha,
+         round(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 6) AS frac_unique,
+         len(list_filter(words, x -> x IN ('the','a','of','to','and','in','is','for','with','that'))) AS n_stop
+  FROM w WHERE len(words) > 0
+)
+SELECT doc_id, n_words, mean_word_len, frac_alpha, frac_unique, n_stop,
+       CAST(n_words BETWEEN 10 AND 100000
+            AND mean_word_len BETWEEN 2 AND 12
+            AND frac_alpha >= 0.7
+            AND frac_unique >= 0.2
+            AND n_stop >= 1 AS BIGINT) AS keep
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword search
+# ---------------------------------------------------------------------------
+
+BM25_QUERY_TERMS = ("customer", "spark", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def bm25_search(
+    sf_dir: str, terms: tuple[str, ...] = BM25_QUERY_TERMS, k: int = BM25_TOPK
+) -> pd.DataFrame:
+    """BM25 top-k document search for a fixed term set — the lexical
+    retrieval counterpart of ``knn_cosine`` (Robertson & Zaragoza 2009).
+
+    Pass 1 reduces the corpus to |terms| document frequencies plus two
+    scalars (total tokens, docs-with-tokens) — the partial shuffle moves
+    O((|terms|+1) x blocks) rows. idf/avgdl are mere floats, closed over
+    directly. Pass 2 streams: per-batch term frequencies via the shared
+    ``_tfidf_tf`` kernel, doc length via one ``np.bincount``, scores
+    summed per doc vectorized; the global top-k is a sort+limit on the
+    (already small) scored subset — only docs containing >= 1 query term
+    ever leave the map stage."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as _pq
+
+    term_arr = pa.array(list(terms), pa.string())
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        tf = _tfidf_tf(t)  # distinct (i, word) with counts
+        tot = int(pc.sum(tf.column("tf")).as_py() or 0)
+        ndocs = len(
+            pa.TableGroupBy(tf.select(["i"]), ["i"]).aggregate([([], "count_all")])
+        )
+        qtf = tf.filter(pc.is_in(tf.column("word"), value_set=term_arr))
+        g = pa.TableGroupBy(qtf.select(["word"]), ["word"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["word", "p_df"])
+        zeros = pa.nulls(g.num_rows, pa.int64()).fill_null(0)
+        stats = pa.table(
+            {
+                "word": pa.array([""], pa.string()),
+                "p_df": pa.array([0], pa.int64()),
+                "p_tok": pa.array([tot], pa.int64()),
+                "p_docs": pa.array([ndocs], pa.int64()),
+            }
+        )
+        per_term = pa.table(
+            {
+                "word": g.column("word"),
+                "p_df": pc.cast(g.column("p_df"), pa.int64()),
+                "p_tok": zeros,
+                "p_docs": zeros,
+            }
+        )
+        return pa.concat_tables([per_term, stats])
+
+    n_total = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    refs = (
+        _docs(sf_dir, ["text"])
+        .map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word")
+        .aggregate(
+            Sum("p_df", alias_name="df"),
+            Sum("p_tok", alias_name="tok"),
+            Sum("p_docs", alias_name="docs"),
+        )
+        .to_arrow_refs()
+    )
+    blocks = [b for b in map(ray.get, refs) if b.num_rows > 0]
+    stats = (
+        pa.concat_tables(blocks)
+        if blocks
+        else pa.table(
+            {
+                "word": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+                "tok": pa.array([], pa.int64()),
+                "docs": pa.array([], pa.int64()),
+            }
+        )
+    )
+    tok_total = float(pc.sum(stats.column("tok")).as_py() or 0)
+    docs_with = float(pc.sum(stats.column("docs")).as_py() or 0)
+    avgdl = tok_total / docs_with if docs_with else 1.0
+    df_map: dict[str, int] = {}
+    for w, dfv in zip(stats.column("word").to_pylist(), stats.column("df").to_pylist()):
+        if w:
+            df_map[w] = int(dfv)
+    # idf per term, in term order (terms absent from the corpus get df=0)
+    idf = np.array(
+        [
+            np.log((n_total - df_map.get(w, 0) + 0.5) / (df_map.get(w, 0) + 0.5) + 1.0)
+            for w in terms
+        ],
+        dtype=np.float64,
+    )
+    sorted_terms = pa.array(list(terms), pa.string())
+
+    def score(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+        )
+        tf = _tfidf_tf(t)
+        if tf.num_rows == 0:
+            return empty
+        i_all = tf.column("i").to_numpy(zero_copy_only=False)
+        c_all = tf.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = np.bincount(i_all, weights=c_all, minlength=t.num_rows)
+        tpos = pc.fill_null(
+            pc.index_in(tf.column("word"), value_set=sorted_terms), -1
+        ).to_numpy(zero_copy_only=False)
+        hit = tpos >= 0
+        if not hit.any():
+            return empty
+        i_q, c_q, t_q = i_all[hit], c_all[hit], tpos[hit]
+        denom = c_q + BM25_K1 * (1.0 - BM25_B + BM25_B * dl[i_q] / avgdl)
+        contrib = idf[t_q] * c_q * (BM25_K1 + 1.0) / denom
+        sc = np.bincount(i_q, weights=contrib, minlength=t.num_rows)
+        docs = np.unique(i_q)
+        doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)[docs]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "score": pa.array(np.round(sc[docs], 6), pa.float64()),
+            }
+        )
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out
+
+
+BM25_SEARCH_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents
+  ) WHERE word <> ''
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+), st AS (
+  SELECT avg(dl) AS avgdl FROM dl
+), nn AS (
+  SELECT count(*) AS n FROM documents
+), df AS (
+  SELECT word, count(*) AS df FROM tf
+  WHERE word IN ('customer', 'spark', 'window') GROUP BY word
+)
+SELECT tf.doc_id,
+       round(sum(ln((nn.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+FROM tf
+JOIN df USING (word)
+JOIN dl USING (doc_id)
+CROSS JOIN st CROSS JOIN nn
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id
+LIMIT 20
+"""

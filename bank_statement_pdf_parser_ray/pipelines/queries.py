@@ -1215,3 +1215,103 @@ FROM events
 WHERE value IS NOT NULL AND NOT isnan(value)
 GROUP BY bin ORDER BY bin
 """
+
+
+def user_top_event(sf_dir: str) -> pd.DataFrame:
+    """Deterministic per-user MODE: the most frequent event_type per
+    user with a pinned tie-break (count desc, event_type asc — SQL
+    mode() leaves ties unspecified, so the oracle ranks explicitly).
+
+    Scale shape: per-batch partial (user, type) counts pre-combine
+    BEFORE the shuffle, so the all-to-all moves O(users x types x
+    blocks) rows; the final per-user argmax runs distributed in
+    ``map_groups`` over the already-tiny count table."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["user_id", "event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "event_type", "p_n"])
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n", "event_type"], ascending=[False, True], na_position="last")
+        return df.head(1)
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("p_n", alias_name="n"))
+        .groupby("user_id")
+        .map_groups(pick, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.rename(columns={"event_type": "top_event"})
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+USER_TOP_EVENT_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY user_id, event_type
+), r AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rk
+  FROM c
+)
+SELECT user_id, event_type AS top_event, n FROM r WHERE rk = 1 ORDER BY user_id
+"""
+
+
+def user_first_last(sf_dir: str) -> pd.DataFrame:
+    """First and last event per user under the pinned total order
+    (ts, event_id) — duplicate timestamps exist in the shared table, so
+    the tie column is part of the contract on BOTH sides.
+
+    Scale shape: each batch reduces to at most TWO rows per user
+    (its local first and last) before the shuffle; the distributed
+    ``map_groups`` then folds the per-block extremes, never the raw
+    events."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)
+        return pd.concat([g.head(1), g.tail(1)]).drop_duplicates()
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        first, last = df.iloc[0], df.iloc[-1]
+        return pd.DataFrame(
+            {
+                "user_id": [first["user_id"]],
+                "first_event": [first["event_type"]],
+                "first_ts": [first["ts"]],
+                "last_event": [last["event_type"]],
+                "last_ts": [last["ts"]],
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+    out = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=8192)
+        .groupby("user_id")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+USER_FIRST_LAST_SQL = """
+WITH r AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ra,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd
+  FROM events
+)
+SELECT a.user_id, a.event_type AS first_event, a.ts AS first_ts,
+       d.event_type AS last_event, d.ts AS last_ts
+FROM (SELECT user_id, event_type, ts FROM r WHERE ra = 1) a
+JOIN (SELECT user_id, event_type, ts FROM r WHERE rd = 1) d USING (user_id)
+ORDER BY a.user_id
+"""
