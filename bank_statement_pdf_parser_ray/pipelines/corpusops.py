@@ -413,6 +413,10 @@ def bm25_search(
         .limit(k)
         .to_pandas()
     )
+    if "doc_id" not in out.columns:  # empty result: Ray drops the schema
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+        )
     out["doc_id"] = out["doc_id"].astype("int64")
     return out
 

@@ -1,0 +1,116 @@
+"""Planted-fixture tests for the corpus-hygiene operators
+(pipelines/corpusops.py): passage-level global dedup, Gopher quality
+gates, BM25 search. The randomized DuckDB parity fuzz
+(test_windows.py::TestRandomizedDocumentsParity) covers messy-text
+composition; these pin the SEMANTICS on corpora where the expected
+answer is known by construction."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from bank_statement_pdf_parser_ray.pipelines import corpusops as co
+
+
+def _write_docs(tmp_path, texts):
+    n = len(texts)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["t"] * n),
+            "n_chars": pa.array([0 if s is None else len(s) for s in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+BOILER = " ".join(f"b{i}" for i in range(co.PASSAGE_WORDS))  # one exact 10-word passage
+
+
+class TestPassageDedup:
+    def test_repeated_passage_stripped_everywhere(self, tmp_path):
+        uniq0 = " ".join(f"u{i}" for i in range(co.PASSAGE_WORDS))
+        uniq1 = " ".join(f"v{i}" for i in range(co.PASSAGE_WORDS))
+        d = _write_docs(
+            tmp_path,
+            [
+                f"{BOILER} {uniq0}",  # boilerplate + unique tail
+                f"{uniq1} {BOILER}",  # unique head + boilerplate
+                "short one off doc",  # single partial passage, unique
+            ],
+        )
+        out = co.passage_dedup(d).to_pandas().set_index("doc_id")["clean_text"]
+        assert out[0] == uniq0
+        assert out[1] == uniq1
+        assert out[2] == "short one off doc"
+
+    def test_all_boilerplate_doc_emits_no_row(self, tmp_path):
+        d = _write_docs(tmp_path, [BOILER, BOILER, "keep me here today"])
+        out = co.passage_dedup(d).to_pandas()
+        assert out["doc_id"].tolist() == [2]
+
+    def test_within_doc_repeat_is_not_boilerplate(self, tmp_path):
+        # the frequency count is over DISTINCT docs: a passage repeated
+        # twice inside ONE doc must survive
+        d = _write_docs(tmp_path, [f"{BOILER} {BOILER}", "other text entirely here now"])
+        out = co.passage_dedup(d).to_pandas().set_index("doc_id")["clean_text"]
+        assert out[0] == f"{BOILER} {BOILER}"
+
+    def test_null_and_empty_docs_drop(self, tmp_path):
+        d = _write_docs(tmp_path, [None, "", "   \t  ", "real words in this document"])
+        out = co.passage_dedup(d).to_pandas()
+        assert out["doc_id"].tolist() == [3]
+
+
+class TestGopherQuality:
+    def test_verdicts_by_construction(self, tmp_path):
+        good = "the quick brown fox jumps over a lazy dog in the warm park today"
+        too_short = "the cat"  # n_words < 10
+        no_alpha = " ".join(["123"] * 12)  # frac_alpha = 0 (also no stopword)
+        low_unique = "the " + " ".join(["word"] * 19)  # frac_unique = 2/20 < 0.2... == 0.1
+        d = _write_docs(tmp_path, [good, too_short, no_alpha, low_unique])
+        out = co.gopher_quality(d).to_pandas().set_index("doc_id")
+        assert out.loc[0, "keep"] == 1
+        assert out.loc[1, "keep"] == 0 and out.loc[1, "n_words"] == 2
+        assert out.loc[2, "keep"] == 0 and out.loc[2, "frac_alpha"] == 0.0
+        assert out.loc[3, "keep"] == 0 and out.loc[3, "frac_unique"] == pytest.approx(0.1)
+
+    def test_metrics_values(self, tmp_path):
+        d = _write_docs(tmp_path, ["aa bbb the aa"])
+        out = co.gopher_quality(d).to_pandas().iloc[0]
+        assert out["n_words"] == 4
+        assert out["mean_word_len"] == pytest.approx((2 + 3 + 3 + 2) / 4)
+        assert out["frac_unique"] == pytest.approx(3 / 4)
+        assert out["n_stop"] == 1
+
+
+class TestBM25:
+    def test_more_hits_rank_higher(self, tmp_path):
+        filler = "alpha beta gamma delta epsilon zeta eta theta"
+        d = _write_docs(
+            tmp_path,
+            [
+                f"customer customer customer {filler}",
+                f"customer {filler}",
+                f"{filler} nothing relevant here",
+                f"window spark {filler}",
+            ],
+        )
+        out = co.bm25_search(d)
+        ids = out["doc_id"].tolist()
+        assert 2 not in ids  # zero-hit docs never emitted
+        assert ids.index(0) < ids.index(1)  # same term, higher tf ranks higher
+        # doc 3 matches two rarer (higher-idf) terms -> outranks the
+        # single-common-term docs
+        assert ids[0] == 3
+
+    def test_absent_terms_and_empty_corpus(self, tmp_path):
+        d = _write_docs(tmp_path, ["no query words here at all", None])
+        out = co.bm25_search(d)
+        assert len(out) == 0

@@ -453,6 +453,9 @@ class TestRandomizedDocumentsParity:
         "hash_split",
         "decontaminate",
         "mixture_sample",
+        "passage_dedup",
+        "gopher_quality",
+        "bm25_search",
     ]
 
     @pytest.mark.parametrize("seed", [11, 12])
