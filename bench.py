@@ -228,6 +228,11 @@ def run_bench() -> dict:
         "repetition_ratio",
         "hash_split",
         "decontaminate",
+        "passage_dedup",
+        "gopher_quality",
+        "bm25_search",
+        "user_top_event",
+        "user_first_last",
         "mixture_sample",
         "pack_sequences",
         "langid",
