@@ -156,7 +156,24 @@ def _embedding_neardup_lsh_checked(sf_dir: str):
     return df
 
 
+def _semantic_dedup_checked(sf_dir: str):
+    """Schema-pinned wrapper (same reason as the lsh one above): the
+    within-cluster pair set can legitimately be empty, and Ray's
+    to_pandas() drops the column schema of an empty Dataset."""
+    import pandas as pd
+
+    from bank_statement_pdf_parser_ray.pipelines import cluster as cl
+
+    df = cl.semantic_dedup(sf_dir).to_pandas()
+    if not len(df.columns):
+        df = pd.DataFrame(
+            {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64")}
+        )
+    return df
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    from bank_statement_pdf_parser_ray.pipelines import cluster as cl
     from bank_statement_pdf_parser_ray.pipelines import corpusops as co
     from bank_statement_pdf_parser_ray.pipelines import datapipe as dp
     from bank_statement_pdf_parser_ray.pipelines import queries as q
@@ -202,6 +219,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_stats": q.events_stats,
         "user_top_event": q.user_top_event,
         "user_first_last": q.user_first_last,
+        "distinct_users_per_type": q.distinct_users_per_type,
+        "events_by_month": q.events_by_month,
         "lineitem_corr": q.lineitem_corr,
         "value_histogram": q.value_histogram,
         "approx_quantiles_events": dp.approx_quantiles_events,
@@ -247,6 +266,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_ivf": dp.knn_cosine_ivf,
         "knn_cosine_ivf_full": dp.knn_cosine_ivf_full,
         "embedding_neardup_lsh": _embedding_neardup_lsh_checked,
+        "kmeans_embeddings": cl.kmeans_embeddings,
+        "semantic_dedup": _semantic_dedup_checked,
         # multimodal plumbing (decode stubbed, see MediaDecodeActor)
         "media_features": dp.media_features,
         "audio_features": dp.audio_features,
@@ -282,6 +303,8 @@ def oracle_sql() -> dict[str, str]:
         "events_stats": q.EVENTS_STATS_SQL,
         "user_top_event": q.USER_TOP_EVENT_SQL,
         "user_first_last": q.USER_FIRST_LAST_SQL,
+        "distinct_users_per_type": q.DISTINCT_USERS_PER_TYPE_SQL,
+        "events_by_month": q.EVENTS_BY_MONTH_SQL,
         "passage_dedup": co.PASSAGE_DEDUP_SQL,
         "gopher_quality": co.GOPHER_QUALITY_SQL,
         "bm25_search": co.BM25_SEARCH_SQL,

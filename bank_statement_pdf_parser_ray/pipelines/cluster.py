@@ -1,0 +1,191 @@
+"""Distributed embedding clustering and semantic dedup.
+
+``kmeans_embeddings`` is exact distributed spherical k-means (Lloyd's
+iterations over the FULL table): each epoch is one streaming
+``map_batches`` pass that reduces every block to at most k partial rows
+(cluster, vector-sum, count), so the per-epoch driver traffic is
+O(k x d x blocks) floats regardless of corpus size; centroids are
+broadcast once per epoch via ``ray.put``. The bounded-sample fit
+(pipelines/datapipe.py::_fit_centroids_sample) remains the cheap path
+when epochs over 100 TB are not worth it; this is the exact path.
+
+``semantic_dedup`` is the SemDeDup shape (Abbas et al. 2023,
+arXiv:2303.09540): cluster with k-means, then search for cosine>=tau
+pairs ONLY within a cluster — the pairwise work drops from O(n^2) to
+sum over clusters of O(|c|^2), and each cluster's member matrix is the
+unit that must fit one worker (the partitioning assumption, documented
+here per SURVEY 2.10). Output is asserted a subset of the
+oracle-paired exact ``embedding_neardup`` in pytest, with planted-pair
+recall.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from bank_statement_pdf_parser_ray.pipelines.datapipe import _batch_vectors, _list_matrix
+
+KMEANS_K = 8
+KMEANS_ITERS = 5
+_INIT_SAMPLE = 2048
+
+
+def _farthest_point_init(x: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic greedy farthest-point init (the k-means++ max rule,
+    RNG-free): start at row 0, then repeatedly take the sample point
+    with the LOWEST maximum cosine to the centroids chosen so far.
+    Unlike seeded random choice this cannot drop a well-separated blob
+    (two picks inside one tight cluster would need a third point even
+    farther from everything)."""
+    chosen = [0]
+    max_sim = x @ x[0]
+    for _ in range(1, min(k, len(x))):
+        nxt = int(np.argmin(max_sim))
+        chosen.append(nxt)
+        max_sim = np.maximum(max_sim, x @ x[nxt])
+    return x[chosen].copy()
+
+
+def _init_centroids(sf_dir: str, k: int) -> np.ndarray:
+    """Deterministic init from the lowest-vec_id sample (predicate
+    pushdown keeps the read bounded at any corpus size)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["embedding"], filter=pc.field("vec_id") < _INIT_SAMPLE
+    )
+    x = _list_matrix(t.column("embedding"))
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+    return _farthest_point_init(x, k)
+
+
+def _epoch_partials(sf_dir: str, cent_ref) -> list[tuple[np.ndarray, np.ndarray]]:
+    """One epoch: per-block (k x d sum matrix, k counts) partials."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        _, m = _batch_vectors(t)
+        assign = np.argmax(m @ cent.T, axis=1)
+        k, d = cent.shape
+        sums = np.zeros((k, d), dtype=np.float64)
+        np.add.at(sums, assign, m)
+        counts = np.bincount(assign, minlength=k).astype(np.int64)
+        return pa.table(
+            {
+                "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = []
+    for ref in ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096
+    ).to_arrow_refs():
+        b = ray.get(ref)
+        if b.num_rows:
+            out.append((_list_matrix(b.column("vsum")), b.column("n").to_numpy(zero_copy_only=False)))
+    return out
+
+
+def kmeans_centroids(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> np.ndarray:
+    """Fit unit-norm centroids with exact distributed Lloyd's epochs.
+    Empty clusters keep their previous centroid (the standard rule, and
+    what the numpy reference in pytest replicates)."""
+    cent = _init_centroids(sf_dir, k)
+    for _ in range(iters):
+        ref = ray.put(cent)
+        sums = np.zeros_like(cent, dtype=np.float64)
+        counts = np.zeros(len(cent), dtype=np.int64)
+        for s, n in _epoch_partials(sf_dir, ref):
+            sums += s
+            counts += n
+        nz = counts > 0
+        mean = sums[nz] / counts[nz, None]
+        cent[nz] = (mean / np.maximum(np.linalg.norm(mean, axis=1, keepdims=True), 1e-30)).astype(
+            cent.dtype
+        )
+    return cent
+
+
+def kmeans_embeddings(
+    sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> "ray.data.Dataset":
+    """Final per-vector assignment (vec_id, cluster_id, sim) as a
+    streamed Dataset: one more broadcast + vectorized argmax pass."""
+    cent_ref = ray.put(kmeans_centroids(sf_dir, k, iters))
+
+    def assign(t: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        vec_ids, m = _batch_vectors(t)
+        sims = m @ cent.T
+        a = np.argmax(sims, axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(vec_ids, pa.int64()),
+                "cluster_id": pa.array(a.astype(np.int64), pa.int64()),
+                "sim": pa.array(np.round(sims[np.arange(len(a)), a], 6), pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096)
+
+
+def semantic_dedup(
+    sf_dir: str,
+    threshold: float = 0.4,
+    k: int = 4,
+    iters: int = KMEANS_ITERS,
+) -> "ray.data.Dataset":
+    """SemDeDup: cosine>=threshold pairs found within k-means clusters
+    only. Approximate by design (cross-cluster pairs are unseen);
+    pytest asserts output SUBSET-OF the exact oracle-paired
+    ``embedding_neardup`` plus planted-pair recall — near-identical
+    vectors share an argmax centroid by construction.
+
+    Scale shape: assignment streams (broadcast centroids); the single
+    shuffle co-locates each CLUSTER, whose member matrix is the
+    memory unit one worker must hold — k acts as the bucket count, so
+    size k to keep max-cluster ~ n/k rows in a worker heap."""
+    cent_ref = ray.put(kmeans_centroids(sf_dir, k, iters))
+
+    def assign(t: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        vec_ids, m = _batch_vectors(t)
+        a = np.argmax(m @ cent.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(vec_ids, pa.int64()),
+                "cluster_id": pa.array(a, pa.int64()),
+                "embedding": t.column("embedding"),
+            }
+        )
+
+    def within_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy(dtype=np.int64)
+        m = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = m @ m.T
+        ai, bj = np.nonzero(sims >= threshold)
+        keep = ids[ai] < ids[bj]
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ai][keep].astype("int64"),
+                "vec_b": ids[bj][keep].astype("int64"),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096)
+        .groupby("cluster_id")
+        .map_groups(within_pairs, batch_format="pandas")
+    )

@@ -1315,3 +1315,96 @@ FROM (SELECT user_id, event_type, ts FROM r WHERE ra = 1) a
 JOIN (SELECT user_id, event_type, ts FROM r WHERE rd = 1) d USING (user_id)
 ORDER BY a.user_id
 """
+
+
+def distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
+    """Exact COUNT(DISTINCT user_id) per event_type.
+
+    Scale shape: each batch first reduces to its DISTINCT (type, user)
+    pairs, so the one real shuffle moves O(distinct pairs x blocks)
+    rows, never raw events; the global pair dedup's output is one row
+    per distinct pair, and the per-type count over it is a second,
+    O(types)-sized exchange."""
+    from ray.data.aggregate import Count, Sum
+
+    def pairs(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["event_type", "user_id"]).aggregate([([], "count_all")])
+        return g.select(["event_type", "user_id"])
+
+    def count_types(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["event_type"]), ["event_type"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["event_type", "p_n"])
+
+    out = (
+        _read(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="dummy"))
+        .map_batches(count_types, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Sum("p_n", alias_name="n_users"))
+        .to_pandas()
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+DISTINCT_USERS_PER_TYPE_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def events_by_month(sf_dir: str) -> pd.DataFrame:
+    """Per-calendar-month event count and valid-value sum (date_trunc
+    family). NULL and NaN values are excluded from the sum on BOTH
+    sides; a month with zero valid values sums to NULL, matching the
+    SQL FILTER semantics (engine tracks the valid count explicitly).
+
+    Scale shape: one vectorized ``floor_temporal`` + per-batch partial
+    (month, n, n_vals, total) rows; the shuffle moves O(months x
+    blocks) rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(t.column("ts"), unit="month")
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        valid = ~np.isnan(v)
+        g = pa.table(
+            {
+                "month": month,
+                "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+                "is_valid": pa.array(valid.astype(np.int64), pa.int64()),
+                "val": pa.array(np.where(valid, v, 0.0), pa.float64()),
+            }
+        )
+        agg = pa.TableGroupBy(g, ["month"]).aggregate(
+            [("one", "sum"), ("is_valid", "sum"), ("val", "sum")]
+        )
+        return agg.rename_columns(["month", "p_n", "p_valid", "p_total"])
+
+    out = (
+        _read(sf_dir, "events", ["ts", "value"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("month")
+        .aggregate(
+            Sum("p_n", alias_name="n"),
+            Sum("p_valid", alias_name="n_valid"),
+            Sum("p_total", alias_name="raw_total"),
+        )
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["total"] = np.where(out["n_valid"] > 0, np.round(out["raw_total"], 6), np.nan)
+    out = out[["month", "n", "total"]]
+    return out.sort_values("month").reset_index(drop=True)
+
+
+EVENTS_BY_MONTH_SQL = """
+SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+       count(*) AS n,
+       round(sum(value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)), 6) AS total
+FROM events GROUP BY 1 ORDER BY 1
+"""

@@ -244,6 +244,10 @@ def run_bench() -> dict:
         "knn_cosine_filtered",
         "knn_cosine_ivf",
         "embedding_neardup_lsh",
+        "kmeans_embeddings",
+        "semantic_dedup",
+        "distinct_users_per_type",
+        "events_by_month",
         "media_features",
         "audio_features",
     ]
