@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_first_last": q.user_first_last,
         "distinct_users_per_type": q.distinct_users_per_type,
         "events_by_month": q.events_by_month,
+        "string_funcs": q.string_funcs,
         "lineitem_corr": q.lineitem_corr,
         "value_histogram": q.value_histogram,
         "approx_quantiles_events": dp.approx_quantiles_events,
@@ -268,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": _embedding_neardup_lsh_checked,
         "kmeans_embeddings": cl.kmeans_embeddings,
         "semantic_dedup": _semantic_dedup_checked,
+        "cluster_sample": cl.cluster_sample,
         # multimodal plumbing (decode stubbed, see MediaDecodeActor)
         "media_features": dp.media_features,
         "audio_features": dp.audio_features,
@@ -305,6 +307,7 @@ def oracle_sql() -> dict[str, str]:
         "user_first_last": q.USER_FIRST_LAST_SQL,
         "distinct_users_per_type": q.DISTINCT_USERS_PER_TYPE_SQL,
         "events_by_month": q.EVENTS_BY_MONTH_SQL,
+        "string_funcs": q.STRING_FUNCS_SQL,
         "passage_dedup": co.PASSAGE_DEDUP_SQL,
         "gopher_quality": co.GOPHER_QUALITY_SQL,
         "bm25_search": co.BM25_SEARCH_SQL,

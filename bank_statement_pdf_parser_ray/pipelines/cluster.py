@@ -189,3 +189,53 @@ def semantic_dedup(
         .groupby("cluster_id")
         .map_groups(within_pairs, batch_format="pandas")
     )
+
+
+CLUSTER_SAMPLE_M = 5
+
+
+def cluster_sample(
+    sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS, m: int = CLUSTER_SAMPLE_M
+) -> pd.DataFrame:
+    """Cluster-balanced prototype selection: the m most prototypical
+    vectors (highest cosine to their own centroid; ties broken by
+    vec_id asc) from EACH k-means cluster — the diversity-preserving
+    curation sample (one knob for 'keep the center of every mode').
+
+    Scale shape: assignment streams; each batch pre-cuts to at most
+    k x m rows before the shuffle, so the per-cluster merge sees
+    O(k x m x blocks) rows, never the corpus."""
+    cent_ref = ray.put(kmeans_centroids(sf_dir, k, iters))
+
+    def partial(t: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        vec_ids, mat = _batch_vectors(t)
+        sims = mat @ cent.T
+        a = np.argmax(sims, axis=1).astype(np.int64)
+        s = np.round(sims[np.arange(len(a)), a], 6)
+        keep = np.zeros(len(a), dtype=bool)
+        for c in np.unique(a):
+            idx = np.flatnonzero(a == c)
+            order = np.lexsort((vec_ids[idx], -s[idx]))
+            keep[idx[order[:m]]] = True
+        return pa.table(
+            {
+                "cluster_id": pa.array(a[keep], pa.int64()),
+                "vec_id": pa.array(vec_ids[keep], pa.int64()),
+                "sim": pa.array(s[keep], pa.float64()),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(m)
+
+    out = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096)
+        .groupby("cluster_id")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    out["cluster_id"] = out["cluster_id"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out.sort_values(["cluster_id", "vec_id"]).reset_index(drop=True)

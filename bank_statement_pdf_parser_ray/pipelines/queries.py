@@ -1408,3 +1408,69 @@ SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
        round(sum(value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)), 6) AS total
 FROM events GROUP BY 1 ORDER BY 1
 """
+
+
+def string_funcs(sf_dir: str) -> pd.DataFrame:
+    """Scalar string-function surface (SURVEY 2.8) in one vectorized
+    pass: upper, substr, strpos, concat, LIKE, regexp_extract — each a
+    single Arrow kernel whose semantics is pinned to the SQL oracle
+    (1-based find_substring+1, '' for no regex match, NULL text
+    propagates)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "up3": pc.utf8_upper(pc.utf8_slice_codeunits(txt, 0, 3)),
+                # SQL strpos is 1-based in CHARACTERS (0 when absent);
+                # Arrow find_substring reports BYTE offsets, which
+                # diverges on multibyte text — derive the character
+                # position from the length of the pre-match split head
+                "pos_e": _strpos_chars(txt, "e"),
+                "tagged": pc.binary_join_element_wise(
+                    pc.cast(t.column("lang"), pa.string()), txt, ":"
+                ),
+                "has_the": pc.cast(pc.match_like(txt, "%the%"), pa.int64()),
+                "first_word": pc.fill_null(_regexp_extract_first(txt), ""),
+            }
+        )
+
+    out = _read(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _strpos_chars(txt, needle: str):
+    """Character-based 1-indexed first-occurrence position (SQL strpos):
+    split once at the needle; a 2-element split means a hit at
+    1 + charlen(head), else 0. NULL propagates."""
+    lst = pc.split_pattern(txt, needle, max_splits=1)
+    hit = pc.equal(pc.list_value_length(lst), 2)
+    head_len = pc.utf8_length(pc.list_element(lst, 0))
+    return pc.cast(
+        pc.if_else(hit, pc.add(head_len, 1), pc.multiply(head_len, 0)), pa.int64()
+    )
+
+
+def _regexp_extract_first(txt: "pa.ChunkedArray") -> "pa.ChunkedArray":
+    """regexp_extract(text, '^(\\S+)', 1) — first whitespace-free token
+    or '' (DuckDB returns '' on no match but NULL on NULL input; the
+    caller's fill_null matches DuckDB only for non-NULL text, so NULL
+    text is mapped to '' on the oracle side too)."""
+    m = pc.extract_regex(txt, pattern=r"^(?P<w>\S+)")
+    return pc.struct_field(m, "w")
+
+
+STRING_FUNCS_SQL = r"""
+SELECT doc_id,
+       upper(text[1:3]) AS up3,
+       CAST(strpos(text, 'e') AS BIGINT) AS pos_e,
+       lang || ':' || text AS tagged,
+       CAST(text LIKE '%the%' AS BIGINT) AS has_the,
+       coalesce(regexp_extract(text, '^(\S+)', 1), '') AS first_word
+FROM documents
+ORDER BY doc_id
+"""

@@ -246,6 +246,8 @@ def run_bench() -> dict:
         "embedding_neardup_lsh",
         "kmeans_embeddings",
         "semantic_dedup",
+        "cluster_sample",
+        "string_funcs",
         "distinct_users_per_type",
         "events_by_month",
         "media_features",

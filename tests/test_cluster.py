@@ -109,3 +109,33 @@ class TestSemanticDedup:
         d = _write_emb(tmp_path, rng.randn(20, 16))
         out = cl.semantic_dedup(d, threshold=0.999, k=2, iters=2).to_pandas()
         assert len(out) == 0
+
+
+class TestClusterSample:
+    def test_prototypes_are_max_sim_members(self, tmp_path):
+        vecs = _blobs(n_per=40)
+        d = _write_emb(tmp_path, vecs)
+        k, iters, m = 3, 4, 5
+        out = cl.cluster_sample(d, k=k, iters=iters, m=m)
+        assign = (
+            cl.kmeans_embeddings(d, k=k, iters=iters)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        # per-cluster size bound and exact agreement with a pandas
+        # reference top-m over the full assignment
+        for c, grp in assign.groupby("cluster_id"):
+            expect = (
+                grp.sort_values(["sim", "vec_id"], ascending=[False, True])
+                .head(m)["vec_id"]
+                .tolist()
+            )
+            got = out[out["cluster_id"] == c]["vec_id"].tolist()
+            assert sorted(got) == sorted(expect), c
+
+    def test_deterministic(self, tmp_path):
+        d = _write_emb(tmp_path, _blobs(n_per=15, seed=9))
+        a = cl.cluster_sample(d, k=2, iters=2, m=3)
+        b = cl.cluster_sample(d, k=2, iters=2, m=3)
+        assert a.equals(b)

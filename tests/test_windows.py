@@ -456,6 +456,7 @@ class TestRandomizedDocumentsParity:
         "passage_dedup",
         "gopher_quality",
         "bm25_search",
+        "string_funcs",
     ]
 
     @pytest.mark.parametrize("seed", [11, 12])
