@@ -215,6 +215,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_counts": w.range_join_counts,
         "events_ranked": w.events_ranked,
         "user_event_paths": w.user_event_paths,
+        "user_funnel": w.user_funnel,
+        "bloom_join_revenue": q.bloom_join_revenue,
+        "heavy_hitters": dp.heavy_hitters,
         "events_pivot": q.events_pivot,
         "events_stats": q.events_stats,
         "user_top_event": q.user_top_event,
@@ -301,6 +304,8 @@ def oracle_sql() -> dict[str, str]:
         "range_join_counts": w.RANGE_JOIN_COUNTS_SQL,
         "events_ranked": w.EVENTS_RANKED_SQL,
         "user_event_paths": w.USER_EVENT_PATHS_SQL,
+        "user_funnel": w.USER_FUNNEL_SQL,
+        "bloom_join_revenue": q.BLOOM_JOIN_REVENUE_SQL,
         "events_pivot": q.EVENTS_PIVOT_SQL,
         "events_stats": q.EVENTS_STATS_SQL,
         "user_top_event": q.USER_TOP_EVENT_SQL,

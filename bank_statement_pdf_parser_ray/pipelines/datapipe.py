@@ -2405,3 +2405,78 @@ def pack_sequences(sf_dir: str, seq_len: int = 512) -> "ray.data.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096
     )
+
+
+HH_COUNTERS = 256
+HH_K = 20
+
+
+def heavy_hitters(sf_dir: str, k: int = HH_K, counters: int = HH_COUNTERS) -> pd.DataFrame:
+    """Misra-Gries / space-saving heavy hitters over the corpus token
+    stream — the sketch answer to ``vocab_topk`` for when even the
+    O(vocab x blocks) partial-count shuffle is too wide (web-scale
+    vocabularies). Each block tokenizes with the pinned vocab_topk
+    tokenizer, counts exactly WITHIN the block, then compresses to at
+    most ``counters`` MG counters by subtracting the (counters+1)-th
+    largest count (classic MG decrement, undercount <= n_blk/(counters+1)).
+    The driver merges the tiny per-block summaries the mergeable-
+    summaries way (Agarwal et al. 2013): add counts word-wise, subtract
+    the (counters+1)-th largest merged count, drop non-positive.
+
+    Merged estimate e(w) obeys  true(w) - 2n/(counters+1) <= e(w) <=
+    true(w), so every word with true frequency above 2n/(counters+1) is
+    guaranteed present (asserted in tests/test_datapipe.py against
+    exact counts). Scale shape: NO shuffle at all — the only bytes that
+    leave a block are <= counters+1 tiny rows; driver state is
+    O(counters x blocks) transiently, O(counters) after the merge.
+
+    Returns the top-k surviving words: (word, est_n, err_bound) with
+    est_n the guaranteed-undercount estimate and err_bound the merged
+    2n/(counters+1) deficit bound. Rows-only (the sketch's candidate
+    set is hash/packing-order dependent); pytest pins the guarantees."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern_regex(t.column("text"), pattern=r"\s+"))
+        words = words.filter(pc.not_equal(words, ""))
+        n_blk = len(words)
+        g = pa.TableGroupBy(pa.table({"word": words}), ["word"]).aggregate([("word", "count")])
+        w = g.column("word").to_numpy(zero_copy_only=False)
+        cnt = g.column("word_count").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(cnt) > counters:
+            sub = np.partition(cnt, len(cnt) - counters - 1)[len(cnt) - counters - 1]
+            cnt = cnt - sub
+            keep = cnt > 0
+            w, cnt = w[keep], cnt[keep]
+        # sentinel row carries the block's total token weight ('' can
+        # never collide: empty tokens were dropped above)
+        return pa.table(
+            {
+                "word": pa.array(np.append(w, ""), pa.string()),
+                "p_n": pa.array(np.append(cnt, n_blk), pa.int64()),
+            }
+        )
+
+    sketch = (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # O(counters x blocks) sketch rows — not the corpus
+    )
+    n_total = int(sketch.loc[sketch["word"] == "", "p_n"].sum())
+    merged = (
+        sketch[sketch["word"] != ""].groupby("word", as_index=False)["p_n"].sum()
+    )
+    cnt = merged["p_n"].to_numpy()
+    if len(cnt) > counters:
+        sub = int(np.partition(cnt, len(cnt) - counters - 1)[len(cnt) - counters - 1])
+        merged["p_n"] = merged["p_n"] - sub
+        merged = merged[merged["p_n"] > 0]
+    err_bound = 2 * n_total // (counters + 1)
+    out = (
+        merged.rename(columns={"p_n": "est_n"})
+        .sort_values(["est_n", "word"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["est_n"] = out["est_n"].astype("int64")
+    out["err_bound"] = np.int64(err_bound)
+    return out

@@ -1474,3 +1474,115 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """
+
+
+BLOOM_BITS = 1 << 17  # 16 KiB bitmap — trivially broadcastable
+
+
+def _splitmix64(x: "np.ndarray") -> "np.ndarray":
+    """Vectorized splitmix64 finalizer (public-domain constant mix) —
+    uint64 in, uint64 out, wrap-around arithmetic throughout."""
+    x = x.astype(np.uint64, copy=True)
+    x += np.uint64(0x9E3779B97F4A7C15)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _bloom_positions(keys: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
+    """Two bit positions per key from one splitmix64 pass (low/high
+    17-bit slices of independent mix output)."""
+    h = _splitmix64(keys.astype(np.uint64))
+    mask = np.uint64(BLOOM_BITS - 1)
+    return (h & mask, (h >> np.uint64(20)) & mask)
+
+
+def bloom_join_revenue(sf_dir: str) -> pd.DataFrame:
+    """Bloom-filter semi-join pruning in front of a big-big hash join —
+    the standard 100 TB shuffle reducer when a join's build side is
+    selective but too big to broadcast exactly: BUILDING-segment
+    customers are folded into ONE 16 KiB Bloom bitmap (each build block
+    emits its own bitmap; the driver ORs the per-block 16 KiB rows —
+    the only bytes that cross besides the joined keys), the bitmap is
+    broadcast once via ray.put, and orders are pre-filtered by a
+    vectorized double-hash probe BEFORE the join exchange, so only
+    probable matches pay the shuffle. False positives are then removed
+    by the exact Dataset.join — the Bloom stage is a pure bandwidth
+    optimization and the result is bit-identical to the plain join
+    (same oracle shape as hash_join_revenue, plus the segment filter).
+    """
+    from ray.data.aggregate import Sum
+
+    import pyarrow.dataset as pads
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+        filter=(pc.field("c_mktsegment") == "BUILDING"),
+    )
+
+    def build(t: pa.Table) -> pa.Table:
+        bits = np.zeros(BLOOM_BITS // 64, dtype=np.uint64)
+        p1, p2 = _bloom_positions(t.column("c_custkey").to_numpy())
+        for p in (p1, p2):
+            np.bitwise_or.at(bits, (p >> np.uint64(6)).astype(np.int64), np.uint64(1) << (p & np.uint64(63)))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    blk = cust.map_batches(build, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    bloom = np.zeros(BLOOM_BITS // 64, dtype=np.uint64)
+    for row in blk:  # O(16 KiB x blocks) driver work — sketch merge, not data
+        bloom |= np.frombuffer(row["bits"], dtype=np.uint64)
+    bloom_ref = ray.put(bloom)
+
+    def probe(t: pa.Table) -> pa.Table:
+        bm = ray.get(bloom_ref)
+        p1, p2 = _bloom_positions(t.column("o_custkey").to_numpy())
+        hit = np.ones(t.num_rows, dtype=bool)
+        for p in (p1, p2):
+            hit &= (bm[(p >> np.uint64(6)).astype(np.int64)] >> (p & np.uint64(63))) & np.uint64(1) > 0
+        return t.filter(pa.array(hit))
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=16,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    nation = pads.dataset(f"{sf_dir}/nation.parquet").to_table(columns=["n_nationkey", "n_name"])
+    nlut_ref = ray.put(nation.combine_chunks())
+
+    def partial(t: pa.Table) -> pa.Table:
+        lut = ray.get(nlut_ref)
+        idx = pc.index_in(t.column("c_nationkey"), value_set=lut.column("n_nationkey").combine_chunks())
+        names = pc.take(lut.column("n_name").combine_chunks(), idx)
+        t2 = pa.table({"n_name": names, "o_totalprice": t.column("o_totalprice")})
+        g = pa.TableGroupBy(t2, ["n_name"]).aggregate([("o_totalprice", "sum"), ("o_totalprice", "count")])
+        return g.rename_columns(["n_name", "p_sum", "p_n"])
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_name")
+        .aggregate(Sum("p_sum", alias_name="revenue"), Sum("p_n", alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out
+
+
+BLOOM_JOIN_REVENUE_SQL = """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY n_name
+"""

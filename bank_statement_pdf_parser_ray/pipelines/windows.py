@@ -542,3 +542,78 @@ SELECT user_id, count(*) AS n_events,
 FROM events
 GROUP BY user_id
 """
+
+
+def user_funnel(sf_dir: str) -> "ray.data.Dataset":
+    """Ordered-stage funnel (view -> click -> purchase), the classic
+    conversion query: per user, t1 = earliest view, t2 = earliest
+    click STRICTLY after t1, t3 = earliest purchase strictly after t2,
+    and the reached stage count. Strictly-after is on ``ts`` alone (an
+    equal-timestamp event does not advance the funnel) — deterministic
+    under duplicate timestamps and stateable in SQL as three min()
+    reductions, so the oracle pins the exact semantics. NULL-ts events
+    never start or advance a stage (declared on both sides); a NULL
+    user_id group gets t2 = t3 = NULL exactly like the oracle's
+    join-on-user_id, which never matches NULL.
+
+    Plan: pruned read pushed down to the three event types, ONE hash
+    shuffle of (user_id, ts, event_type) — same per-key co-location
+    bound as every operator in this module — then a vectorized
+    three-mask stage scan per group. Output is one row per user with
+    at least one view; no driver materialization."""
+    flt = pc.field("event_type").isin(["view", "click", "purchase"])
+    ds = _events(sf_dir, ["user_id", "ts", "event_type"], flt=flt)
+
+    def funnel(g: pa.Table) -> pa.Table:
+        g = g.filter(pc.is_valid(g.column("ts")))
+        users, t1s, t2s, t3s, stages = [], [], [], [], []
+        if g.num_rows:
+            et = g.column("event_type").to_numpy(zero_copy_only=False)
+            ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            view_ts = ts[et == "view"]
+            if len(view_ts):
+                user = g.column("user_id")[0].as_py()
+                t1 = int(view_ts.min())
+                t2 = t3 = None
+                if user is not None:  # SQL join-on-NULL matches nothing
+                    c = ts[(et == "click") & (ts > t1)]
+                    if len(c):
+                        t2 = int(c.min())
+                        p = ts[(et == "purchase") & (ts > t2)]
+                        if len(p):
+                            t3 = int(p.min())
+                users.append(user)
+                t1s.append(t1)
+                t2s.append(t2)
+                t3s.append(t3)
+                stages.append(1 + (t2 is not None) + (t3 is not None))
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "t1": pa.array(t1s, pa.int64()).cast(pa.timestamp("us")),
+                "t2": pa.array(t2s, pa.int64()).cast(pa.timestamp("us")),
+                "t3": pa.array(t3s, pa.int64()).cast(pa.timestamp("us")),
+                "stage": pa.array(stages, pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(funnel, batch_format="pyarrow")
+
+
+USER_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+)
+SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+       CAST(1 + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage
+FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""

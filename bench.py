@@ -248,6 +248,9 @@ def run_bench() -> dict:
         "semantic_dedup",
         "cluster_sample",
         "string_funcs",
+        "user_funnel",
+        "bloom_join_revenue",
+        "heavy_hitters",
         "distinct_users_per_type",
         "events_by_month",
         "media_features",

@@ -624,3 +624,57 @@ class TestPretrainAssembly:
         d = self._write(tmp_path, [" ".join(["x"] * 2000)])
         out = dp.pack_sequences(d, seq_len=512).to_pandas()
         assert len(out) == 1 and out.loc[0, "n_tokens"] == 512 and out.loc[0, "fill"] == 1.0
+
+
+class TestHeavyHitters:
+    """Misra-Gries sketch guarantees vs exact counts on a skewed
+    planted corpus: never overcounts, merged deficit within the
+    2n/(counters+1) bound, and every word heavier than the bound
+    survives the merge."""
+
+    def _skewed_dir(self, tmp_path):
+        rng = np.random.RandomState(3)
+        # hot words with planted frequencies + a heavy unique tail
+        hot = {"alpha": 900, "beta": 500, "gamma": 300}
+        words = [w for w, n in hot.items() for _ in range(n)]
+        words += [f"tail{i}" for i in range(4000)]
+        rng.shuffle(words)
+        docs, step = [], 40
+        for i in range(0, len(words), step):
+            docs.append(" ".join(words[i : i + step]))
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": docs,
+                "lang": ["en"] * len(docs),
+                "source": ["s"] * len(docs),
+                "n_chars": pa.array([len(x) for x in docs], pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        return str(tmp_path), hot, len(words)
+
+    def test_guarantees_vs_exact(self, tmp_path):
+        d, hot, n = self._skewed_dir(tmp_path)
+        counters = 64
+        out = dp.heavy_hitters(d, k=10_000, counters=counters)
+        bound = 2 * n // (counters + 1)
+        assert (out["err_bound"] == bound).all()
+        est = dict(zip(out["word"], out["est_n"]))
+        for w, true_n in hot.items():
+            if true_n > bound:
+                assert w in est, w                       # guaranteed survivor
+            if w in est:
+                assert est[w] <= true_n                   # never overcounts
+                assert est[w] >= true_n - bound           # bounded deficit
+        # tail words may survive, but never with an estimate above truth
+        for w, e in est.items():
+            if w.startswith("tail"):
+                assert e <= 1
+
+    def test_topk_and_determinism(self, tmp_path):
+        d, hot, _ = self._skewed_dir(tmp_path)
+        a = dp.heavy_hitters(d, k=3, counters=64)
+        b = dp.heavy_hitters(d, k=3, counters=64)
+        assert a.equals(b)
+        assert a["word"].tolist() == ["alpha", "beta", "gamma"]

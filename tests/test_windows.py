@@ -270,6 +270,7 @@ class TestRandomizedOracleParity:
         "range_join_counts",
         "events_ranked",
         "user_event_paths",
+        "user_funnel",
         "value_histogram",
         "events_windowed",
         "events_sessionized",
@@ -585,3 +586,70 @@ class TestRandomizedEmbeddingsParity:
             for c in got.columns:
                 assert got[c].tolist() == exp[c].tolist(), (name, c)
         con.close()
+
+
+class TestUserFunnel:
+    def test_stage_semantics(self, tmp_path):
+        """Equal-timestamp events do not advance the funnel; stages are
+        strictly ordered; users with no view are absent."""
+        import importlib.util, os
+        import pyarrow.parquet as pq
+        import pandas as pd
+
+        spec = importlib.util.spec_from_file_location(
+            "_entry_funnel", os.path.join(os.path.dirname(__file__), "..", "__ray_entry__.py")
+        )
+        entry = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(entry)
+
+        def ev(eid, u, ts, et):
+            return (eid, u, ts, et, 1.0)
+
+        rows = [
+            # user 1: click at t1's exact ts ignored; purchase before t2 ignored
+            ev(0, 1, 10, "view"), ev(1, 1, 10, "click"), ev(2, 1, 20, "click"),
+            ev(3, 1, 15, "purchase"), ev(4, 1, 30, "purchase"),
+            # user 2: no view at all -> absent
+            ev(5, 2, 5, "click"), ev(6, 2, 6, "purchase"),
+            # user 3: purchase only BEFORE the first view -> stage 1
+            ev(7, 3, 5, "purchase"), ev(8, 3, 10, "view"),
+        ]
+        t = _events_table(rows)
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = (
+            entry.queries()["user_funnel"](str(tmp_path))
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        assert out["user_id"].tolist() == [1, 3]
+        assert out["stage"].tolist() == [3, 1]
+        u1 = out.iloc[0]
+        assert (u1["t1"], u1["t2"], u1["t3"]) == (
+            pd.Timestamp(10, unit="us"), pd.Timestamp(20, unit="us"), pd.Timestamp(30, unit="us"),
+        )
+        assert pd.isna(out.iloc[1]["t2"]) and pd.isna(out.iloc[1]["t3"])
+
+
+class TestBloomFilter:
+    def test_no_false_negatives_and_low_fp(self):
+        import numpy as np
+
+        from bank_statement_pdf_parser_ray.pipelines.queries import BLOOM_BITS, _bloom_positions
+
+        keys = np.arange(1000, dtype=np.int64)
+        bits = np.zeros(BLOOM_BITS // 64, dtype=np.uint64)
+        p1, p2 = _bloom_positions(keys)
+        for p in (p1, p2):
+            np.bitwise_or.at(bits, (p >> np.uint64(6)).astype(np.int64), np.uint64(1) << (p & np.uint64(63)))
+
+        def hits(ks):
+            q1, q2 = _bloom_positions(ks)
+            h = np.ones(len(ks), dtype=bool)
+            for p in (q1, q2):
+                h &= (bits[(p >> np.uint64(6)).astype(np.int64)] >> (p & np.uint64(63))) & np.uint64(1) > 0
+            return h
+
+        assert hits(keys).all()  # a Bloom filter NEVER drops a member
+        others = np.arange(10_000, 110_000, dtype=np.int64)
+        assert hits(others).mean() < 0.01  # 2k bits set of 131k -> tiny FP rate
