@@ -225,6 +225,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": q.distinct_users_per_type,
         "events_by_month": q.events_by_month,
         "string_funcs": q.string_funcs,
+        "date_funcs": q.date_funcs,
+        "unpivot_lineitem": q.unpivot_lineitem,
         "lineitem_corr": q.lineitem_corr,
         "value_histogram": q.value_histogram,
         "approx_quantiles_events": dp.approx_quantiles_events,
@@ -313,6 +315,8 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_per_type": q.DISTINCT_USERS_PER_TYPE_SQL,
         "events_by_month": q.EVENTS_BY_MONTH_SQL,
         "string_funcs": q.STRING_FUNCS_SQL,
+        "date_funcs": q.DATE_FUNCS_SQL,
+        "unpivot_lineitem": q.UNPIVOT_LINEITEM_SQL,
         "passage_dedup": co.PASSAGE_DEDUP_SQL,
         "gopher_quality": co.GOPHER_QUALITY_SQL,
         "bm25_search": co.BM25_SEARCH_SQL,

@@ -1586,3 +1586,95 @@ JOIN nation   ON c_nationkey = n_nationkey
 WHERE c_mktsegment = 'BUILDING'
 GROUP BY n_name
 """
+
+
+def date_funcs(sf_dir: str) -> pd.DataFrame:
+    """Temporal scalar-function surface (SURVEY 2.8, the date twin of
+    ``string_funcs``): year/month/day, ISO day-of-week, hour,
+    microsecond epoch, interval arithmetic (+7 days) and day-boundary
+    date_diff to a fixed anchor — one vectorized Arrow temporal pass,
+    each kernel pinned to the SQL oracle's exact numbering (isodow
+    Mon=1..Sun=7 = Arrow day_of_week(week_start=1, count_from_zero
+    =False); epoch_us avoids the negative-timestamp floor-division trap
+    fixed for events_windowed; days_between counts day boundaries like
+    DuckDB date_diff('day', ...)). NULL ts propagates through every
+    kernel on both sides."""
+    ANCHOR = pa.scalar(np.datetime64("2024-01-01T00:00:00", "us"), pa.timestamp("us"))
+    WEEK_US = np.int64(7 * 86_400_000_000)
+
+    def f(t: pa.Table) -> pa.Table:
+        ts = t.column("ts")
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "y": pc.cast(pc.year(ts), pa.int64()),
+                "m": pc.cast(pc.month(ts), pa.int64()),
+                "d": pc.cast(pc.day(ts), pa.int64()),
+                "isodow": pc.cast(
+                    pc.day_of_week(ts, count_from_zero=False, week_start=1), pa.int64()
+                ),
+                "h": pc.cast(pc.hour(ts), pa.int64()),
+                "epoch_us": pc.cast(ts, pa.int64()),
+                "plus_week": pc.cast(
+                    pc.add(pc.cast(ts, pa.int64()), WEEK_US), pa.timestamp("us")
+                ),
+                "days_to_anchor": pc.cast(pc.days_between(ts, ANCHOR), pa.int64()),
+            }
+        )
+
+    out = _read(sf_dir, "events", ["event_id", "ts"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+DATE_FUNCS_SQL = """
+SELECT event_id,
+       CAST(year(ts) AS BIGINT) AS y,
+       CAST(month(ts) AS BIGINT) AS m,
+       CAST(day(ts) AS BIGINT) AS d,
+       CAST(isodow(ts) AS BIGINT) AS isodow,
+       CAST(hour(ts) AS BIGINT) AS h,
+       epoch_us(ts) AS epoch_us,
+       ts + INTERVAL 7 DAY AS plus_week,
+       CAST(date_diff('day', ts, TIMESTAMP '2024-01-01') AS BIGINT) AS days_to_anchor
+FROM events
+ORDER BY event_id
+"""
+
+
+def unpivot_lineitem(sf_dir: str) -> "ray.data.Dataset":
+    """Wide-to-long melt (SQL UNPIVOT), the inverse of events_pivot:
+    each lineitem row explodes into one (metric, value) row per measure
+    column. Pure streaming map — each batch emits its three stacked
+    slices with zero-copy column reuse, no shuffle, output 3x rows.
+    The metric column is dictionary-friendly constant runs per slice."""
+    MEASURES = ["l_quantity", "l_extendedprice", "l_discount"]
+
+    def melt(t: pa.Table) -> pa.Table:
+        parts = [
+            pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey"),
+                    "l_linenumber": pc.cast(t.column("l_linenumber"), pa.int64()),
+                    "metric": pa.array([m[2:]] * t.num_rows, pa.string()),
+                    "value": t.column(m),
+                }
+            )
+            for m in MEASURES
+        ]
+        return pa.concat_tables(parts)
+
+    return _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"] + MEASURES).map_batches(
+        melt, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+UNPIVOT_LINEITEM_SQL = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, 'quantity' AS metric, l_quantity AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'discount', l_discount FROM lineitem
+"""

@@ -251,6 +251,8 @@ def run_bench() -> dict:
         "user_funnel",
         "bloom_join_revenue",
         "heavy_hitters",
+        "date_funcs",
+        "unpivot_lineitem",
         "distinct_users_per_type",
         "events_by_month",
         "media_features",

@@ -271,6 +271,7 @@ class TestRandomizedOracleParity:
         "events_ranked",
         "user_event_paths",
         "user_funnel",
+        "date_funcs",
         "value_histogram",
         "events_windowed",
         "events_sessionized",
