@@ -227,6 +227,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "string_funcs": q.string_funcs,
         "date_funcs": q.date_funcs,
         "unpivot_lineitem": q.unpivot_lineitem,
+        "incremental_agg": q.incremental_agg,
+        "char_entropy": dp.char_entropy,
+        "weighted_sample": dp.weighted_sample,
         "lineitem_corr": q.lineitem_corr,
         "value_histogram": q.value_histogram,
         "approx_quantiles_events": dp.approx_quantiles_events,
@@ -317,6 +320,10 @@ def oracle_sql() -> dict[str, str]:
         "string_funcs": q.STRING_FUNCS_SQL,
         "date_funcs": q.DATE_FUNCS_SQL,
         "unpivot_lineitem": q.UNPIVOT_LINEITEM_SQL,
+        # incremental maintenance must equal the full recompute
+        "incremental_agg": q.LINEITEM_AGG_SQL,
+        "char_entropy": dp.CHAR_ENTROPY_SQL,
+        "weighted_sample": dp.WEIGHTED_SAMPLE_SQL,
         "passage_dedup": co.PASSAGE_DEDUP_SQL,
         "gopher_quality": co.GOPHER_QUALITY_SQL,
         "bm25_search": co.BM25_SEARCH_SQL,

@@ -2480,3 +2480,123 @@ def heavy_hitters(sf_dir: str, k: int = HH_K, counters: int = HH_COUNTERS) -> pd
     out["est_n"] = out["est_n"].astype("int64")
     out["err_bound"] = np.int64(err_bound)
     return out
+
+
+def char_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-document Shannon character entropy (bits/char) — the classic
+    gibberish/binary-blob quality gate: natural language sits ~4 bits,
+    repeated filler near 0, random base64 near 6. Oracle-paired with
+    DuckDB's log2-based entropy() aggregate over exploded characters.
+
+    Fully vectorized despite the per-document grouping: each batch
+    joins its texts into one buffer, decodes ALL codepoints at once
+    via a utf-32 reinterpret (np.frombuffer — no per-char Python), and
+    gets per-(doc, codepoint) run counts from one lexsort; entropy is
+    then log2(L) - sum(c*log2(c))/L scattered per doc with np.add.at.
+    Streaming map, no shuffle. NULL texts yield no row (string_split
+    of NULL unnests to nothing); an EMPTY text yields ent = 0.0
+    because DuckDB's string_split('', '') is [''] — one empty-string
+    element — not the empty list (semantics declared by the oracle,
+    pinned by the messy-documents fuzz)."""
+
+    def ent(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.is_valid(t.column("text")))
+        ids = sub.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = sub.column("text").to_pylist()
+        if not len(ids):
+            return pa.table({"doc_id": pa.array([], pa.int64()), "ent": pa.array([], pa.float64())})
+        lens = pc.utf8_length(sub.column("text")).to_numpy(zero_copy_only=False).astype(np.int64)
+        cp = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32)
+        doc_idx = np.repeat(np.arange(len(ids)), lens)
+        order = np.lexsort((cp, doc_idx))
+        di, ci = doc_idx[order], cp[order]
+        run_start = np.ones(len(di), dtype=bool)
+        run_start[1:] = (di[1:] != di[:-1]) | (ci[1:] != ci[:-1])
+        starts = np.flatnonzero(run_start)
+        counts = np.diff(np.append(starts, len(di))).astype(np.float64)
+        run_doc = di[starts]
+        acc = np.zeros(len(ids))
+        np.add.at(acc, run_doc, counts * np.log2(counts))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            entv = np.round(np.log2(lens.astype(np.float64)) - acc / lens, 6)
+        entv[lens == 0] = 0.0  # DuckDB: '' splits to [''] -> entropy 0
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "ent": pa.array(entv, pa.float64())}
+        )
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(ent, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+CHAR_ENTROPY_SQL = """
+SELECT doc_id, round(entropy(c), 6) AS ent
+FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+WEIGHTED_SAMPLE_K = 50
+
+
+def weighted_sample(sf_dir: str, k: int = WEIGHTED_SAMPLE_K) -> pd.DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-ES): each document draws priority u^(1/w) with w = n_chars and
+    u a DETERMINISTIC md5-derived uniform (first 8 hex nibbles of
+    md5(doc_id) / 2^32), and the k highest priorities win — longer
+    documents proportionally likelier, yet reproducible on any engine,
+    so unlike RNG weighted sampling it carries a real SQL oracle
+    computing the bit-identical pow().
+
+    Scale shape: each batch pre-cuts to its own top-k (lexsort on
+    (-priority, doc_id)) BEFORE the exchange, so the global sort+limit
+    sees O(k x blocks) candidate rows, never the corpus. The md5 loop
+    is per-row Python (no Arrow md5 kernel) but is the same bounded
+    cost as stratified_sample's sample key."""
+    import hashlib
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        ok = np.isfinite(w) & (w > 0)
+        w, ids = w[ok], ids[ok]
+        u = np.array(
+            [int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16) for i in ids],
+            dtype=np.float64,
+        ) / 4294967296.0
+        pri = u ** (1.0 / w)
+        cut = np.lexsort((ids, -pri))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[cut], pa.int64()),
+                "w": pa.array(w[cut].astype(np.int64), pa.int64()),
+                "priority": pa.array(pri[cut], pa.float64()),
+            }
+        )
+
+    out = (
+        _docs(sf_dir, ["doc_id", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["priority", "doc_id"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["w"] = out["w"].astype("int64")
+    return out
+
+
+WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+       pow(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0,
+           1.0 / n_chars) AS priority
+FROM documents
+WHERE n_chars IS NOT NULL AND n_chars > 0
+ORDER BY priority DESC, doc_id
+LIMIT 50
+"""

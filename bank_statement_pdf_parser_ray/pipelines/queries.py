@@ -1678,3 +1678,59 @@ SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'extendedprice', l_extendedpric
 UNION ALL
 SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'discount', l_discount FROM lineitem
 """
+
+
+def incremental_agg(sf_dir: str) -> pd.DataFrame:
+    """Incremental aggregate maintenance — the ingestion-wave pattern a
+    standing 100 TB pipeline needs: wave A (even order keys) is
+    reduced to a tiny per-group state table of MERGEABLE partials
+    (n, sum_qty, sum_rev — the same algebraic state lineitem_agg's
+    combiner uses); when wave B (odd keys) arrives, ONLY wave B is
+    scanned and its partials are merged into the saved state with a
+    vectorized outer add — wave A's data is never re-read. The merged
+    state finalizes to exactly the full-scan answer, so the oracle is
+    lineitem_agg's own SQL over the whole table (proving the delta
+    merge loses nothing). In production the state table is the
+    partitioned-parquet manifest of prior waves; here both waves run
+    in one call over predicate-pushed reads of the shared table."""
+    from ray.data.aggregate import Sum
+
+    def partials_for(parity: int) -> pd.DataFrame:
+        def partial(t: pa.Table) -> pa.Table:
+            rev = pc.multiply(
+                t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+            )
+            t = t.append_column("rev", rev)
+            g = pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
+                [("l_quantity", "sum"), ("rev", "sum"), ("l_quantity", "count")]
+            )
+            return g.rename_columns(["l_returnflag", "l_linestatus", "p_qty", "p_rev", "p_n"])
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+            filter=(pc.bit_wise_and(pc.field("l_orderkey"), 1) == parity),
+        ).drop_columns(["l_orderkey"])
+        return (
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(
+                Sum("p_qty", alias_name="sum_qty"),
+                Sum("p_rev", alias_name="sum_rev"),
+                Sum("p_n", alias_name="n_rows"),
+            )
+            .to_pandas()
+        )
+
+    state = partials_for(0)          # wave A: persisted mergeable state
+    delta = partials_for(1)          # wave B: the only data scanned "today"
+    keys = ["l_returnflag", "l_linestatus"]
+    merged = (
+        pd.concat([state, delta], ignore_index=True)
+        .groupby(keys, as_index=False)[["sum_qty", "sum_rev", "n_rows"]]
+        .sum()
+    )
+    merged["sum_qty"] = merged["sum_qty"].round(2)
+    merged["sum_rev"] = merged["sum_rev"].round(2)
+    merged["n_rows"] = merged["n_rows"].astype("int64")
+    return merged.sort_values(keys).reset_index(drop=True)

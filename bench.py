@@ -253,6 +253,9 @@ def run_bench() -> dict:
         "heavy_hitters",
         "date_funcs",
         "unpivot_lineitem",
+        "char_entropy",
+        "weighted_sample",
+        "incremental_agg",
         "distinct_users_per_type",
         "events_by_month",
         "media_features",

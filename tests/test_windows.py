@@ -459,6 +459,8 @@ class TestRandomizedDocumentsParity:
         "gopher_quality",
         "bm25_search",
         "string_funcs",
+        "char_entropy",
+        "weighted_sample",
     ]
 
     @pytest.mark.parametrize("seed", [11, 12])
