@@ -228,6 +228,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "date_funcs": q.date_funcs,
         "unpivot_lineitem": q.unpivot_lineitem,
         "incremental_agg": q.incremental_agg,
+        "global_rank": q.global_rank,
+        "profile_events": q.profile_events,
         "char_entropy": dp.char_entropy,
         "weighted_sample": dp.weighted_sample,
         "lineitem_corr": q.lineitem_corr,
@@ -322,6 +324,8 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_lineitem": q.UNPIVOT_LINEITEM_SQL,
         # incremental maintenance must equal the full recompute
         "incremental_agg": q.LINEITEM_AGG_SQL,
+        "global_rank": q.GLOBAL_RANK_SQL,
+        "profile_events": q.PROFILE_EVENTS_SQL,
         "char_entropy": dp.CHAR_ENTROPY_SQL,
         "weighted_sample": dp.WEIGHTED_SAMPLE_SQL,
         "passage_dedup": co.PASSAGE_DEDUP_SQL,

@@ -1734,3 +1734,189 @@ def incremental_agg(sf_dir: str) -> pd.DataFrame:
     merged["sum_rev"] = merged["sum_rev"].round(2)
     merged["n_rows"] = merged["n_rows"].astype("int64")
     return merged.sort_values(keys).reset_index(drop=True)
+
+
+def global_rank(sf_dir: str) -> "ray.data.Dataset":
+    """Global total-order row numbering (SQL row_number() OVER (ORDER
+    BY ts, event_id) with no partition) — the distributed primitive
+    behind contiguous global IDs, pagination, and rank-based splits.
+
+    Two-pass range-partition shape, no driver materialization of data:
+    pass 1 reduces each batch to per-bucket COUNTS (bucket = hour(ts),
+    a MONOTONE function of the sort key, so bucket order == key order)
+    and the driver turns the tiny bucket histogram into exclusive
+    prefix offsets, broadcast once; pass 2 is ONE hash shuffle of
+    (event_id, ts) — 16 B/row — where each bucket group sorts locally
+    and adds its offset. Correct because ranks within a bucket are
+    local order + the count of everything in lower buckets. The
+    per-worker bound is one bucket's rows (hour-width here; a sampled
+    quantile splitter replaces the fixed width when key density is
+    unknown). NULL ts rows are excluded on both sides (a total order
+    over NULL keys is undefined)."""
+    US_H = 3_600_000_000
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"],
+        filter=pc.is_valid(pc.field("ts")),
+    )
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        b = np.floor_divide(t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False), US_H)
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(ub, pa.int64()), "p_n": pa.array(cnt, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        ds.map_batches(bucket_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Sum("p_n", alias_name="n"))
+        .to_pandas()  # O(buckets) rows — the histogram, not the data
+        .sort_values("bucket")
+    )
+    off = dict(zip(hist["bucket"], np.cumsum(hist["n"].to_numpy()) - hist["n"].to_numpy()))
+    off_ref = ray.put(off)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = np.floor_divide(t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False), US_H)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        offs = ray.get(off_ref)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        base = offs[int(g.column("bucket")[0].as_py())]
+        rnk = np.empty(len(eid), dtype=np.int64)
+        rnk[order] = base + 1 + np.arange(len(eid))
+        return pa.table({"event_id": pa.array(eid, pa.int64()), "rnk": pa.array(rnk, pa.int64())})
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(rank_group, batch_format="pyarrow")
+    )
+
+
+GLOBAL_RANK_SQL = """
+SELECT event_id, CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS rnk
+FROM events WHERE ts IS NOT NULL
+"""
+
+
+def profile_events(sf_dir: str) -> pd.DataFrame:
+    """Column profiler (the engine's ANALYZE): per column of events —
+    non-missing count, missing count, exact COUNT DISTINCT, numeric
+    min/max (NULL for varchar columns; ts as epoch_us). Declared
+    missing-ness: NULL everywhere, and valid NaN doubles are profiled
+    as missing too (the engine's NaN-as-missing convention, stated in
+    the oracle with isnan()->NULL).
+
+    Scale shape, two exchanges total for ALL columns: (1) each batch
+    emits ONE (col, n, n_null, min, max) partial row per column —
+    O(cols x blocks) — merged by a tiny groupby; (2) each batch emits
+    its DISTINCT (col, value-as-string) pairs (the string repr is
+    engine-internal, only distinctness matters), so the count-distinct
+    shuffle moves per-batch-distinct pairs, pre-combined the same way
+    as distinct_users_per_type."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    NUM = {"event_id": "i", "user_id": "i", "value": "f", "ts": "t"}
+    COLS = ["event_id", "user_id", "event_type", "value", "ts", "props"]
+
+    def _clean_np(t: pa.Table, c: str):
+        a = t.column(c)
+        if NUM.get(c) == "t":
+            a = a.cast(pa.int64())
+        v = a.to_numpy(zero_copy_only=False)
+        if NUM.get(c) == "f":
+            m = ~pd.isna(v)
+        else:
+            m = pd.notna(v)
+        return v[m]
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows = []
+        for c in COLS:
+            v = _clean_np(t, c)
+            n = len(v)
+            if c in NUM and n:
+                mn, mx = float(np.min(v)), float(np.max(v))
+            else:
+                mn, mx = np.inf, -np.inf
+            rows.append((c, n, t.num_rows - n, mn, mx))
+        cols = list(zip(*rows))
+        return pa.table(
+            {
+                "col": pa.array(cols[0], pa.string()),
+                "p_n": pa.array(cols[1], pa.int64()),
+                "p_null": pa.array(cols[2], pa.int64()),
+                "p_min": pa.array(cols[3], pa.float64()),
+                "p_max": pa.array(cols[4], pa.float64()),
+            }
+        )
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        outc, outv = [], []
+        for c in COLS:
+            v = _clean_np(t, c)
+            u = np.unique(v.astype(str))
+            outc.extend([c] * len(u))
+            outv.extend(u.tolist())
+        return pa.table({"col": pa.array(outc, pa.string()), "v": pa.array(outv, pa.string())})
+
+    ds = _read(sf_dir, "events", COLS)
+    stats = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("col")
+        .aggregate(
+            Sum("p_n", alias_name="n_vals"),
+            Sum("p_null", alias_name="n_null"),
+            Min("p_min", alias_name="min_d"),
+            Max("p_max", alias_name="max_d"),
+        )
+        .to_pandas()
+    )
+    uniq = (
+        ds.map_batches(distinct_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["col", "v"])
+        .count()
+        .groupby("col")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "n_distinct"})
+    )
+    out = stats.merge(uniq, on="col", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
+    out.loc[~out["col"].isin(NUM), ["min_d", "max_d"]] = np.nan
+    out.loc[out["n_vals"] == 0, ["min_d", "max_d"]] = np.nan
+    for c in ("n_vals", "n_null"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["col", "n_vals", "n_null", "n_distinct", "min_d", "max_d"]]
+        .sort_values("col")
+        .reset_index(drop=True)
+    )
+
+
+PROFILE_EVENTS_SQL = """
+WITH v AS (SELECT CASE WHEN isnan(value) THEN NULL ELSE value END AS value FROM events)
+SELECT 'event_id' AS col, count(event_id) AS n_vals, count(*) - count(event_id) AS n_null,
+       count(DISTINCT event_id) AS n_distinct,
+       CAST(min(event_id) AS DOUBLE) AS min_d, CAST(max(event_id) AS DOUBLE) AS max_d FROM events
+UNION ALL
+SELECT 'user_id', count(user_id), count(*) - count(user_id), count(DISTINCT user_id),
+       CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE) FROM events
+UNION ALL
+SELECT 'event_type', count(event_type), count(*) - count(event_type), count(DISTINCT event_type),
+       NULL, NULL FROM events
+UNION ALL
+SELECT 'value', count(value), count(*) - count(value), count(DISTINCT value),
+       min(value), max(value) FROM v
+UNION ALL
+SELECT 'ts', count(ts), count(*) - count(ts), count(DISTINCT ts),
+       CAST(epoch_us(min(ts)) AS DOUBLE), CAST(epoch_us(max(ts)) AS DOUBLE) FROM events
+UNION ALL
+SELECT 'props', count(props), count(*) - count(props), count(DISTINCT props),
+       NULL, NULL FROM events
+ORDER BY col
+"""

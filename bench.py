@@ -256,6 +256,8 @@ def run_bench() -> dict:
         "char_entropy",
         "weighted_sample",
         "incremental_agg",
+        "global_rank",
+        "profile_events",
         "distinct_users_per_type",
         "events_by_month",
         "media_features",

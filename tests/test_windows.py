@@ -272,6 +272,7 @@ class TestRandomizedOracleParity:
         "user_event_paths",
         "user_funnel",
         "date_funcs",
+        "global_rank",
         "value_histogram",
         "events_windowed",
         "events_sessionized",
