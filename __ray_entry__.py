@@ -230,6 +230,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_agg": q.incremental_agg,
         "global_rank": q.global_rank,
         "profile_events": q.profile_events,
+        "events_resampled": w.events_resampled,
+        "budget_select": dp.budget_select,
+        "vector_funcs": dp.vector_funcs,
         "char_entropy": dp.char_entropy,
         "weighted_sample": dp.weighted_sample,
         "lineitem_corr": q.lineitem_corr,
@@ -326,6 +329,9 @@ def oracle_sql() -> dict[str, str]:
         "incremental_agg": q.LINEITEM_AGG_SQL,
         "global_rank": q.GLOBAL_RANK_SQL,
         "profile_events": q.PROFILE_EVENTS_SQL,
+        "events_resampled": w.EVENTS_RESAMPLED_SQL,
+        "budget_select": dp.BUDGET_SELECT_SQL,
+        "vector_funcs": dp.VECTOR_FUNCS_SQL,
         "char_entropy": dp.CHAR_ENTROPY_SQL,
         "weighted_sample": dp.WEIGHTED_SAMPLE_SQL,
         "passage_dedup": co.PASSAGE_DEDUP_SQL,

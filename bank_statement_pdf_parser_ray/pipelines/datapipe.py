@@ -2600,3 +2600,128 @@ WHERE n_chars IS NOT NULL AND n_chars > 0
 ORDER BY priority DESC, doc_id
 LIMIT 50
 """
+
+
+BUDGET_CHARS = 100_000
+
+
+def budget_select(sf_dir: str, budget: int = BUDGET_CHARS) -> "ray.data.Dataset":
+    """Budgeted curation selection: keep documents in (n_chars DESC,
+    doc_id) priority order while the RUNNING character total stays
+    within ``budget`` — the 'fill the training mix up to B tokens from
+    the top of the ranking' primitive. The cutoff depends on a global
+    prefix SUM over a total order, so this reuses global_rank's
+    monotone-bucket two-pass shape with weights instead of counts:
+    pass 1 reduces each batch to per-bucket (count is irrelevant here)
+    char sums — bucket = -(n_chars // 64), monotone in the priority
+    order — the driver prefix-sums the tiny histogram and broadcasts
+    exclusive offsets; pass 2 is one shuffle of (doc_id, n_chars)
+    where each bucket group sorts locally, adds its offset to a local
+    cumsum and keeps rows with inclusive total <= budget. Whole
+    buckets past the budget produce empty groups without data moving
+    twice. The SQL oracle is the window-SUM restatement."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"],
+        filter=pc.is_valid(pc.field("n_chars")),
+    )
+
+    def bucket_sums(t: pa.Table) -> pa.Table:
+        w = t.column("n_chars").to_numpy(zero_copy_only=False)
+        b = -(w // 64)
+        ub, inv = np.unique(b, return_inverse=True)
+        s = np.zeros(len(ub), dtype=np.int64)
+        np.add.at(s, inv, w)
+        return pa.table({"bucket": pa.array(ub, pa.int64()), "p_w": pa.array(s, pa.int64())})
+
+    hist = (
+        ds.map_batches(bucket_sums, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Sum("p_w", alias_name="w"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    off = dict(zip(hist["bucket"], np.cumsum(hist["w"].to_numpy()) - hist["w"].to_numpy()))
+    off_ref = ray.put(off)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        w = t.column("n_chars").to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(-(w // 64), pa.int64()))
+
+    def cut_group(g: pa.Table) -> pa.Table:
+        offs = ray.get(off_ref)
+        base = offs[int(g.column("bucket")[0].as_py())]
+        w = g.column("n_chars").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -w))
+        csum = base + np.cumsum(w[order])
+        keep = order[csum <= budget]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "n_chars": pa.array(w[keep], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(cut_group, batch_format="pyarrow")
+    )
+
+
+BUDGET_SELECT_SQL = f"""
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM (
+  SELECT doc_id, n_chars,
+         sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id) AS csum
+  FROM documents WHERE n_chars IS NOT NULL
+) WHERE csum <= {BUDGET_CHARS}
+"""
+
+
+def vector_funcs(sf_dir: str) -> pd.DataFrame:
+    """List-column scalar surface over the embedding vectors: length,
+    L2 norm, mean, max |x| — one vectorized pass per batch using the
+    Arrow list layout directly (flat value buffer + np.reduceat over
+    the offsets; ragged-safe, no per-row Python). float32 elements are
+    upcast to float64 BEFORE aggregating on both sides (the oracle's
+    list_transform CAST), and order-dependent sums are rounded(6)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        col = t.column("embedding")
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        s = np.add.reduceat(flat, starts)
+        s2 = np.add.reduceat(flat * flat, starts)
+        mx = np.maximum.reduceat(np.abs(flat), starts)
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "dim": pa.array(lens, pa.int64()),
+                "l2": pa.array(np.round(np.sqrt(s2), 6), pa.float64()),
+                "mean_v": pa.array(np.round(s / lens, 6), pa.float64()),
+                "max_abs": pa.array(np.round(mx, 6), pa.float64()),
+            }
+        )
+
+    out = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+VECTOR_FUNCS_SQL = """
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       round(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum')), 6) AS l2,
+       round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum') / len(embedding), 6) AS mean_v,
+       round(list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max'), 6) AS max_abs
+FROM embeddings
+ORDER BY vec_id
+"""

@@ -617,3 +617,59 @@ SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
 FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
         LEFT JOIN s3 ON s1.user_id = s3.user_id
 """
+
+
+def events_resampled(sf_dir: str) -> "ray.data.Dataset":
+    """Time-series resampling with gap filling: each user's activity
+    re-gridded to a dense hourly series from their first to their last
+    active hour, absent hours filled with 0.0 — the densification step
+    in front of any windowed model. Generates rows that do not exist
+    in the input, which no plain groupby can do; the oracle states it
+    with generate_series + LEFT JOIN.
+
+    Same one-shuffle per-key shape as the rest of this module; the
+    per-worker bound is one user's SPAN in hours (not their event
+    count), which is the operator's stated partitioning assumption.
+    NULL-ts rows and NULL users are excluded (declared on both sides);
+    NULL and valid-NaN values contribute 0 like the oracle's FILTER;
+    sums are rounded(6) on both sides (order-dependent float sums)."""
+    flt = pc.is_valid(pc.field("ts")) & pc.is_valid(pc.field("user_id"))
+    ds = _events(sf_dir, ["user_id", "ts", "value"], flt=flt)
+
+    def regrid(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # float divide BEFORE floor: negative timestamps floor correctly
+        h = np.floor(ts / 3.6e9).astype(np.int64)
+        v = g.column("value").to_numpy(zero_copy_only=False)
+        v = np.where(np.isnan(v), 0.0, v)
+        h0, h1 = int(h.min()), int(h.max())
+        total = np.zeros(h1 - h0 + 1)
+        np.add.at(total, h - h0, v)
+        user = g.column("user_id")[0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array(np.full(len(total), user), pa.int64()),
+                "h": pa.array(np.arange(h0, h1 + 1), pa.int64()),
+                "total": pa.array(np.round(total, 6), pa.float64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(regrid, batch_format="pyarrow")
+
+
+EVENTS_RESAMPLED_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS h, value
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), b AS (
+  SELECT user_id, h,
+         coalesce(sum(value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)), 0) AS s
+  FROM e GROUP BY user_id, h
+), r AS (
+  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM b GROUP BY user_id
+), g AS (
+  SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM r
+)
+SELECT g.user_id, g.h, round(coalesce(b.s, 0), 6) AS total
+FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.h = b.h
+"""

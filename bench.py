@@ -258,6 +258,9 @@ def run_bench() -> dict:
         "incremental_agg",
         "global_rank",
         "profile_events",
+        "events_resampled",
+        "budget_select",
+        "vector_funcs",
         "distinct_users_per_type",
         "events_by_month",
         "media_features",

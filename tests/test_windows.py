@@ -273,6 +273,7 @@ class TestRandomizedOracleParity:
         "user_funnel",
         "date_funcs",
         "global_rank",
+        "events_resampled",
         "value_histogram",
         "events_windowed",
         "events_sessionized",
@@ -462,6 +463,7 @@ class TestRandomizedDocumentsParity:
         "string_funcs",
         "char_entropy",
         "weighted_sample",
+        "budget_select",
     ]
 
     @pytest.mark.parametrize("seed", [11, 12])
@@ -538,7 +540,7 @@ class TestRandomizedEmbeddingsParity:
     returns -1 for it, the engine treats it as all-zero sims — outputs
     must still agree), tiny norms, duplicate similarity values."""
 
-    OPS = ["knn_cosine", "knn_cosine_filtered", "knn_cosine_ivf_full", "embedding_neardup"]
+    OPS = ["knn_cosine", "knn_cosine_filtered", "knn_cosine_ivf_full", "embedding_neardup", "vector_funcs"]
 
     @pytest.mark.parametrize("seed", [21, 22])
     def test_embeddings_family_matches_duckdb(self, seed, tmp_path):
