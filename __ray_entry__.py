@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_rank": q.global_rank,
         "profile_events": q.profile_events,
         "events_resampled": w.events_resampled,
+        "value_quartiles": q.value_quartiles,
         "budget_select": dp.budget_select,
         "vector_funcs": dp.vector_funcs,
         "char_entropy": dp.char_entropy,
@@ -330,6 +331,7 @@ def oracle_sql() -> dict[str, str]:
         "global_rank": q.GLOBAL_RANK_SQL,
         "profile_events": q.PROFILE_EVENTS_SQL,
         "events_resampled": w.EVENTS_RESAMPLED_SQL,
+        "value_quartiles": q.VALUE_QUARTILES_SQL,
         "budget_select": dp.BUDGET_SELECT_SQL,
         "vector_funcs": dp.VECTOR_FUNCS_SQL,
         "char_entropy": dp.CHAR_ENTROPY_SQL,

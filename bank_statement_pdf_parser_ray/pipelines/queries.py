@@ -1920,3 +1920,76 @@ SELECT 'props', count(props), count(*) - count(props), count(DISTINCT props),
        NULL, NULL FROM events
 ORDER BY col
 """
+
+
+def value_quartiles(sf_dir: str) -> "ray.data.Dataset":
+    """Global ntile(4) labels over the (value, event_id) total order —
+    the quantile-bucket assignment behind stratified splits and
+    outlier tiers. Reuses global_rank's monotone-bucket two-pass shape
+    keyed on value (bucket = floor(value), monotone): the tiny bucket
+    histogram gives both the exclusive prefix offsets AND the global n
+    that SQL ntile needs (first n%4 tiles get one extra row), then ONE
+    shuffle ranks each bucket locally and maps rank -> tile with the
+    exact ntile arithmetic. NULL and valid-NaN values are excluded
+    (NaN-as-missing, declared in the oracle)."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"],
+        filter=pc.is_valid(pc.field("value")),
+    )
+
+    def drop_nan(t: pa.Table) -> pa.Table:
+        v = t.column("value")
+        return t.filter(pc.invert(pc.is_nan(v)))
+
+    ds = ds.map_batches(drop_nan, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        b = np.floor(t.column("value").to_numpy(zero_copy_only=False)).astype(np.int64)
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(ub, pa.int64()), "p_n": pa.array(cnt, pa.int64())})
+
+    hist = (
+        ds.map_batches(bucket_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Sum("p_n", alias_name="n"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    n_total = int(hist["n"].sum())
+    off = dict(zip(hist["bucket"], np.cumsum(hist["n"].to_numpy()) - hist["n"].to_numpy()))
+    off_ref = ray.put((off, n_total))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = np.floor(t.column("value").to_numpy(zero_copy_only=False)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    def tile_group(g: pa.Table) -> pa.Table:
+        offs, n = ray.get(off_ref)
+        v = g.column("value").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, v))
+        r = np.empty(len(eid), dtype=np.int64)  # 0-based global rank
+        r[order] = offs[int(g.column("bucket")[0].as_py())] + np.arange(len(eid))
+        base, rem = divmod(n, 4)
+        pivot = rem * (base + 1)
+        tile = np.where(r < pivot, r // (base + 1), rem + (r - pivot) // base if base else 0) + 1
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "quartile": pa.array(tile.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(tile_group, batch_format="pyarrow")
+    )
+
+
+VALUE_QUARTILES_SQL = """
+SELECT event_id, CAST(ntile(4) OVER (ORDER BY value, event_id) AS BIGINT) AS quartile
+FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+"""

@@ -261,6 +261,7 @@ def run_bench() -> dict:
         "events_resampled",
         "budget_select",
         "vector_funcs",
+        "value_quartiles",
         "distinct_users_per_type",
         "events_by_month",
         "media_features",

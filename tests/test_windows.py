@@ -274,6 +274,7 @@ class TestRandomizedOracleParity:
         "date_funcs",
         "global_rank",
         "events_resampled",
+        "value_quartiles",
         "value_histogram",
         "events_windowed",
         "events_sessionized",
