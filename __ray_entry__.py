@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quartiles": q.value_quartiles,
         "budget_select": dp.budget_select,
         "vector_funcs": dp.vector_funcs,
+        "explode_embedding": dp.explode_embedding,
         "char_entropy": dp.char_entropy,
         "weighted_sample": dp.weighted_sample,
         "lineitem_corr": q.lineitem_corr,
@@ -334,6 +335,7 @@ def oracle_sql() -> dict[str, str]:
         "value_quartiles": q.VALUE_QUARTILES_SQL,
         "budget_select": dp.BUDGET_SELECT_SQL,
         "vector_funcs": dp.VECTOR_FUNCS_SQL,
+        "explode_embedding": dp.EXPLODE_EMBEDDING_SQL,
         "char_entropy": dp.CHAR_ENTROPY_SQL,
         "weighted_sample": dp.WEIGHTED_SAMPLE_SQL,
         "passage_dedup": co.PASSAGE_DEDUP_SQL,

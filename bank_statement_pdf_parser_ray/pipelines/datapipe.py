@@ -2725,3 +2725,46 @@ SELECT vec_id,
 FROM embeddings
 ORDER BY vec_id
 """
+
+
+def explode_embedding(sf_dir: str, limit_ids: int = 64) -> "ray.data.Dataset":
+    """List explode / UNNEST WITH ORDINALITY — the long-form view of a
+    vector column (vec_id, idx, x) that feeds per-dimension statistics
+    and columnar ML export. Pure streaming map: each batch turns the
+    Arrow list layout into output columns with np.repeat (parents) +
+    per-row aranges (ordinality) over the FLAT value buffer — no
+    per-row Python, no shuffle; output rows = total element count, so
+    the id range is bounded for the query surface (full explode is the
+    same code minus the pushed-down filter). idx is 1-based like SQL
+    generate_subscripts."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        col = t.column("embedding")
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = np.repeat(t.column("vec_id").to_numpy(zero_copy_only=False), lens)
+        # per-row 1-based ordinality: global arange minus each row's start
+        ends = np.cumsum(lens)
+        idx = np.arange(ends[-1] if len(ends) else 0, dtype=np.int64) - np.repeat(ends - lens, lens) + 1
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "idx": pa.array(idx, pa.int64()),
+                "x": pa.array(np.round(flat, 6), pa.float64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=(pc.field("vec_id") < limit_ids),
+    ).map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+EXPLODE_EMBEDDING_SQL = """
+SELECT vec_id,
+       CAST(generate_subscripts(embedding, 1) AS BIGINT) AS idx,
+       round(CAST(unnest(embedding) AS DOUBLE), 6) AS x
+FROM embeddings WHERE vec_id < 64
+"""

@@ -262,6 +262,7 @@ def run_bench() -> dict:
         "budget_select",
         "vector_funcs",
         "value_quartiles",
+        "explode_embedding",
         "distinct_users_per_type",
         "events_by_month",
         "media_features",
