@@ -235,6 +235,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "budget_select": dp.budget_select,
         "vector_funcs": dp.vector_funcs,
         "explode_embedding": dp.explode_embedding,
+        "embedding_dim_stats": dp.embedding_dim_stats,
+        "orders_above_cust_avg": q.orders_above_cust_avg,
         "char_entropy": dp.char_entropy,
         "weighted_sample": dp.weighted_sample,
         "lineitem_corr": q.lineitem_corr,
@@ -336,6 +338,8 @@ def oracle_sql() -> dict[str, str]:
         "budget_select": dp.BUDGET_SELECT_SQL,
         "vector_funcs": dp.VECTOR_FUNCS_SQL,
         "explode_embedding": dp.EXPLODE_EMBEDDING_SQL,
+        "embedding_dim_stats": dp.EMBEDDING_DIM_STATS_SQL,
+        "orders_above_cust_avg": q.ORDERS_ABOVE_CUST_AVG_SQL,
         "char_entropy": dp.CHAR_ENTROPY_SQL,
         "weighted_sample": dp.WEIGHTED_SAMPLE_SQL,
         "passage_dedup": co.PASSAGE_DEDUP_SQL,

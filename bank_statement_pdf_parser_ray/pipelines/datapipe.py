@@ -2768,3 +2768,66 @@ SELECT vec_id,
        round(CAST(unnest(embedding) AS DOUBLE), 6) AS x
 FROM embeddings WHERE vec_id < 64
 """
+
+
+def embedding_dim_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension corpus statistics over the vector column (the
+    whitening/normalization stats: mean and sample stddev per
+    coordinate) — distributed as (n, Σx, Σx²) partials per dimension:
+    each block reduces to ONE d-row partial table (vectorized column
+    sums over the stacked matrix), the tiny groupby moves O(d × blocks)
+    rows, and the driver finalizes the moments. Same moment-partial
+    shape as events_stats, applied across the list column. Oracle is
+    the UNNEST restatement with avg/stddev_samp; float64 upcast before
+    any sum, results rounded(6) on both sides."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column("embedding")
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = int(lens[0]) if len(lens) else 0
+        m = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(-1, d)
+        return pa.table(
+            {
+                "idx": pa.array(np.arange(1, d + 1), pa.int64()),
+                "p_n": pa.array(np.full(d, len(m)), pa.int64()),
+                "p_s": pa.array(m.sum(axis=0), pa.float64()),
+                "p_s2": pa.array((m * m).sum(axis=0), pa.float64()),
+            }
+        )
+
+    agg = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("idx")
+        .aggregate(Sum("p_n", alias_name="n"), Sum("p_s", alias_name="s"), Sum("p_s2", alias_name="s2"))
+        .to_pandas()
+    )
+    n = agg["n"].to_numpy(dtype=float)
+    s = agg["s"].to_numpy()
+    s2 = agg["s2"].to_numpy()
+    mean = s / n
+    var = np.maximum(s2 - n * mean * mean, 0.0) / np.maximum(n - 1, 1)
+    out = pd.DataFrame(
+        {
+            "idx": agg["idx"].astype("int64"),
+            "n": agg["n"].astype("int64"),
+            "mean_x": np.round(mean, 6),
+            "std_x": np.round(np.sqrt(var), 6),
+        }
+    )
+    return out.sort_values("idx").reset_index(drop=True)
+
+
+EMBEDDING_DIM_STATS_SQL = """
+SELECT idx, count(*) AS n,
+       round(avg(x), 6) AS mean_x,
+       round(stddev_samp(x), 6) AS std_x
+FROM (
+  SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS idx,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+)
+GROUP BY idx ORDER BY idx
+"""

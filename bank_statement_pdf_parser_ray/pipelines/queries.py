@@ -1993,3 +1993,40 @@ VALUE_QUARTILES_SQL = """
 SELECT event_id, CAST(ntile(4) OVER (ORDER BY value, event_id) AS BIGINT) AS quartile
 FROM events WHERE value IS NOT NULL AND NOT isnan(value)
 """
+
+
+def orders_above_cust_avg(sf_dir: str) -> "ray.data.Dataset":
+    """Correlated-scalar-subquery shape (orders priced above THEIR
+    customer's average) as a distributed plan: ONE hash shuffle on
+    o_custkey, then a per-group vectorized compare against the group
+    mean — no second scan, no broadcast of a per-key aggregate table,
+    because the co-grouped rows already hold everything the correlated
+    predicate needs. The SQL oracle states it with a window AVG
+    partitioned by the same key. Output: qualifying (o_orderkey,
+    o_custkey, o_totalprice)."""
+
+    def above_avg(g: pa.Table) -> pa.Table:
+        v = g.column("o_totalprice").to_numpy(zero_copy_only=False)
+        keep = v > v.mean()
+        return pa.table(
+            {
+                "o_orderkey": pa.array(g.column("o_orderkey").to_numpy(zero_copy_only=False)[keep], pa.int64()),
+                "o_custkey": pa.array(g.column("o_custkey").to_numpy(zero_copy_only=False)[keep], pa.int64()),
+                "o_totalprice": pa.array(v[keep], pa.float64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .groupby("o_custkey")
+        .map_groups(above_avg, batch_format="pyarrow")
+    )
+
+
+ORDERS_ABOVE_CUST_AVG_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         avg(o_totalprice) OVER (PARTITION BY o_custkey) AS a
+  FROM orders
+) WHERE o_totalprice > a
+"""

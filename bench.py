@@ -263,6 +263,8 @@ def run_bench() -> dict:
         "vector_funcs",
         "value_quartiles",
         "explode_embedding",
+        "embedding_dim_stats",
+        "orders_above_cust_avg",
         "distinct_users_per_type",
         "events_by_month",
         "media_features",
