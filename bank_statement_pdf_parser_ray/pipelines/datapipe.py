@@ -2831,3 +2831,104 @@ FROM (
 )
 GROUP BY idx ORDER BY idx
 """
+
+
+def _doc_bigrams(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_positions, w1, w2) for one batch under the pinned
+    whitespace tokenizer: split, drop empty tokens (which JOINS their
+    neighbors, exactly like the oracle's list_filter-then-pair), then
+    pair adjacent tokens that share a document."""
+    txt = t.column("text")
+    lst = pc.split_pattern_regex(txt, pattern=r"\s+")
+    flat = pc.list_flatten(lst)
+    lens = pc.list_value_length(lst).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(lens)), lens)
+    words = flat.to_numpy(zero_copy_only=False)
+    keep = words != ""
+    words, doc_idx = words[keep], doc_idx[keep]
+    if len(words) < 2:
+        z = np.array([], dtype=np.int64)
+        return z, z.astype(object), z.astype(object)
+    same = doc_idx[:-1] == doc_idx[1:]
+    return doc_idx[:-1][same], words[:-1][same], words[1:][same]
+
+
+def bigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """Conditional bigram LM quality signal: per document, the mean
+    ln P(w_i | w_{i-1}) under the corpus MLE bigram model — the
+    next-step-up from ``unigram_logprob`` (fluency, not just word
+    frequency; stilted or shuffled text scores low even when its
+    unigrams are common). Same two-pass broadcast shape: pass 1
+    reduces each batch to (w1, w2, partial count) rows — the shuffle
+    moves O(batch-distinct bigrams x blocks) — and the conditional
+    denominator c1(w1) = sum over w2 falls out of the reduced table
+    for free; the ln(n2/n1) score map is broadcast once via ray.put;
+    pass 2 re-tokenizes streaming and averages per doc. Every observed
+    bigram is in the model (MLE, no smoothing) so the lookup is total.
+    The stated 100 TB path when the bigram model outgrows a broadcast:
+    hash-partition pass 2's pairs by w1 and JOIN against the reduced
+    table instead (the tfidf DF-pass alternative). Docs with fewer
+    than two tokens produce no row, like the oracle's pair join."""
+    from ray.data.aggregate import Sum
+
+    def count_pairs(t: pa.Table) -> pa.Table:
+        _, w1, w2 = _doc_bigrams(t)
+        g = pa.TableGroupBy(
+            pa.table({"w1": pa.array(w1, pa.string()), "w2": pa.array(w2, pa.string())}), ["w1", "w2"]
+        ).aggregate([("w1", "count")])
+        return g.rename_columns(["w1", "w2", "p_n"])
+
+    model = (
+        _docs(sf_dir, ["text"])
+        .map_batches(count_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("p_n", alias_name="n2"))
+        .to_pandas()  # O(bigram vocab) — the model, not the corpus
+    )
+    n1 = model.groupby("w1")["n2"].transform("sum").to_numpy()
+    key = model["w1"].to_numpy() + "\x00" + model["w2"].to_numpy()
+    lp_map = pd.Series(np.log(model["n2"].to_numpy(dtype=float) / n1), index=key)
+    map_ref = ray.put(lp_map)
+
+    def score(t: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        db, w1, w2 = _doc_bigrams(t)
+        lp = m.loc[np.char.add(np.char.add(w1.astype(str), "\x00"), w2.astype(str))].to_numpy()
+        acc = np.zeros(len(ids))
+        cnt = np.zeros(len(ids), dtype=np.int64)
+        np.add.at(acc, db, lp)
+        np.add.at(cnt, db, 1)
+        has = cnt > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[has], pa.int64()),
+                "lp": pa.array(np.round(acc[has] / cnt[has], 6), pa.float64()),
+            }
+        )
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+BIGRAM_LOGPROB_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+        FROM documents)
+), big AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+), c2 AS (SELECT w1, w2, count(*) AS n2 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS n1 FROM big GROUP BY w1)
+SELECT g.doc_id, round(avg(ln(CAST(n2 AS DOUBLE) / n1)), 6) AS lp
+FROM big g JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""

@@ -265,6 +265,7 @@ def run_bench() -> dict:
         "explode_embedding",
         "embedding_dim_stats",
         "orders_above_cust_avg",
+        "bigram_logprob",
         "distinct_users_per_type",
         "events_by_month",
         "media_features",

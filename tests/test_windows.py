@@ -465,6 +465,7 @@ class TestRandomizedDocumentsParity:
         "char_entropy",
         "weighted_sample",
         "budget_select",
+        "bigram_logprob",
     ]
 
     @pytest.mark.parametrize("seed", [11, 12])
