@@ -8,421 +8,14 @@ DuckDB (row-count + schema + order-insensitive value-hash).
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here (or in the library) calls ray.init()/ray.shutdown().
 
-Operator registry (SURVEY.md §2): the flagship transcript-extraction
-pipeline is verified by the stronger oracle-equality pytest path
-(tests/test_pipeline_e2e.py) plus a rows-only entry here; the
-SQL-expressible operators get DuckDB oracles.
+Thin shim: the actual registry lives in
+``bank_statement_pdf_parser_ray/registry.py`` so the CLI (`python -m
+bank_statement_pdf_parser_ray query <name>`) resolves the same names the
+driver checks.
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable
-from typing import Any
+from bank_statement_pdf_parser_ray.registry import entry, oracle_sql, queries
 
-import pyarrow as pa
-
-
-def _documents_as_transcripts(sf_dir: str):
-    """Bridge the shared `documents` table into the input_hint transcript
-    shape (each document = a single-turn conversation)."""
-    import ray.data
-
-    def to_turns(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        conv = [f"doc-{i:010d}" for i in t.column("doc_id").to_pylist()]
-        return pa.table(
-            {
-                "conv_id": pa.array(conv, pa.string()),
-                "turn_idx": pa.array([0] * n, pa.int32()),
-                "role": pa.array(["user"] * n, pa.string()),
-                "text": t.column("text").cast(pa.string()),
-                "tool": pa.array([""] * n, pa.string()),
-                "ts": pa.array([1_704_067_200_000_000] * n, pa.timestamp("us")),
-            }
-        )
-
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(to_turns, batch_format="pyarrow", zero_copy_batch=True)
-
-
-def entry() -> Any:
-    """Flagship extraction pipeline on /root/testdata/sf0.001."""
-    from bank_statement_pdf_parser_ray.pipelines.flagship import run_flagship
-
-    src = _documents_as_transcripts("/root/testdata/sf0.001")
-    return run_flagship(src, salt_chunk=10_000, n_parts=16)
-
-
-def _extract_documents(sf_dir: str):
-    from bank_statement_pdf_parser_ray.pipelines.flagship import run_flagship
-
-    ds = run_flagship(_documents_as_transcripts(sf_dir), salt_chunk=10_000, n_parts=16)
-    return ds.select_columns(["conv_id", "turn_idx", "content_kind", "extracted_text", "row_h"])
-
-
-def _extract_corpus(sf_dir: str):
-    """Flagship over the synthetic transcript corpus (all three payload
-    families incl. statement dialects); sf_dir scales the corpus size."""
-    import ray.data
-
-    from bank_statement_pdf_parser_ray.pipelines.flagship import run_flagship
-    from bank_statement_pdf_parser_ray.sources.corpus import gen_corpus
-
-    n_convs = {"sf0.001": 30, "sf0.01": 120, "sf0.1": 400}.get(sf_dir.rstrip("/").split("/")[-1], 60)
-    src = ray.data.from_arrow(gen_corpus(n_convs, seed=42, mega_turns=200))
-    ds = run_flagship(src, salt_chunk=64, n_parts=16)
-    return ds.select_columns(
-        ["conv_id", "turn_idx", "content_kind", "dialect", "balance_ok", "extracted_text"]
-    )
-
-
-def _corpus_flagship(sf_dir: str):
-    import ray.data
-
-    from bank_statement_pdf_parser_ray.pipelines.flagship import run_flagship
-    from bank_statement_pdf_parser_ray.sources.corpus import gen_corpus
-
-    n_convs = {"sf0.001": 30, "sf0.01": 120, "sf0.1": 400}.get(sf_dir.rstrip("/").split("/")[-1], 60)
-    src = ray.data.from_arrow(gen_corpus(n_convs, seed=42, mega_turns=200))
-    return run_flagship(src, salt_chunk=64, n_parts=16)
-
-
-def _corpus_transactions(sf_dir: str):
-    """The reference's final artifact: one standardized row per
-    transaction (README.md:2 'clean, standardized' output)."""
-    from bank_statement_pdf_parser_ray.stages.transactions import transactions_table
-
-    return transactions_table(_corpus_flagship(sf_dir))
-
-
-def _corpus_rollup(sf_dir: str):
-    from bank_statement_pdf_parser_ray.stages.metrics import conv_rollup
-
-    return conv_rollup(_corpus_flagship(sf_dir))
-
-
-def _corpus_stitched(sf_dir: str):
-    """Cross-turn statement stitching over a corpus with planted
-    split-across-turns statements (stages/stitch.py). Conversation-level
-    op -> rows-only check."""
-    import random
-
-    import pyarrow as pa
-
-    import ray.data
-
-    from bank_statement_pdf_parser_ray.sources.corpus import gen_statement
-    from bank_statement_pdf_parser_ray.stages.stitch import stitch_statements
-
-    rng = random.Random(7)
-    cols = {k: [] for k in ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
-    for ci in range(40):
-        s = gen_statement(rng)
-        texts = ["intro turn " + str(ci)]
-        if "\f" in s:  # split the two-page statement across two turns
-            p1, p2 = s.split("\f", 1)
-            texts += [p1, p2]
-        else:
-            texts.append(s)
-        for ti, tx in enumerate(texts):
-            cols["conv_id"].append(f"sc-{ci:04d}")
-            cols["turn_idx"].append(ti)
-            cols["role"].append("tool")
-            cols["text"].append(tx)
-            cols["tool"].append("pdf_reader")
-            cols["ts"].append(0)
-    t = pa.table(cols)
-    t = t.set_column(1, "turn_idx", t.column("turn_idx").cast(pa.int32()))
-    return stitch_statements(ray.data.from_arrow(t))
-
-
-def _embedding_neardup_lsh_checked(sf_dir: str):
-    """Driver-check wrapper: the shared corpus has NO cosine>=0.85 pairs
-    (exact neardup at 0.4 finds only ~59), so the near-dup detector's
-    correct output here is EMPTY — and Ray's to_pandas() drops the
-    column schema of an empty Dataset, which would fail the driver's
-    rows-only check. Pin the schema explicitly; the library function
-    (pipelines/datapipe.py::embedding_neardup_lsh) still returns the
-    streamed Dataset."""
-    import pandas as pd
-
-    from bank_statement_pdf_parser_ray.pipelines import datapipe as dp
-
-    df = dp.embedding_neardup_lsh(sf_dir).to_pandas()
-    if not len(df.columns):
-        df = pd.DataFrame(
-            {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64")}
-        )
-    return df
-
-
-def _semantic_dedup_checked(sf_dir: str):
-    """Schema-pinned wrapper (same reason as the lsh one above): the
-    within-cluster pair set can legitimately be empty, and Ray's
-    to_pandas() drops the column schema of an empty Dataset."""
-    import pandas as pd
-
-    from bank_statement_pdf_parser_ray.pipelines import cluster as cl
-
-    df = cl.semantic_dedup(sf_dir).to_pandas()
-    if not len(df.columns):
-        df = pd.DataFrame(
-            {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64")}
-        )
-    return df
-
-
-def queries() -> dict[str, Callable[[str], Any]]:
-    from bank_statement_pdf_parser_ray.pipelines import cluster as cl
-    from bank_statement_pdf_parser_ray.pipelines import corpusops as co
-    from bank_statement_pdf_parser_ray.pipelines import datapipe as dp
-    from bank_statement_pdf_parser_ray.pipelines import queries as q
-    from bank_statement_pdf_parser_ray.pipelines import windows as w
-
-    return {
-        # flagship extraction (oracle-equality checked in pytest; rows-only here)
-        "extract_corpus": _extract_corpus,
-        "extract_documents": _extract_documents,
-        "corpus_transactions": _corpus_transactions,
-        "corpus_rollup": _corpus_rollup,
-        "corpus_stitched": _corpus_stitched,
-        # relational / SQL-checkable operators
-        "lineitem_agg": q.lineitem_agg,
-        "filter_highvalue": q.filter_highvalue,
-        "topk_users": q.topk_users,
-        "events_windowed": q.events_windowed,
-        "events_ordered": q.events_ordered,
-        "events_sessionized": q.events_sessionized,
-        "broadcast_join": q.broadcast_join,
-        "hash_join_revenue": q.hash_join_revenue,
-        "q5_region_revenue": q.q5_region_revenue,
-        "part_brand_revenue": q.part_brand_revenue,
-        "anti_join_customers": q.anti_join_customers,
-        "semi_join_customers": q.semi_join_customers,
-        "left_join_big_orders": q.left_join_big_orders,
-        "full_outer_user_activity": q.full_outer_user_activity,
-        "union_event_slices": q.union_event_slices,
-        "intersect_users": q.intersect_users,
-        "except_users": q.except_users,
-        "rollup_orders": q.rollup_orders,
-        "cube_orders": q.cube_orders,
-        "asof_join_events": w.asof_join_events,
-        "events_rolling": w.events_rolling,
-        "events_lag_lead": w.events_lag_lead,
-        "events_cumsum": w.events_cumsum,
-        "grouped_topk_events": w.grouped_topk_events,
-        "user_value_quantiles": w.user_value_quantiles,
-        "range_join_counts": w.range_join_counts,
-        "events_ranked": w.events_ranked,
-        "user_event_paths": w.user_event_paths,
-        "user_funnel": w.user_funnel,
-        "bloom_join_revenue": q.bloom_join_revenue,
-        "heavy_hitters": dp.heavy_hitters,
-        "events_pivot": q.events_pivot,
-        "events_stats": q.events_stats,
-        "user_top_event": q.user_top_event,
-        "user_first_last": q.user_first_last,
-        "distinct_users_per_type": q.distinct_users_per_type,
-        "events_by_month": q.events_by_month,
-        "string_funcs": q.string_funcs,
-        "date_funcs": q.date_funcs,
-        "unpivot_lineitem": q.unpivot_lineitem,
-        "incremental_agg": q.incremental_agg,
-        "global_rank": q.global_rank,
-        "profile_events": q.profile_events,
-        "events_resampled": w.events_resampled,
-        "value_quartiles": q.value_quartiles,
-        "budget_select": dp.budget_select,
-        "vector_funcs": dp.vector_funcs,
-        "explode_embedding": dp.explode_embedding,
-        "embedding_dim_stats": dp.embedding_dim_stats,
-        "bigram_logprob": dp.bigram_logprob,
-        "orders_above_cust_avg": q.orders_above_cust_avg,
-        "char_entropy": dp.char_entropy,
-        "weighted_sample": dp.weighted_sample,
-        "lineitem_corr": q.lineitem_corr,
-        "value_histogram": q.value_histogram,
-        "approx_quantiles_events": dp.approx_quantiles_events,
-        "sample_documents": q.sample_documents,
-        "stratified_sample": dp.stratified_sample_documents,
-        "prep_corpus": dp.prep_corpus,
-        "approx_distinct_users": dp.approx_distinct_users,
-        "distinct_langs": q.distinct_langs,
-        "json_props_sum": q.json_props_sum,
-        # text analysis
-        "normalize_ws": dp.normalize_ws,
-        "row_hash_md5": dp.row_hash_md5,
-        "token_count": dp.token_count,
-        "token_count_bpe": dp.token_count_bpe,
-        "quality_score": dp.quality_score,
-        "vocab_topk": dp.vocab_topk,
-        "tfidf_topterms": dp.tfidf_topterms,
-        "unigram_logprob": dp.unigram_logprob,
-        "pii_scrub": dp.pii_scrub,
-        "repetition_ratio": dp.repetition_ratio,
-        "hash_split": dp.hash_split,
-        "decontaminate": dp.decontaminate,
-        "mixture_sample": dp.mixture_sample,
-        "pack_sequences": dp.pack_sequences,
-        "langid": dp.langid,
-        "doc_fingerprint": dp.doc_fingerprint,
-        "passage_dedup": co.passage_dedup,
-        "gopher_quality": co.gopher_quality,
-        "bm25_search": co.bm25_search,
-        # dedup family
-        "exact_dedup": dp.exact_dedup,
-        "corpus_clean": dp.corpus_clean,
-        "dedup_clusters": dp.dedup_clusters,
-        "minhash_candidates": dp.minhash_candidates,
-        "minhash_verified": dp.minhash_verified,
-        "simhash": dp.simhash,
-        "ngram_jaccard_pairs": dp.ngram_jaccard_pairs,
-        # similarity search
-        "knn_cosine": dp.knn_cosine,
-        "knn_cosine_filtered": dp.knn_cosine_filtered,
-        "embedding_neardup": dp.embedding_neardup,
-        "knn_cosine_lsh": dp.knn_cosine_lsh,
-        "knn_cosine_ivf": dp.knn_cosine_ivf,
-        "knn_cosine_ivf_full": dp.knn_cosine_ivf_full,
-        "embedding_neardup_lsh": _embedding_neardup_lsh_checked,
-        "kmeans_embeddings": cl.kmeans_embeddings,
-        "semantic_dedup": _semantic_dedup_checked,
-        "cluster_sample": cl.cluster_sample,
-        # multimodal plumbing (decode stubbed, see MediaDecodeActor)
-        "media_features": dp.media_features,
-        "audio_features": dp.audio_features,
-    }
-
-
-def oracle_sql() -> dict[str, str]:
-    from bank_statement_pdf_parser_ray.pipelines import corpusops as co
-    from bank_statement_pdf_parser_ray.pipelines import datapipe as dp
-    from bank_statement_pdf_parser_ray.pipelines import queries as q
-    from bank_statement_pdf_parser_ray.pipelines import windows as w
-
-    return {
-        "anti_join_customers": q.ANTI_JOIN_CUSTOMERS_SQL,
-        "semi_join_customers": q.SEMI_JOIN_CUSTOMERS_SQL,
-        "left_join_big_orders": q.LEFT_JOIN_BIG_ORDERS_SQL,
-        "full_outer_user_activity": q.FULL_OUTER_USER_ACTIVITY_SQL,
-        "union_event_slices": q.UNION_EVENT_SLICES_SQL,
-        "intersect_users": q.INTERSECT_USERS_SQL,
-        "except_users": q.EXCEPT_USERS_SQL,
-        "rollup_orders": q.ROLLUP_ORDERS_SQL,
-        "cube_orders": q.CUBE_ORDERS_SQL,
-        "asof_join_events": w.ASOF_JOIN_EVENTS_SQL,
-        "events_rolling": w.EVENTS_ROLLING_SQL,
-        "events_lag_lead": w.EVENTS_LAG_LEAD_SQL,
-        "events_cumsum": w.EVENTS_CUMSUM_SQL,
-        "grouped_topk_events": w.GROUPED_TOPK_EVENTS_SQL,
-        "user_value_quantiles": w.USER_VALUE_QUANTILES_SQL,
-        "range_join_counts": w.RANGE_JOIN_COUNTS_SQL,
-        "events_ranked": w.EVENTS_RANKED_SQL,
-        "user_event_paths": w.USER_EVENT_PATHS_SQL,
-        "user_funnel": w.USER_FUNNEL_SQL,
-        "bloom_join_revenue": q.BLOOM_JOIN_REVENUE_SQL,
-        "events_pivot": q.EVENTS_PIVOT_SQL,
-        "events_stats": q.EVENTS_STATS_SQL,
-        "user_top_event": q.USER_TOP_EVENT_SQL,
-        "user_first_last": q.USER_FIRST_LAST_SQL,
-        "distinct_users_per_type": q.DISTINCT_USERS_PER_TYPE_SQL,
-        "events_by_month": q.EVENTS_BY_MONTH_SQL,
-        "string_funcs": q.STRING_FUNCS_SQL,
-        "date_funcs": q.DATE_FUNCS_SQL,
-        "unpivot_lineitem": q.UNPIVOT_LINEITEM_SQL,
-        # incremental maintenance must equal the full recompute
-        "incremental_agg": q.LINEITEM_AGG_SQL,
-        "global_rank": q.GLOBAL_RANK_SQL,
-        "profile_events": q.PROFILE_EVENTS_SQL,
-        "events_resampled": w.EVENTS_RESAMPLED_SQL,
-        "value_quartiles": q.VALUE_QUARTILES_SQL,
-        "budget_select": dp.BUDGET_SELECT_SQL,
-        "vector_funcs": dp.VECTOR_FUNCS_SQL,
-        "explode_embedding": dp.EXPLODE_EMBEDDING_SQL,
-        "embedding_dim_stats": dp.EMBEDDING_DIM_STATS_SQL,
-        "bigram_logprob": dp.BIGRAM_LOGPROB_SQL,
-        "orders_above_cust_avg": q.ORDERS_ABOVE_CUST_AVG_SQL,
-        "char_entropy": dp.CHAR_ENTROPY_SQL,
-        "weighted_sample": dp.WEIGHTED_SAMPLE_SQL,
-        "passage_dedup": co.PASSAGE_DEDUP_SQL,
-        "gopher_quality": co.GOPHER_QUALITY_SQL,
-        "bm25_search": co.BM25_SEARCH_SQL,
-        "lineitem_corr": q.LINEITEM_CORR_SQL,
-        "value_histogram": q.VALUE_HISTOGRAM_SQL,
-        "stratified_sample": dp.STRATIFIED_SAMPLE_SQL,
-        "prep_corpus": dp.PREP_CORPUS_SQL,
-        "lineitem_agg": q.LINEITEM_AGG_SQL,
-        "filter_highvalue": q.FILTER_HIGHVALUE_SQL,
-        "topk_users": q.TOPK_USERS_SQL,
-        "events_windowed": q.EVENTS_WINDOWED_SQL,
-        "events_ordered": q.EVENTS_ORDERED_SQL,
-        "events_sessionized": q.EVENTS_SESSIONIZED_SQL,
-        "broadcast_join": q.BROADCAST_JOIN_SQL,
-        "hash_join_revenue": q.HASH_JOIN_REVENUE_SQL,
-        "q5_region_revenue": q.Q5_REGION_REVENUE_SQL,
-        "part_brand_revenue": q.PART_BRAND_REVENUE_SQL,
-        "distinct_langs": q.DISTINCT_LANGS_SQL,
-        "json_props_sum": q.JSON_PROPS_SUM_SQL,
-        "normalize_ws": (
-            "SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm_text FROM documents"
-        ),
-        "row_hash_md5": "SELECT doc_id, md5(text) AS h FROM documents",
-        # n_tokens = count of \S+ matches, the EXACT formula the engine
-        # computes (pc.count_substring_regex) — a trim()+split formula
-        # diverges on leading/trailing non-space whitespace (DuckDB trim
-        # strips spaces only, leaving an empty first array element)
-        "token_count": (
-            "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens "
-            "FROM documents"
-        ),
-        "quality_score": (
-            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
-            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, "
-            "CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct "
-            "FROM documents"
-        ),
-        "exact_dedup": "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
-        "token_count_bpe": (
-            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
-            r"'[A-Za-z]+|\d{1,3}|[^\sA-Za-z\d]')) AS BIGINT) AS n_bpe_tokens "
-            "FROM documents"
-        ),
-        "ngram_jaccard_pairs": dp.NGRAM_JACCARD_SQL,
-        "minhash_verified": dp.MINHASH_VERIFIED_SQL,
-        "dedup_clusters": dp.DEDUP_CLUSTERS_SQL,
-        "vocab_topk": dp.VOCAB_TOPK_SQL,
-        "tfidf_topterms": dp.TFIDF_TOPTERMS_SQL,
-        "unigram_logprob": dp.UNIGRAM_LOGPROB_SQL,
-        "pii_scrub": dp.PII_SCRUB_SQL,
-        "repetition_ratio": dp.REPETITION_RATIO_SQL,
-        "hash_split": dp.HASH_SPLIT_SQL,
-        "decontaminate": dp.DECONTAMINATE_SQL,
-        "mixture_sample": dp.MIXTURE_SAMPLE_SQL,
-        "corpus_clean": dp.CORPUS_CLEAN_SQL,
-        "embedding_neardup": dp.EMBEDDING_NEARDUP_SQL,
-        "knn_cosine_filtered": dp.KNN_COSINE_FILTERED_SQL,
-        # knn_cosine_ivf_full is exact (full probe) -> same oracle as knn_cosine
-        "knn_cosine_ivf_full": (
-            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)), "
-            "s AS (SELECT q.qid AS query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS sim "
-            "      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid) "
-            "SELECT query_id, vec_id, rank FROM ("
-            "  SELECT query_id, vec_id, "
-            "         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank "
-            "  FROM s) WHERE rank <= 5"
-        ),
-        "knn_cosine": (
-            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)), "
-            "s AS (SELECT q.qid AS query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS sim "
-            "      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid) "
-            "SELECT query_id, vec_id, rank FROM ("
-            "  SELECT query_id, vec_id, "
-            "         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank "
-            "  FROM s) WHERE rank <= 5"
-        ),
-        # rows-only (non-SQL-expressible): extract_corpus, extract_documents,
-        # langid, doc_fingerprint, minhash_candidates (candidacy depends on
-        # the LSH banding, not just true Jaccard), simhash, knn_cosine_lsh /
-        # embedding_neardup_lsh (approximate-by-design; pytest asserts
-        # subset-of-exact + recall), media_features
-    }
+__all__ = ["entry", "queries", "oracle_sql"]

@@ -63,6 +63,16 @@ def main(argv: list[str] | None = None) -> int:
     prepp.add_argument("--per-stratum", type=int, default=10, help="sample size per language")
     prepp.add_argument("--out", required=True, help="output root (lang-partitioned parquet)")
     prepp.add_argument("--num-cpus", type=int, default=None)
+
+    # run ANY registered pipeline by name over the shared tables —
+    # the same names the driver contract checks (registry.py)
+    queryp = sub.add_parser("query", help="run a registered pipeline/query by name")
+    queryp.add_argument("name", nargs="?", default=None, help="query name (omit with --list)")
+    queryp.add_argument("--sf-dir", default=None, help="dir containing the parquet tables")
+    queryp.add_argument("--out", default=None, help="write result (.parquet or .csv); default prints head")
+    queryp.add_argument("--show", type=int, default=10, help="rows to print when --out is omitted")
+    queryp.add_argument("--list", action="store_true", help="list registered query names and exit")
+    queryp.add_argument("--num-cpus", type=int, default=None)
     args = p.parse_args(argv)
 
     if args.cmd == "parse":
@@ -87,7 +97,50 @@ def main(argv: list[str] | None = None) -> int:
         # is NOT a silent success
         return 1 if res["error"] else 0
 
+    if args.cmd == "query" and args.list:
+        from bank_statement_pdf_parser_ray.registry import oracle_sql, queries
+
+        o = oracle_sql()
+        for name in sorted(queries()):
+            print(f"{name}\t{'sql-oracle' if name in o else 'rows-only'}")
+        return 0
+
     import ray
+
+    if args.cmd == "query":
+        if not args.name or not args.sf_dir:
+            p.error("query requires NAME and --sf-dir (or --list)")
+        from bank_statement_pdf_parser_ray.registry import queries
+
+        reg = queries()
+        if args.name not in reg:
+            print(json.dumps({"error": f"unknown query {args.name!r}; see --list"}))
+            return 1
+        owns = not ray.is_initialized()
+        if owns:
+            ray.init(
+                address="local",
+                num_cpus=args.num_cpus,
+                include_dashboard=False,
+                ignore_reinit_error=True,
+                logging_level="ERROR",
+            )
+        try:
+            import pandas as pd
+
+            res = reg[args.name](args.sf_dir)
+            df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+            if args.out and args.out.endswith(".csv"):
+                df.to_csv(args.out, index=False)
+            elif args.out:
+                df.to_parquet(args.out, index=False)
+            else:
+                print(df.head(args.show).to_string(index=False))
+            print(json.dumps({"query": args.name, "rows": len(df), "cols": list(map(str, df.columns)), "out": args.out}))
+            return 0
+        finally:
+            if owns:
+                ray.shutdown()
 
     if args.cmd == "prep":
         owns = not ray.is_initialized()
