@@ -1362,6 +1362,102 @@ def knn_cosine_ivf_full(sf_dir: str) -> pa.Table:
     return knn_cosine_ivf(sf_dir, nprobe=16, n_centroids=16)
 
 
+def _fit_pq_codebooks(
+    sf_dir: str, m_sub: int = 16, n_codes: int = 32, sample: int = 2048, iters: int = 10
+) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Product-quantization codebooks: split the (unit-normalized)
+    vector into ``m_sub`` contiguous subspaces and fit a seeded
+    Euclidean k-means of ``n_codes`` centroids per subspace, on the
+    same bounded predicate-pushdown sample as the IVF coarse quantizer
+    — driver-side, numpy only, never the full table."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["embedding"], filter=pc.field("vec_id") < sample
+    )
+    x = _list_matrix(t.column("embedding"))
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+    d = x.shape[1]
+    bounds = np.linspace(0, d, m_sub + 1).astype(np.int64)  # handles d % m_sub != 0
+    rng = np.random.RandomState(7)
+    books = []
+    for mi in range(m_sub):
+        sub = x[:, bounds[mi] : bounds[mi + 1]]
+        k_eff = min(n_codes, len(sub))
+        cent = sub[rng.choice(len(sub), size=k_eff, replace=False)].copy()
+        for _ in range(iters):
+            # argmin ||s-c||^2 without the (n,k,subd) intermediate
+            assign = np.argmin((sub @ cent.T) * -2.0 + (cent**2).sum(1)[None, :], axis=1)
+            for c in range(k_eff):
+                mem = sub[assign == c]
+                if len(mem):
+                    cent[c] = mem.mean(axis=0)
+        books.append(cent)
+    return bounds, books
+
+
+def knn_cosine_pq(
+    sf_dir: str,
+    query_ids: tuple[int, ...] = (0, 1, 2),
+    k: int = 5,
+    m_sub: int = 16,
+    n_codes: int = 32,
+    refine: int = 8,
+) -> pa.Table:
+    """Product-quantization ANN top-k — the MEMORY-compression scale
+    path next to IVF (list pruning) and LSH (bucketing): each vector's
+    resident representation is ``m_sub`` uint8 codes instead of d
+    floats (32 bytes -> 4 at d=8·4B; 3072-dim fp32 embeddings compress
+    768x at m_sub=8), so at 100 TB the scan working set — and the
+    object-store footprint of a code-only table — shrinks by that
+    factor. Codebooks are fit driver-side on a bounded sample and
+    broadcast once with the query matrix (one ``ray.put``).
+
+    Per batch: (1) ENCODE to codes — at scale this is a separate
+    write-once stage and the scan reads only codes; (2) ADC scan —
+    per-query lookup tables (m_sub × n_codes inner products) turn the
+    estimated cosine into ``m_sub`` table gathers + adds per vector,
+    no d-dim arithmetic; (3) exact re-rank of the ``refine·(k+1)``
+    ADC shortlist (deterministic (-est, vec_id) cut), then the shared
+    distributed ``_knn_merge``. Approximate by design -> rows-only;
+    pytest pins shortlist determinism and a recall floor vs the
+    oracle-paired exact ``knn_cosine``."""
+    q, qids = _query_matrix(sf_dir, query_ids)
+    bounds, books = _fit_pq_codebooks(sf_dir, m_sub=m_sub, n_codes=n_codes)
+    # per-query ADC lookup tables: luts[qi][mi][code] = q_sub · c
+    luts = np.stack(
+        [q[:, bounds[mi] : bounds[mi + 1]] @ books[mi].T for mi in range(len(books))], axis=1
+    )  # (n_queries, m_sub, n_codes)
+    ref = ray.put((q, qids, bounds, books, luts))
+
+    def pq_scan(t: pa.Table) -> pa.Table:
+        qm, qid_list, bnd, bks, lt = ray.get(ref)
+        vec_ids, m = _batch_vectors(t)
+        if not len(vec_ids):
+            return _partial_table([], [], [])
+        codes = np.empty((len(m), len(bks)), dtype=np.int64)
+        for mi in range(len(bks)):
+            sub = m[:, bnd[mi] : bnd[mi + 1]]
+            codes[:, mi] = np.argmin((sub @ bks[mi].T) * -2.0 + (bks[mi] ** 2).sum(1)[None, :], axis=1)
+        out_q, out_v, out_s = [], [], []
+        shortlist_n = min(refine * (k + 1), len(m))
+        for qi in range(len(qid_list)):
+            # ADC estimate: m_sub gathers + adds, no d-dim math
+            est = lt[qi][np.arange(len(bks))[None, :], codes].sum(axis=1)
+            short = np.lexsort((vec_ids, -est))[:shortlist_n]
+            sims = m[short] @ qm[qi]  # exact re-rank on the shortlist only
+            ids = vec_ids[short]
+            idx = _partial_cut(ids, sims, k)
+            out_q.extend([qid_list[qi]] * len(idx))
+            out_v.extend(int(i) for i in ids[idx])
+            out_s.extend(float(s) for s in sims[idx])
+        return _partial_table(out_q, out_v, out_s)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cand = ds.map_batches(pq_scan, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096)
+    return _knn_merge(cand, k)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (decode stubbed — no image/audio libs in env)
 # ---------------------------------------------------------------------------
@@ -2046,6 +2142,171 @@ def audio_features(sf_dir: str) -> "ray.data.Dataset":
     ds = _docs(sf_dir, ["doc_id"]).map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
     return ds.map_batches(
         AudioDecodeActor, batch_format="pyarrow", zero_copy_batch=True, batch_size=64, concurrency=_pool()
+    )
+
+
+class VideoFrameSampleActor:
+    """Actor-pool frame-sampling stage for opaque binary VIDEO columns.
+
+    The decode is REAL for the uncompressed case: a pure-bytes/numpy
+    YUV4MPEG2 (.y4m) parser — plain-text stream header (W/H/F/C
+    parameters), then fixed-size ``FRAME`` records of raw planes
+    (Cmono = Y only; the C420 family = Y + 2 quarter chroma planes).
+    Codec containers (mp4/webm/mkv) would need libraries this
+    environment does not ship and yield a single NULL-feature row per
+    video rather than a fake, so callers can tell decoded from
+    undecodable.
+
+    Scale shape (the point of frame-sampling): Y4M frames are
+    fixed-size, so the k sampled frames are reached by OFFSET
+    ARITHMETIC — per-video work is O(k · frame_bytes) regardless of
+    video length, and only the sampled planes are ever touched. On a
+    100 TB corpus where decode dominates, sample-before-decode is the
+    difference between touching 1% and 100% of the bytes. One output
+    row per sampled frame (media_id, frame_idx, mean_luma, ...), so a
+    long video fans out bounded by ``n_sample``, not duration.
+    """
+
+    # chroma bytes per Y byte for the colorspaces we can walk
+    _CHROMA = {"mono": 0.0, "420": 0.5, "420jpeg": 0.5, "420paldv": 0.5, "420mpeg2": 0.5, "422": 1.0, "444": 2.0}
+
+    def __init__(self, n_sample: int = 4) -> None:
+        self.n_sample = n_sample
+
+    @classmethod
+    def _parse_header(cls, blob: bytes) -> "tuple[int, int, float, int, int] | None":
+        """-> (w, h, fps, frame_bytes, header_end) or None."""
+        if not blob.startswith(b"YUV4MPEG2"):
+            return None
+        nl = blob.find(b"\n")
+        if nl < 0:
+            return None
+        w = h = 0
+        fps = 0.0
+        cspace = "420"  # Y4M default when C is absent
+        for tok in blob[9:nl].split(b" "):
+            if not tok:
+                continue
+            tag, val = tok[:1], tok[1:]
+            try:
+                if tag == b"W":
+                    w = int(val)
+                elif tag == b"H":
+                    h = int(val)
+                elif tag == b"F":
+                    num, den = val.split(b":")
+                    fps = int(num) / int(den)
+                elif tag == b"C":
+                    cspace = val.decode("ascii")
+            except (ValueError, ZeroDivisionError, UnicodeDecodeError):
+                return None
+        if w <= 0 or h <= 0 or cspace not in cls._CHROMA:
+            return None
+        frame_bytes = int(w * h * (1.0 + cls._CHROMA[cspace]))
+        return w, h, fps, frame_bytes, nl + 1
+
+    def _sample(self, blob: bytes) -> "tuple[list[tuple[int, float]], int, int, int, float] | None":
+        """-> ([(frame_idx, mean_luma)...], n_frames, w, h, fps)."""
+        hdr = self._parse_header(blob)
+        if hdr is None:
+            return None
+        w, h, fps, fbytes, pos = hdr
+        # FRAME records: b"FRAME" + optional params + b"\n" + planes.
+        # Params are rare; require the plain fixed marker so record
+        # positions are pure arithmetic (the scale property above),
+        # falling back to a linear walk when a param is present.
+        marker = b"FRAME\n"
+        rec = len(marker) + fbytes
+        body = len(blob) - pos
+        if body >= rec and blob[pos : pos + len(marker)] == marker and body % rec == 0:
+            n_frames = body // rec
+            offsets = [pos + i * rec + len(marker) for i in range(n_frames)]
+        else:  # param-bearing or ragged: walk the markers
+            offsets = []
+            p = pos
+            while p < len(blob):
+                nl = blob.find(b"\n", p)
+                if nl < 0 or blob[p : p + 5] != b"FRAME":
+                    break
+                offsets.append(nl + 1)
+                p = nl + 1 + fbytes
+            n_frames = len(offsets)
+        if n_frames == 0:
+            return None
+        k = min(self.n_sample, n_frames)
+        idxs = sorted({(i * n_frames) // k for i in range(k)})  # uniform stride
+        out = []
+        for i in idxs:
+            off = offsets[i]
+            if off + w * h > len(blob):
+                break  # truncated tail frame
+            y = np.frombuffer(blob, dtype=np.uint8, count=w * h, offset=off)
+            out.append((i, round(float(y.mean()) / 255.0, 6)))
+        return (out, n_frames, w, h, fps) if out else None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        mid_c, fi_c, nf_c, w_c, h_c, fps_c, luma_c = [], [], [], [], [], [], []
+        for mid, blob in zip(t.column("media_id").to_pylist(), t.column("media").to_pylist()):
+            dec = self._sample(blob or b"")
+            if dec is None:  # undecodable: one NULL row, never a fake
+                mid_c.append(mid)
+                fi_c.append(None), nf_c.append(None), w_c.append(None)
+                h_c.append(None), fps_c.append(None), luma_c.append(None)
+                continue
+            frames, n_frames, w, h, fps = dec
+            for idx, luma in frames:
+                mid_c.append(mid)
+                fi_c.append(idx), nf_c.append(n_frames), w_c.append(w)
+                h_c.append(h), fps_c.append(fps), luma_c.append(luma)
+        return pa.table(
+            {
+                "media_id": pa.array(mid_c, pa.int64()),
+                "frame_idx": pa.array(fi_c, pa.int32()),
+                "n_frames": pa.array(nf_c, pa.int32()),
+                "width": pa.array(w_c, pa.int32()),
+                "height": pa.array(h_c, pa.int32()),
+                "fps": pa.array(fps_c, pa.float64()),
+                "mean_luma": pa.array(luma_c, pa.float64()),
+            }
+        )
+
+
+def _synth_y4m(doc_id: int, w: int = 16, h: int = 12, n_frames: int = 10) -> bytes:
+    """Deterministic Cmono Y4M clip: frame k is a constant plane of
+    luma ``(doc_id + 13*k) % 256`` — real Y4M bytes with a closed-form
+    per-frame mean, so the sampling path is exercised for real."""
+    parts = [b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 Cmono\n" % (w, h)]
+    for k in range(n_frames):
+        parts.append(b"FRAME\n")
+        parts.append(bytes([(doc_id + 13 * k) % 256]) * (w * h))
+    return b"".join(parts)
+
+
+def video_frames(sf_dir: str, n_sample: int = 4) -> "ray.data.Dataset":
+    """Multimodal video pipeline: synthesize deterministic Y4M clips
+    (one per document id, length varying with the id — REAL y4m bytes,
+    not a fake), then the actor-pool frame-sampling stage. One row per
+    sampled frame; bounded fan-out per video. Rows-only in the driver
+    check; pytest pins sampled indices and per-frame luma against the
+    closed form."""
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "media_id": t.column("doc_id"),
+                "media": pa.array([_synth_y4m(int(i), n_frames=4 + int(i) % 13) for i in ids], pa.binary()),
+            }
+        )
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
+        VideoFrameSampleActor,
+        fn_constructor_args=(n_sample,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=32,
+        concurrency=_pool(),
     )
 
 

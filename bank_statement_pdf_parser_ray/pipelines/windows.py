@@ -504,6 +504,54 @@ FROM events
 """
 
 
+def events_percent_rank(sf_dir: str) -> "ray.data.Dataset":
+    """Relative-position window functions — SQL ``percent_rank`` /
+    ``cume_dist`` over each user's timestamp order: percent_rank =
+    (rank−1)/(n−1) (0 for a single-row partition), cume_dist =
+    (#rows ≤ current peer group)/n. Both are ratios of small integers
+    evaluated as one double division, so the engine and the oracle are
+    bit-identical by construction — no rounding pin needed (contrast
+    the quantile_cont note on user_value_quantiles).
+
+    Per-group kernel on the sorted ts array: ts-run boundaries give
+    rank (``maximum.accumulate`` of run starts) and the run-END index
+    gives cume_dist (every member of a peer group counts rows through
+    the group's last row). Same one-shuffle per-user plan and memory
+    bound as the rest of this module."""
+
+    def pr_group(g: pa.Table) -> pa.Table:
+        order, ts_s, eid_s = _sorted_group(g)
+        n = len(ts_s)
+        new = np.concatenate(([True], ts_s[1:] != ts_s[:-1]))
+        rnk = np.maximum.accumulate(np.where(new, np.arange(n) + 1, 0))
+        run_id = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n)  # one past each run's last row
+        pr = (rnk - 1) / (n - 1) if n > 1 else np.zeros(n, dtype=np.float64)
+        cume = ends[run_id] / n
+        user = g.column("user_id")[0].as_py()
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s, pa.int64()),
+                "user_id": pa.array(np.full(n, user), pa.int64()),
+                "ts": pa.array(ts_s, pa.int64()).cast(pa.timestamp("us")),
+                "pct_rank": pa.array(pr, pa.float64()),
+                "cume": pa.array(cume, pa.float64()),
+            }
+        )
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts"])
+    return ds.groupby("user_id").map_groups(pr_group, batch_format="pyarrow")
+
+
+EVENTS_PERCENT_RANK_SQL = """
+SELECT event_id, user_id, ts,
+       percent_rank() OVER (PARTITION BY user_id ORDER BY ts) AS pct_rank,
+       cume_dist()    OVER (PARTITION BY user_id ORDER BY ts) AS cume
+FROM events
+"""
+
+
 def user_event_paths(sf_dir: str) -> "ray.data.Dataset":
     """Ordered collect/concat aggregate — SQL ``string_agg(...  ORDER
     BY ...)``: each user's full event-type journey as one

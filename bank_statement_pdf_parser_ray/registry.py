@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_quantiles": w.user_value_quantiles,
         "range_join_counts": w.range_join_counts,
         "events_ranked": w.events_ranked,
+        "events_percent_rank": w.events_percent_rank,
         "user_event_paths": w.user_event_paths,
         "user_funnel": w.user_funnel,
         "bloom_join_revenue": q.bloom_join_revenue,
@@ -274,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_lsh": dp.knn_cosine_lsh,
         "knn_cosine_ivf": dp.knn_cosine_ivf,
         "knn_cosine_ivf_full": dp.knn_cosine_ivf_full,
+        "knn_cosine_pq": dp.knn_cosine_pq,
         "embedding_neardup_lsh": _embedding_neardup_lsh_checked,
         "kmeans_embeddings": cl.kmeans_embeddings,
         "semantic_dedup": _semantic_dedup_checked,
@@ -281,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (decode stubbed, see MediaDecodeActor)
         "media_features": dp.media_features,
         "audio_features": dp.audio_features,
+        "video_frames": dp.video_frames,
     }
 
 
@@ -308,6 +311,7 @@ def oracle_sql() -> dict[str, str]:
         "user_value_quantiles": w.USER_VALUE_QUANTILES_SQL,
         "range_join_counts": w.RANGE_JOIN_COUNTS_SQL,
         "events_ranked": w.EVENTS_RANKED_SQL,
+        "events_percent_rank": w.EVENTS_PERCENT_RANK_SQL,
         "user_event_paths": w.USER_EVENT_PATHS_SQL,
         "user_funnel": w.USER_FUNNEL_SQL,
         "bloom_join_revenue": q.BLOOM_JOIN_REVENUE_SQL,

@@ -202,6 +202,7 @@ def run_bench() -> dict:
         "user_value_quantiles",
         "range_join_counts",
         "events_ranked",
+        "events_percent_rank",
         "user_event_paths",
         "events_pivot",
         "events_stats",
@@ -243,6 +244,7 @@ def run_bench() -> dict:
         "knn_cosine",
         "knn_cosine_filtered",
         "knn_cosine_ivf",
+        "knn_cosine_pq",
         "embedding_neardup_lsh",
         "kmeans_embeddings",
         "semantic_dedup",
@@ -270,6 +272,7 @@ def run_bench() -> dict:
         "events_by_month",
         "media_features",
         "audio_features",
+        "video_frames",
     ]
     qtimes = {}
     for name in bench_queries:

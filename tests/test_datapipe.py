@@ -172,6 +172,29 @@ class TestEmbeddingOps:
         # vector: its signature differs from the query's in at most ~0 bits
         assert 1 in out["vec_id"].tolist()
 
+    def test_knn_pq_recalls_planted_pair(self, planted_dir):
+        """6 sample points with 6 codes per subspace: the codebook
+        saturates, encoding is exact, so PQ must equal the exact result
+        row for row — pinning encode/ADC/re-rank/merge end to end."""
+        exact = dp.knn_cosine(planted_dir, query_ids=(0,), k=3).to_pandas()
+        got = dp.knn_cosine_pq(planted_dir, query_ids=(0,), k=3, m_sub=4, n_codes=8).to_pandas()
+        assert got.values.tolist() == exact.values.tolist()
+        assert 1 in got["vec_id"].tolist() and 0 not in got["vec_id"].tolist()
+
+    def test_knn_pq_recall_floor_and_determinism(self):
+        """Lossy regime (real table, 32 codes over 500 vectors): the
+        ADC shortlist + exact re-rank must keep recall >= 0.8 vs the
+        oracle-paired exact knn, and be bit-deterministic."""
+        sf = "/root/testdata/sf0.001"
+        exact = dp.knn_cosine(sf).to_pandas()
+        ex = set(zip(exact["query_id"], exact["vec_id"]))
+        got = dp.knn_cosine_pq(sf).to_pandas()
+        ap = set(zip(got["query_id"], got["vec_id"]))
+        assert list(got.columns) == ["query_id", "vec_id", "rank"]
+        assert len(ex & ap) / len(ex) >= 0.8
+        again = dp.knn_cosine_pq(sf).to_pandas()
+        assert got.values.tolist() == again.values.tolist()
+
     def test_knn_matches_numpy_bruteforce(self, planted_dir):
         import pyarrow.dataset as pads
 
@@ -488,6 +511,93 @@ class TestAudioDecode:
         assert dec is not None
         x, sr = dec
         assert sr == 8000 and len(x) == 2000
+
+
+class TestVideoFrames:
+    def _actor(self, n=4):
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import VideoFrameSampleActor
+
+        return VideoFrameSampleActor(n)
+
+    def _table(self, blobs):
+        return pa.table(
+            {
+                "media_id": pa.array(range(len(blobs)), pa.int64()),
+                "media": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    def test_closed_form_luma_and_uniform_indices(self):
+        """_synth_y4m(doc_id=3, n_frames=10): frame k is a constant
+        plane of (3 + 13k) % 256; sampling 4 of 10 picks floor(i*10/4)
+        = frames 0, 2, 5, 7."""
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import _synth_y4m
+
+        out = self._actor(4)(self._table([_synth_y4m(3, n_frames=10)]))
+        assert out.column("frame_idx").to_pylist() == [0, 2, 5, 7]
+        assert out.column("n_frames").to_pylist() == [10] * 4
+        assert out.column("fps").to_pylist() == [25.0] * 4
+        expect = [round(((3 + 13 * k) % 256) / 255.0, 6) for k in (0, 2, 5, 7)]
+        assert out.column("mean_luma").to_pylist() == expect
+
+    def test_short_video_yields_all_frames(self):
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import _synth_y4m
+
+        out = self._actor(8)(self._table([_synth_y4m(1, n_frames=3)]))
+        assert out.column("frame_idx").to_pylist() == [0, 1, 2]
+
+    def test_c420_plane_offsets(self):
+        """C420: each record is Y + 2 quarter chroma planes; the luma
+        read must land on the Y plane of the right frame."""
+        w, h = 8, 4
+        chroma = bytes([99]) * (w * h // 2)
+        parts = [b"YUV4MPEG2 W8 H4 F30:1 C420\n"]
+        for k in (10, 200):
+            parts.append(b"FRAME\n" + bytes([k]) * (w * h) + chroma)
+        out = self._actor(2)(self._table([b"".join(parts)]))
+        assert out.column("mean_luma").to_pylist() == [round(10 / 255.0, 6), round(200 / 255.0, 6)]
+        assert out.column("width").to_pylist() == [8, 8]
+
+    def test_frame_params_force_walk_path(self):
+        """A FRAME record with params breaks the fixed-arithmetic fast
+        path; the marker walk must still find both frames."""
+        w, h = 4, 2
+        blob = (
+            b"YUV4MPEG2 W4 H2 F25:1 Cmono\n"
+            + b"FRAME Xcustom\n" + bytes([50]) * (w * h)
+            + b"FRAME\n" + bytes([100]) * (w * h)
+        )
+        out = self._actor(2)(self._table([blob]))
+        assert out.column("mean_luma").to_pylist() == [round(50 / 255.0, 6), round(100 / 255.0, 6)]
+
+    def test_codec_container_yields_null_not_fake(self):
+        out = self._actor()(self._table([b"\x1aE\xdf\xa3" + bytes(64)]))  # EBML/webm magic
+        assert out.num_rows == 1
+        assert out.column("frame_idx")[0].as_py() is None
+        assert out.column("mean_luma")[0].as_py() is None
+
+    def test_truncated_tail_frame_dropped(self):
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import _synth_y4m
+
+        blob = _synth_y4m(5, n_frames=4)
+        out = self._actor(4)(self._table([blob[: len(blob) - 10]]))  # cut into last plane
+        assert out.column("frame_idx").to_pylist() == [0, 1, 2]
+
+    def test_pipeline_over_documents(self):
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import video_frames
+
+        t = video_frames("/root/testdata/sf0.001").materialize().take_all()
+        assert len(t) > 0
+        by_id = {}
+        for r in t:
+            by_id.setdefault(r["media_id"], []).append(r)
+        # every video decoded (synth blobs are always valid y4m)
+        for mid, rows in by_id.items():
+            n_frames = 4 + mid % 13
+            assert all(r["n_frames"] == n_frames for r in rows)
+            assert len(rows) == min(4, n_frames)
+            for r in rows:
+                assert r["mean_luma"] == round(((mid + 13 * r["frame_idx"]) % 256) / 255.0, 6)
 
 
 class TestCorpusGovernance:

@@ -269,6 +269,7 @@ class TestRandomizedOracleParity:
         "user_value_quantiles",
         "range_join_counts",
         "events_ranked",
+        "events_percent_rank",
         "user_event_paths",
         "user_funnel",
         "date_funcs",
