@@ -3193,3 +3193,157 @@ FROM big g JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
 GROUP BY g.doc_id
 ORDER BY g.doc_id
 """
+
+
+# --- per-source corpus capping (RefinedWeb-style domain cap) ----------------
+
+SOURCE_CAP_K = 50
+
+
+def _source_cap_cut(t: pa.Table, k: int, with_rank: bool) -> pa.Table:
+    """Keep the k smallest doc_ids per source in this table. Vectorized:
+    one lexsort + consecutive-group rank, no per-row Python."""
+    src = t.column("source").to_numpy(zero_copy_only=False)
+    did = t.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((did, src))
+    s_sorted = src[order]
+    n = len(s_sorted)
+    if n == 0:
+        cols = {"doc_id": pa.array([], pa.int64()), "source": pa.array([], pa.string())}
+        if with_rank:
+            cols["src_rank"] = pa.array([], pa.int64())
+        return pa.table(cols)
+    new = np.ones(n, dtype=bool)
+    new[1:] = s_sorted[1:] != s_sorted[:-1]
+    grp_start = np.flatnonzero(new)
+    sizes = np.diff(np.append(grp_start, n))
+    rank = np.arange(n) - np.repeat(grp_start, sizes)
+    keep = rank < k
+    idx = order[keep]
+    cols = {
+        "doc_id": pa.array(did[idx], pa.int64()),
+        "source": pa.array(src[idx], pa.string()),
+    }
+    if with_rank:
+        cols["src_rank"] = pa.array(rank[keep] + 1, pa.int64())
+    return pa.table(cols)
+
+
+def source_cap(sf_dir: str, k: int = SOURCE_CAP_K) -> "ray.data.Dataset":
+    """Per-source document cap: keep the first ``k`` docs (by doc_id) of
+    every source — the RefinedWeb/C4 anti-boilerplate move that stops any
+    single domain from dominating the training mix.
+
+    Two-level top-k plan (the grouped_topk pattern): every batch pre-cuts
+    to <=k rows per source BEFORE the shuffle, so the all-to-all moves at
+    most k x |sources| x blocks (doc_id, source) pairs — never the text,
+    never the raw table — then one groupby(source).map_groups assigns the
+    final 1-based rank. At 100 TB the exchanged set is O(k x domains),
+    independent of corpus size."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        return _source_cap_cut(t, k, with_rank=False)
+
+    def final(g: pa.Table) -> pa.Table:
+        return _source_cap_cut(g, k, with_rank=True)
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+    ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby("source").map_groups(final, batch_format="pyarrow")
+
+
+SOURCE_CAP_SQL = """
+SELECT doc_id, source, src_rank FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS src_rank
+  FROM documents) WHERE src_rank <= 50
+"""
+
+
+# --- RAG chunking with overlap ----------------------------------------------
+
+CHUNK_SIZE = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # new tokens per step => 16-token overlap
+
+
+def chunk_documents(sf_dir: str) -> "ray.data.Dataset":
+    """Sliding-window document chunker (RAG prep): split each document
+    into CHUNK_SIZE-token windows advancing CHUNK_STRIDE tokens, i.e.
+    16 tokens of overlap so no sentence is orphaned at a boundary.
+
+    Pure streaming map — no shuffle, each batch chunks independently.
+    Fully vectorized: ONE regex split per batch (Arrow RE2), token->doc
+    bookkeeping in numpy (repeat/cumsum index algebra, no Python loop),
+    overlap materialized by a single ``take`` on the flat token array,
+    and chunk text assembled with ``pc.binary_join`` on a LargeListArray
+    (one Arrow kernel call, not a per-chunk ''.join)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        text = pc.fill_null(t.column("text"), "")
+        toks = pc.split_pattern_regex(text, pattern=r"\s+")
+        la = (
+            toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        )
+        flat = la.flatten()
+        parent = la.value_parent_indices().to_numpy(zero_copy_only=False)
+        # \s+ split leaves empty tokens only at the edges; drop them so
+        # the token stream equals regexp_extract_all(text, '\S+')
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        tokens = flat.filter(pa.array(keep))
+        nw = np.bincount(parent[keep], minlength=n).astype(np.int64)
+
+        nch = np.where(nw > 0, -(-nw // CHUNK_STRIDE), 0)
+        total_ch = int(nch.sum())
+        if total_ch == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_idx": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "chunk_text": pa.array([], pa.string()),
+                }
+            )
+        doc_of_chunk = np.repeat(np.arange(n), nch)
+        chunk_idx = np.arange(total_ch) - np.repeat(np.cumsum(nch) - nch, nch)
+        start = chunk_idx * CHUNK_STRIDE
+        clen = np.minimum(start + CHUNK_SIZE, nw[doc_of_chunk]) - start
+        doc_base = np.cumsum(nw) - nw
+        gstart = doc_base[doc_of_chunk] + start
+        total_tok = int(clen.sum())
+        cb = np.cumsum(clen) - clen
+        idx = np.repeat(gstart, clen) + (np.arange(total_tok) - np.repeat(cb, clen))
+        flat_chunk = tokens.take(pa.array(idx, pa.int64())).cast(pa.large_string())
+        offs = np.concatenate([[0], np.cumsum(clen)])
+        lst = pa.LargeListArray.from_arrays(pa.array(offs, pa.int64()), flat_chunk)
+        chunk_text = pc.binary_join(lst, pa.scalar(" ", pa.large_string()))
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(did[doc_of_chunk], pa.int64()),
+                "chunk_idx": pa.array(chunk_idx, pa.int64()),
+                "n_tokens": pa.array(clen, pa.int64()),
+                "chunk_text": chunk_text.cast(pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+CHUNK_DOCUMENTS_SQL = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+  FROM documents WHERE text IS NOT NULL
+), n AS (
+  SELECT doc_id, ws, len(ws) AS nw FROM w WHERE len(ws) > 0
+), c AS (
+  SELECT doc_id, ws, nw, unnest(range(0, nw, 48)) AS s FROM n
+)
+SELECT doc_id,
+       CAST(s // 48 AS BIGINT) AS chunk_idx,
+       CAST(least(s + 64, nw) - s AS BIGINT) AS n_tokens,
+       array_to_string(ws[s + 1 : least(s + 64, nw)], ' ') AS chunk_text
+FROM c
+"""

@@ -260,6 +260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "passage_dedup": co.passage_dedup,
         "gopher_quality": co.gopher_quality,
         "bm25_search": co.bm25_search,
+        "source_cap": dp.source_cap,
+        "chunk_documents": dp.chunk_documents,
         # dedup family
         "exact_dedup": dp.exact_dedup,
         "corpus_clean": dp.corpus_clean,
@@ -382,6 +384,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "ngram_jaccard_pairs": dp.NGRAM_JACCARD_SQL,
+        "source_cap": dp.SOURCE_CAP_SQL,
+        "chunk_documents": dp.CHUNK_DOCUMENTS_SQL,
         "minhash_verified": dp.MINHASH_VERIFIED_SQL,
         "dedup_clusters": dp.DEDUP_CLUSTERS_SQL,
         "vocab_topk": dp.VOCAB_TOPK_SQL,

@@ -232,6 +232,8 @@ def run_bench() -> dict:
         "passage_dedup",
         "gopher_quality",
         "bm25_search",
+        "source_cap",
+        "chunk_documents",
         "user_top_event",
         "user_first_last",
         "mixture_sample",

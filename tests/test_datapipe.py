@@ -788,3 +788,63 @@ class TestHeavyHitters:
         b = dp.heavy_hitters(d, k=3, counters=64)
         assert a.equals(b)
         assert a["word"].tolist() == ["alpha", "beta", "gamma"]
+
+
+class TestSourceCap:
+    def test_cap_and_rank(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        # source "big" has 60 docs (> cap 50), "tiny" has 3; interleave
+        # ids so per-batch partial cuts see both sources
+        ids = list(range(63))
+        srcs = ["big" if i % 21 != 20 else "tiny" for i in ids]
+        docs = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "source": pa.array(srcs, pa.string()),
+                "text": pa.array(["x"] * 63, pa.string()),
+            }
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        out = dp.source_cap(str(tmp_path)).to_pandas()
+        big = out[out["source"] == "big"].sort_values("doc_id")
+        tiny = out[out["source"] == "tiny"].sort_values("doc_id")
+        assert len(big) == 50 and len(tiny) == 3
+        # the 50 kept are the 50 SMALLEST big doc_ids, ranked 1..50
+        big_ids = [i for i in ids if srcs[i] == "big"][:50]
+        assert list(big["doc_id"]) == big_ids
+        assert list(big["src_rank"]) == list(range(1, 51))
+        assert list(tiny["src_rank"]) == [1, 2, 3]
+
+
+class TestChunkDocuments:
+    def _run(self, tmp_path, texts):
+        import pyarrow.parquet as pq
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        return dp.chunk_documents(str(tmp_path)).to_pandas()
+
+    def test_overlap_and_boundaries(self, tmp_path):
+        words = [f"w{i}" for i in range(100)]  # 100 tokens -> chunks at 0, 48, 96
+        out = self._run(tmp_path, [" ".join(words), "short doc", "", None, "   "])
+        d0 = out[out["doc_id"] == 0].sort_values("chunk_idx")
+        assert list(d0["chunk_idx"]) == [0, 1, 2]
+        assert list(d0["n_tokens"]) == [64, 52, 4]
+        # overlap: chunk 1 starts at token 48, inside chunk 0's range
+        assert d0.iloc[1]["chunk_text"].split()[0] == "w48"
+        assert d0.iloc[2]["chunk_text"] == "w96 w97 w98 w99"
+        d1 = out[out["doc_id"] == 1]
+        assert len(d1) == 1 and d1.iloc[0]["chunk_text"] == "short doc"
+        # empty / NULL / whitespace-only docs emit no chunks
+        assert set(out["doc_id"]) == {0, 1}
+
+    def test_unicode_whitespace_and_tabs(self, tmp_path):
+        out = self._run(tmp_path, ["a\tb\n  c"])
+        assert out.iloc[0]["chunk_text"] == "a b c"
+        assert out.iloc[0]["n_tokens"] == 3

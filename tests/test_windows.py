@@ -467,6 +467,8 @@ class TestRandomizedDocumentsParity:
         "weighted_sample",
         "budget_select",
         "bigram_logprob",
+        "source_cap",
+        "chunk_documents",
     ]
 
     @pytest.mark.parametrize("seed", [11, 12])
