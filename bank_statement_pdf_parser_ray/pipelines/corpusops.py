@@ -450,3 +450,72 @@ GROUP BY tf.doc_id
 ORDER BY score DESC, tf.doc_id
 LIMIT 20
 """
+
+
+# --- inverted index build ----------------------------------------------------
+
+INDEX_HEAD = 20  # posting-list prefix carried in the query result
+
+
+def build_index(sf_dir: str) -> "ray.data.Dataset":
+    """Inverted-index build (the MapReduce classic): word -> document
+    frequency + the first INDEX_HEAD postings (doc_ids ascending).
+
+    Scale shape: each batch tokenizes vectorized and emits DISTINCT
+    (word, doc_id) pairs via one local Arrow group-by — since a document
+    never spans batches, within-batch distinct IS global distinct, so
+    the shuffle moves exactly one pair per (word, doc) incidence, never
+    one row per token occurrence. One groupby(word) then builds each
+    posting list independently; hot words (stopwords) carry only int64
+    ids through the exchange, and the result pins a bounded
+    INDEX_HEAD-prefix — a full posting sink would write lists to
+    parquet instead of returning them."""
+
+    def pairs(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = la.flatten()
+        parent = la.value_parent_indices().to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        local = pa.table(
+            {
+                "word": flat.filter(pa.array(keep)),
+                "doc_id": pa.array(did[parent[keep]], pa.int64()),
+            }
+        )
+        return pa.TableGroupBy(local, ["word", "doc_id"]).aggregate([])
+
+    def posting(g: pa.Table) -> pa.Table:
+        ids = np.sort(g.column("doc_id").to_numpy(zero_copy_only=False))
+        head = ",".join(str(i) for i in ids[:INDEX_HEAD])
+        return pa.table(
+            {
+                "word": g.column("word").slice(0, 1),
+                "df": pa.array([len(ids)], pa.int64()),
+                "postings_head": pa.array([head], pa.string()),
+            }
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ds.groupby("word").map_groups(posting, batch_format="pyarrow")
+
+
+BUILD_INDEX_SQL = r"""
+WITH tok AS (
+  SELECT DISTINCT word, doc_id FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents
+  ) WHERE word <> ''
+), r AS (
+  SELECT word, doc_id,
+         row_number() OVER (PARTITION BY word ORDER BY doc_id) AS rn
+  FROM tok
+)
+SELECT word,
+       CAST(count(*) AS BIGINT) AS df,
+       coalesce(string_agg(CASE WHEN rn <= 20 THEN CAST(doc_id AS VARCHAR) END, ','
+                           ORDER BY doc_id), '') AS postings_head
+FROM r GROUP BY word
+"""

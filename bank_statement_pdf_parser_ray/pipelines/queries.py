@@ -2030,3 +2030,188 @@ SELECT o_orderkey, o_custkey, o_totalprice FROM (
   FROM orders
 ) WHERE o_totalprice > a
 """
+
+
+# --- key-skew profiler --------------------------------------------------------
+
+
+def key_skew_profile(sf_dir: str) -> pd.DataFrame:
+    """Distribution profile of the user_id group sizes — the planning
+    query behind every salting/bucketing decision (SCALE.md §§10-11):
+    how many keys, how big is the largest reduce group, how heavy the
+    tail. Two tiny reductions: per-batch partial counts pre-combine the
+    per-key sizes (the shuffle moves O(keys x blocks) pairs), then the
+    size column itself collapses to one moments row per batch so the
+    final exchange is O(blocks)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid, cnt = np.unique(t.column("user_id").to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"user_id": pa.array(uid, pa.int64()), "p_n": pa.array(cnt, pa.int64())})
+
+    sizes = (
+        _read(sf_dir, "events", ["user_id"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "k": pa.array([len(n)], pa.int64()),
+                "s": pa.array([n.sum()], pa.float64()),
+                "s2": pa.array([(n * n).sum()], pa.float64()),
+                "mn": pa.array([n.min()], pa.float64()),
+                "mx": pa.array([n.max()], pa.float64()),
+            }
+        )
+
+    m = sizes.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    k = int(m["k"].sum())
+    s, s2 = float(m["s"].sum()), float(m["s2"].sum())
+    var = (s2 - s * s / k) / (k - 1) if k > 1 else float("nan")
+    return pd.DataFrame(
+        {
+            "n_keys": pd.Series([k], dtype="int64"),
+            "n_rows": pd.Series([int(s)], dtype="int64"),
+            "min_n": pd.Series([int(m["mn"].min())], dtype="int64"),
+            "max_n": pd.Series([int(m["mx"].max())], dtype="int64"),
+            "avg_n": [round(s / k, 6)],
+            "sd_n": [round(var**0.5, 6)],
+        }
+    )
+
+
+KEY_SKEW_PROFILE_SQL = """
+WITH g AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(min(n) AS BIGINT) AS min_n,
+       CAST(max(n) AS BIGINT) AS max_n,
+       round(avg(n), 6) AS avg_n,
+       round(stddev_samp(n), 6) AS sd_n
+FROM g
+"""
+
+
+# --- IQR outlier filter --------------------------------------------------------
+
+
+def outlier_filter(sf_dir: str) -> "ray.data.Dataset":
+    """Tukey-fence outlier detection over the global value distribution:
+    rows outside [q1 - 1.5*IQR, q3 + 1.5*IQR] with INTERPOLATED
+    quartiles (percentile_cont semantics, h = (n-1)*q).
+
+    Three streaming passes, no global sort: (1) a floor(value) bucket
+    histogram (O(value-range) rows) locates which unit buckets hold the
+    four order statistics around h1/h3 and gives their exclusive prefix
+    offsets; (2) a predicate-pushdown re-read of ONLY those buckets
+    sorts a tiny slice locally and interpolates q1/q3 with the exact
+    float expression the oracle uses; (3) one vectorized filter streams
+    the outliers out. NULL and NaN values are excluded (NaN-as-missing,
+    declared in the oracle)."""
+    from ray.data.aggregate import Sum
+
+    base_filter = pc.is_valid(pc.field("value"))
+
+    def drop_nan(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.is_nan(t.column("value"))))
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        b = np.floor(t.column("value").to_numpy(zero_copy_only=False)).astype(np.int64)
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(ub, pa.int64()), "p_n": pa.array(cnt, pa.int64())})
+
+    hist = (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"], filter=base_filter)
+        .map_batches(drop_nan, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(bucket_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Sum("p_n", alias_name="n"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    n = int(hist["n"].sum())
+    if n == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"event_id": pa.array([], pa.int64()), "value": pa.array([], pa.float64())})
+        )
+    cum = np.cumsum(hist["n"].to_numpy())
+    starts = cum - hist["n"].to_numpy()  # exclusive prefix per bucket
+    buckets = hist["bucket"].to_numpy()
+
+    def order_stats(ranks: list[int]) -> dict[int, float]:
+        """Exact order statistics at the given 0-based global ranks via
+        one pruned read of only the buckets that contain them."""
+        need = sorted(set(min(r, n - 1) for r in ranks))
+        bidx = np.searchsorted(cum, np.array(need), side="right")
+        want = sorted(set(int(buckets[i]) for i in bidx))
+        inb = None
+        for b in want:
+            cond = (pc.field("value") >= float(b)) & (pc.field("value") < float(b + 1))
+            inb = cond if inb is None else (inb | cond)
+        slice_df = (
+            ray.data.read_parquet(
+                f"{sf_dir}/events.parquet", columns=["value"], filter=base_filter & inb
+            )
+            .map_batches(drop_nan, batch_format="pyarrow", zero_copy_batch=True)
+            .to_pandas()
+        )
+        out: dict[int, float] = {}
+        for b in want:
+            inbucket = np.sort(
+                slice_df["value"].to_numpy()[
+                    (slice_df["value"].to_numpy() >= b) & (slice_df["value"].to_numpy() < b + 1)
+                ]
+            )
+            off = int(starts[np.searchsorted(buckets, b)])
+            for r in need:
+                if off <= r < off + len(inbucket):
+                    out[r] = float(inbucket[r - off])
+        return out
+
+    h1, h3 = (n - 1) * 0.25, (n - 1) * 0.75
+    l1, l3 = int(np.floor(h1)), int(np.floor(h3))
+    vals = order_stats([l1, l1 + 1, l3, l3 + 1])
+    q1 = vals[l1] + (h1 - l1) * (vals[min(l1 + 1, n - 1)] - vals[l1])
+    q3 = vals[l3] + (h3 - l3) * (vals[min(l3 + 1, n - 1)] - vals[l3])
+    lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+
+    def pick(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        keep = ~np.isnan(v) & ((v < lo) | (v > hi))
+        return pa.table(
+            {
+                "event_id": pa.array(t.column("event_id").to_numpy(zero_copy_only=False)[keep], pa.int64()),
+                "value": pa.array(v[keep], pa.float64()),
+            }
+        )
+
+    out = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "value"], filter=base_filter
+        )
+        .map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    # schema-pin: Ray's to_pandas() drops the column schema of an empty
+    # Dataset, and "no outliers" is a legitimate result
+    if not len(out.columns):
+        out = pd.DataFrame(
+            {"event_id": pd.Series(dtype="int64"), "value": pd.Series(dtype="float64")}
+        )
+    return out
+
+
+OUTLIER_FILTER_SQL = """
+WITH f AS (SELECT event_id, value FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+s AS (SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY value) AS q1,
+             percentile_cont(0.75) WITHIN GROUP (ORDER BY value) AS q3
+      FROM f)
+SELECT event_id, value FROM f, s
+WHERE value < q1 - 1.5 * (q3 - q1) OR value > q3 + 1.5 * (q3 - q1)
+"""

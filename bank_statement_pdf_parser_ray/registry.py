@@ -262,6 +262,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": co.bm25_search,
         "source_cap": dp.source_cap,
         "chunk_documents": dp.chunk_documents,
+        "build_index": co.build_index,
+        "key_skew_profile": q.key_skew_profile,
+        "outlier_filter": q.outlier_filter,
         # dedup family
         "exact_dedup": dp.exact_dedup,
         "corpus_clean": dp.corpus_clean,
@@ -386,6 +389,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": dp.NGRAM_JACCARD_SQL,
         "source_cap": dp.SOURCE_CAP_SQL,
         "chunk_documents": dp.CHUNK_DOCUMENTS_SQL,
+        "build_index": co.BUILD_INDEX_SQL,
+        "key_skew_profile": q.KEY_SKEW_PROFILE_SQL,
+        "outlier_filter": q.OUTLIER_FILTER_SQL,
         "minhash_verified": dp.MINHASH_VERIFIED_SQL,
         "dedup_clusters": dp.DEDUP_CLUSTERS_SQL,
         "vocab_topk": dp.VOCAB_TOPK_SQL,

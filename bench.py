@@ -234,6 +234,9 @@ def run_bench() -> dict:
         "bm25_search",
         "source_cap",
         "chunk_documents",
+        "build_index",
+        "key_skew_profile",
+        "outlier_filter",
         "user_top_event",
         "user_first_last",
         "mixture_sample",

@@ -114,3 +114,28 @@ class TestBM25:
         d = _write_docs(tmp_path, ["no query words here at all", None])
         out = co.bm25_search(d)
         assert len(out) == 0
+
+
+class TestBuildIndex:
+    def test_postings_and_df(self, tmp_path):
+        d = _write_docs(
+            tmp_path,
+            [
+                "apple banana apple",  # doc 0: apple dupes collapse to one posting
+                "banana cherry",  # doc 1
+                "apple",  # doc 2
+            ],
+        )
+        out = co.build_index(d).to_pandas().set_index("word")
+        assert out.loc["apple", "df"] == 2
+        assert out.loc["apple", "postings_head"] == "0,2"
+        assert out.loc["banana", "df"] == 2
+        assert out.loc["banana", "postings_head"] == "0,1"
+        assert out.loc["cherry", "df"] == 1
+        assert out.loc["cherry", "postings_head"] == "1"
+
+    def test_head_is_capped(self, tmp_path):
+        d = _write_docs(tmp_path, ["common"] * 30)
+        out = co.build_index(d).to_pandas().set_index("word")
+        assert out.loc["common", "df"] == 30
+        assert out.loc["common", "postings_head"] == ",".join(str(i) for i in range(co.INDEX_HEAD))

@@ -283,6 +283,8 @@ class TestRandomizedOracleParity:
         "topk_users",
         "events_pivot",
         "events_stats",
+        "key_skew_profile",
+        "outlier_filter",
         "union_event_slices",
         "intersect_users",
         "except_users",
@@ -469,6 +471,7 @@ class TestRandomizedDocumentsParity:
         "bigram_logprob",
         "source_cap",
         "chunk_documents",
+        "build_index",
     ]
 
     @pytest.mark.parametrize("seed", [11, 12])
@@ -664,3 +667,46 @@ class TestBloomFilter:
         assert hits(keys).all()  # a Bloom filter NEVER drops a member
         others = np.arange(10_000, 110_000, dtype=np.int64)
         assert hits(others).mean() < 0.01  # 2k bits set of 131k -> tiny FP rate
+
+
+class TestKeySkewAndOutliers:
+    def _write_events(self, tmp_path, user_ids, values):
+        import pyarrow.parquet as pq
+
+        n = len(user_ids)
+        t = pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "ts": pa.array([1_700_000_000_000_000 + i for i in range(n)], pa.timestamp("us")),
+                "user_id": pa.array(user_ids, pa.int64()),
+                "event_type": pa.array(["view"] * n, pa.string()),
+                "value": pa.array(values, pa.float64()),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        return str(tmp_path)
+
+    def test_key_skew_profile_known_sizes(self, tmp_path):
+        import importlib.util, os
+
+        # group sizes: user 1 -> 4 rows, user 2 -> 1, user 3 -> 1
+        d = self._write_events(tmp_path, [1, 1, 1, 1, 2, 3], [0.0] * 6)
+        from bank_statement_pdf_parser_ray.pipelines import queries as q
+
+        out = q.key_skew_profile(d)
+        assert out.iloc[0]["n_keys"] == 3
+        assert out.iloc[0]["n_rows"] == 6
+        assert out.iloc[0]["min_n"] == 1 and out.iloc[0]["max_n"] == 4
+        assert out.iloc[0]["avg_n"] == 2.0
+        assert out.iloc[0]["sd_n"] == round(float(np.std([4, 1, 1], ddof=1)), 6)
+
+    def test_outlier_filter_tukey_fences(self, tmp_path):
+        # values 1..11 plus planted outliers; q1=3.5, q3=8.5, iqr=5 ->
+        # fences [-4, 16]: only -100 and 100 fall outside
+        vals = [float(v) for v in range(1, 12)] + [-100.0, 100.0, None, float("nan")]
+        d = self._write_events(tmp_path, list(range(len(vals))), vals)
+        from bank_statement_pdf_parser_ray.pipelines import queries as q
+
+        out = q.outlier_filter(d)
+        assert sorted(out["value"].tolist()) == [-100.0, 100.0]
