@@ -3347,3 +3347,75 @@ SELECT doc_id,
        array_to_string(ws[s + 1 : least(s + 64, nw)], ' ') AS chunk_text
 FROM c
 """
+
+
+# --- PMI collocations ----------------------------------------------------------
+
+
+def collocations(sf_dir: str, k: int = 20, min_n2: int = 5) -> pd.DataFrame:
+    """Top-k collocations by pointwise mutual information — the corpus
+    phrase-mining classic (Church & Hanks 1990). Two model-sized
+    reductions (bigram and unigram counts, both pre-combined per batch
+    so the shuffles carry O(vocab x blocks) rows, never per-token rows);
+    the PMI arithmetic runs driver-side over the vocabulary-scale model,
+    with the exact float expression the oracle uses."""
+    from ray.data.aggregate import Sum
+
+    def count_pairs(t: pa.Table) -> pa.Table:
+        _, w1, w2 = _doc_bigrams(t)
+        g = pa.TableGroupBy(
+            pa.table({"w1": pa.array(w1, pa.string()), "w2": pa.array(w2, pa.string())}), ["w1", "w2"]
+        ).aggregate([("w1", "count")])
+        return g.rename_columns(["w1", "w2", "p_n"])
+
+    def count_words(t: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern_regex(t.column("text"), pattern=r"\s+"))
+        words = words.filter(pc.not_equal(words, ""))
+        g = pa.TableGroupBy(pa.table({"w": words}), ["w"]).aggregate([("w", "count")])
+        return g.rename_columns(["w", "p_n"])
+
+    docs = _docs(sf_dir, ["text"])
+    big = (
+        docs.map_batches(count_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("p_n", alias_name="n2"))
+        .to_pandas()
+    )
+    uni = (
+        docs.map_batches(count_words, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("w")
+        .aggregate(Sum("p_n", alias_name="n1"))
+        .to_pandas()
+    )
+    n_tok = float(uni["n1"].sum())
+    n_big = float(big["n2"].sum())
+    n1 = pd.Series(uni["n1"].to_numpy(dtype=float), index=uni["w"])
+    cand = big[big["n2"] >= min_n2].copy()
+    n2 = cand["n2"].to_numpy(dtype=float)
+    n1a = n1.loc[cand["w1"]].to_numpy()
+    n1b = n1.loc[cand["w2"]].to_numpy()
+    cand["pmi"] = np.round(np.log((n2 / n_big) / ((n1a / n_tok) * (n1b / n_tok))), 6)
+    cand["n2"] = cand["n2"].astype("int64")
+    out = cand.sort_values(["pmi", "w1", "w2"], ascending=[False, True, True]).head(k)
+    return out[["w1", "w2", "n2", "pmi"]].reset_index(drop=True)
+
+
+COLLOCATIONS_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+        FROM documents)
+), big AS (
+  SELECT a.w AS w1, b.w AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+), c2 AS (SELECT w1, w2, count(*) AS n2 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w, count(*) AS n1 FROM tok GROUP BY w),
+tot AS (SELECT (SELECT count(*) FROM tok) AS n_tok, (SELECT count(*) FROM big) AS n_big)
+SELECT w1, w2, CAST(n2 AS BIGINT) AS n2,
+       round(ln((CAST(n2 AS DOUBLE) / n_big) /
+                ((CAST(a.n1 AS DOUBLE) / n_tok) * (CAST(b.n1 AS DOUBLE) / n_tok))), 6) AS pmi
+FROM c2 JOIN c1 a ON c2.w1 = a.w JOIN c1 b ON c2.w2 = b.w CROSS JOIN tot
+WHERE n2 >= 5
+ORDER BY pmi DESC, w1, w2 LIMIT 20
+"""

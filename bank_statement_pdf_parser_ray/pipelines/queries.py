@@ -2215,3 +2215,141 @@ s AS (SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY value) AS q1,
 SELECT event_id, value FROM f, s
 WHERE value < q1 - 1.5 * (q3 - q1) OR value > q3 + 1.5 * (q3 - q1)
 """
+
+
+# --- NULL-handling scalar surface ---------------------------------------------
+
+
+def null_funcs(sf_dir: str) -> "ray.data.Dataset":
+    """COALESCE / NULLIF / CASE over the messy `value` column — the
+    NULL-vs-NaN branch surface every SQL engine trips on somewhere.
+    Pure streaming map, one vectorized Arrow pass; the CASE ladder is
+    nested if_else with the NULL test FIRST (a NaN test on a NULL slot
+    is NULL, not false — order matters and is pinned by the oracle)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        v = t.column("value")
+        et = t.column("event_type")
+        isnull = pc.is_null(v)
+        isnan = pc.is_nan(pc.fill_null(v, 0.0))
+        band = pc.if_else(
+            isnull,
+            pa.scalar("missing", pa.string()),
+            pc.if_else(
+                isnan,
+                pa.scalar("nan", pa.string()),
+                pc.if_else(
+                    pc.greater(pc.fill_null(v, 0.0), 50.0),
+                    pa.scalar("high", pa.string()),
+                    pa.scalar("low", pa.string()),
+                ),
+            ),
+        )
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "v_coalesce": pc.fill_null(v, -1.0),
+                "et_nullif": pc.if_else(
+                    pc.equal(et, "view"), pa.scalar(None, pa.string()), et
+                ),
+                "v_band": band,
+            }
+        )
+
+    return _read(sf_dir, "events", ["event_id", "event_type", "value"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+NULL_FUNCS_SQL = """
+SELECT event_id,
+       coalesce(value, -1.0) AS v_coalesce,
+       nullif(event_type, 'view') AS et_nullif,
+       CASE WHEN value IS NULL THEN 'missing'
+            WHEN isnan(value) THEN 'nan'
+            WHEN value > 50.0 THEN 'high'
+            ELSE 'low' END AS v_band
+FROM events
+"""
+
+
+# --- session statistics rollup ---------------------------------------------
+
+
+def session_stats(sf_dir: str) -> pd.DataFrame:
+    """Composition over gap-based sessionization: global statistics of
+    the per-session (event count, duration) distribution — the query
+    behind 'how long is a user session'. Same per-user hash shuffle as
+    events_sessionized, but each group emits per-session partials
+    (n_events, dur_us), which then collapse batch-locally to moment
+    rows so the final exchange is O(blocks)."""
+    GAP_US = 30 * 60 * 1_000_000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        ts_us = g["ts"].astype("int64")
+        new_sess = (ts_us - ts_us.shift(1)).fillna(GAP_US + 1) > GAP_US
+        sid = new_sess.cumsum()
+        per = ts_us.groupby(sid).agg(["size", "min", "max"])
+        return pd.DataFrame(
+            {
+                "n_events": per["size"].astype("int64"),
+                "dur_us": (per["max"] - per["min"]).astype("int64"),
+            }
+        )
+
+    per_sess = (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        n = t.column("n_events").to_numpy(zero_copy_only=False).astype(np.float64)
+        d = t.column("dur_us").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "k": pa.array([len(n)], pa.int64()),
+                "sn": pa.array([n.sum()], pa.float64()),
+                "mx": pa.array([n.max() if len(n) else 0.0], pa.float64()),
+                "sd": pa.array([d.sum()], pa.float64()),
+            }
+        )
+
+    m = per_sess.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    k = int(m["k"].sum())
+    return pd.DataFrame(
+        {
+            "n_sessions": pd.Series([k], dtype="int64"),
+            "avg_events": [round(float(m["sn"].sum()) / k, 6)],
+            "max_events": pd.Series([int(m["mx"].max())], dtype="int64"),
+            "avg_dur_sec": [round(float(m["sd"].sum()) / k / 1000000.0, 6)],
+        }
+    )
+
+
+SESSION_STATS_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+per AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       round(CAST(sum(n_events) AS DOUBLE) / count(*), 6) AS avg_events,
+       CAST(max(n_events) AS BIGINT) AS max_events,
+       round(CAST(sum(dur_us) AS DOUBLE) / count(*) / 1000000.0, 6) AS avg_dur_sec
+FROM per
+"""

@@ -721,3 +721,84 @@ WITH e AS (
 SELECT g.user_id, g.h, round(coalesce(b.s, 0), 6) AS total
 FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.h = b.h
 """
+
+
+# --- CDC compaction: latest row per (user_id, event_type) -------------------
+
+
+def _latest_cut(t: pa.Table) -> pa.Table:
+    """Keep the argmax row per (user_id, event_type) by (ts DESC,
+    event_id DESC) — rows selected with Arrow take so every column
+    (timestamps, NULL/NaN values) survives bit-exact. NULL ts sorts
+    last (DuckDB DESC default), encoded as int64 min."""
+    uid = t.column("user_id").to_numpy(zero_copy_only=False)
+    et = t.column("event_type").to_numpy(zero_copy_only=False)
+    ts = t.column("ts").cast(pa.int64())
+    tsn = pc.fill_null(ts, np.iinfo(np.int64).min).to_numpy(zero_copy_only=False)
+    eid = t.column("event_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((-eid, -tsn, et, uid))
+    u_s, e_s = uid[order], et[order]
+    first = np.ones(len(order), dtype=bool)
+    if len(order) > 1:
+        first[1:] = (u_s[1:] != u_s[:-1]) | (e_s[1:] != e_s[:-1])
+    return t.take(pa.array(order[first], pa.int64()))
+
+
+def latest_events(sf_dir: str) -> "ray.data.Dataset":
+    """Upsert/compaction (the CDC 'latest record per key' pattern): the
+    most recent event per (user_id, event_type), ties broken by larger
+    event_id. Two-level argmax: each batch pre-compacts to one row per
+    key pair BEFORE the shuffle (the exchange moves at most
+    |key pairs| x blocks rows), then one groupby.map_groups picks the
+    global winner. Same plan compacts a 100 TB changelog: the partial
+    cut is the combiner, the shuffle carries only per-block winners."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
+    ds = ds.map_batches(_latest_cut, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby(["user_id", "event_type"]).map_groups(
+        _latest_cut, batch_format="pyarrow"
+    )
+
+
+LATEST_EVENTS_SQL = """
+SELECT event_id, ts, user_id, event_type, value FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+# --- per-key interpolated median ---------------------------------------------
+
+
+def user_value_median(sf_dir: str) -> "ray.data.Dataset":
+    """Interpolated per-user median (percentile_cont(0.5) semantics,
+    h = (n-1)/2) — the continuous cousin of user_value_quantiles'
+    discrete quantiles. One hash shuffle on user_id; each group sorts
+    its finite values and interpolates in float64 with the exact oracle
+    expression. NULL and NaN values are excluded; a user whose values
+    are all missing medians to NULL (groups come from ALL rows, so the
+    key set matches SQL GROUP BY)."""
+
+    def med(g: pa.Table) -> pa.Table:
+        v = g.column("value").to_numpy(zero_copy_only=False)
+        v = np.sort(v[~np.isnan(v)])  # to_numpy maps NULL -> NaN too
+        if len(v) == 0:
+            m = pa.array([None], pa.float64())
+        else:
+            h = (len(v) - 1) * 0.5
+            l = int(h)
+            lo = float(v[l])
+            hi = float(v[min(l + 1, len(v) - 1)])
+            m = pa.array([lo + (h - l) * (hi - lo)], pa.float64())
+        return pa.table({"user_id": g.column("user_id").slice(0, 1), "med": m})
+
+    ds = _events(sf_dir, ["user_id", "value"])
+    return ds.groupby("user_id").map_groups(med, batch_format="pyarrow")
+
+
+USER_VALUE_MEDIAN_SQL = """
+SELECT user_id,
+       percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+FROM (SELECT user_id, CASE WHEN isnan(value) THEN NULL ELSE value END AS value FROM events)
+GROUP BY user_id
+"""

@@ -265,6 +265,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "build_index": co.build_index,
         "key_skew_profile": q.key_skew_profile,
         "outlier_filter": q.outlier_filter,
+        "latest_events": w.latest_events,
+        "user_value_median": w.user_value_median,
+        "null_funcs": q.null_funcs,
+        "collocations": dp.collocations,
+        "session_stats": q.session_stats,
         # dedup family
         "exact_dedup": dp.exact_dedup,
         "corpus_clean": dp.corpus_clean,
@@ -392,6 +397,11 @@ def oracle_sql() -> dict[str, str]:
         "build_index": co.BUILD_INDEX_SQL,
         "key_skew_profile": q.KEY_SKEW_PROFILE_SQL,
         "outlier_filter": q.OUTLIER_FILTER_SQL,
+        "latest_events": w.LATEST_EVENTS_SQL,
+        "user_value_median": w.USER_VALUE_MEDIAN_SQL,
+        "null_funcs": q.NULL_FUNCS_SQL,
+        "collocations": dp.COLLOCATIONS_SQL,
+        "session_stats": q.SESSION_STATS_SQL,
         "minhash_verified": dp.MINHASH_VERIFIED_SQL,
         "dedup_clusters": dp.DEDUP_CLUSTERS_SQL,
         "vocab_topk": dp.VOCAB_TOPK_SQL,

@@ -237,6 +237,11 @@ def run_bench() -> dict:
         "build_index",
         "key_skew_profile",
         "outlier_filter",
+        "latest_events",
+        "user_value_median",
+        "null_funcs",
+        "collocations",
+        "session_stats",
         "user_top_event",
         "user_first_last",
         "mixture_sample",

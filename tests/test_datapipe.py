@@ -848,3 +848,27 @@ class TestChunkDocuments:
         out = self._run(tmp_path, ["a\tb\n  c"])
         assert out.iloc[0]["chunk_text"] == "a b c"
         assert out.iloc[0]["n_tokens"] == 3
+
+
+class TestCollocations:
+    def test_pmi_favors_exclusive_pair(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        # "foo bar" always co-occur (exclusive); "the cat" both appear
+        # with many other partners -> lower PMI despite equal pair count
+        texts = ["foo bar . the cat ."] * 5 + [f"the w{i} cat x{i} ." for i in range(20)]
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        out = dp.collocations(str(tmp_path))
+        pairs = list(zip(out["w1"], out["w2"]))
+        assert ("foo", "bar") in pairs
+        pmi = dict(zip(pairs, out["pmi"]))
+        if ("the", "cat") in pmi:
+            assert pmi[("foo", "bar")] > pmi[("the", "cat")]
+        # min-support: every returned pair occurs >= 5 times
+        assert (out["n2"] >= 5).all()

@@ -285,6 +285,10 @@ class TestRandomizedOracleParity:
         "events_stats",
         "key_skew_profile",
         "outlier_filter",
+        "latest_events",
+        "user_value_median",
+        "null_funcs",
+        "session_stats",
         "union_event_slices",
         "intersect_users",
         "except_users",
@@ -472,6 +476,7 @@ class TestRandomizedDocumentsParity:
         "source_cap",
         "chunk_documents",
         "build_index",
+        "collocations",
     ]
 
     @pytest.mark.parametrize("seed", [11, 12])
@@ -710,3 +715,37 @@ class TestKeySkewAndOutliers:
 
         out = q.outlier_filter(d)
         assert sorted(out["value"].tolist()) == [-100.0, 100.0]
+
+
+class TestLatestEventsAndMedian:
+    def test_latest_per_key_tie_break(self, tmp_path):
+        from bank_statement_pdf_parser_ray.pipelines.windows import latest_events
+
+        H = 3_600_000_000
+        rows = [
+            (1, 1, 0, "view", 1.0),
+            (2, 1, 2 * H, "view", 2.0),  # latest view for user 1...
+            (3, 1, 2 * H, "view", 3.0),  # ...same ts: larger event_id wins
+            (4, 1, H, "click", 4.0),
+            (5, 2, 0, "view", 5.0),
+        ]
+        sf = _write_events(tmp_path, rows)
+        out = latest_events(sf).to_pandas().sort_values(["user_id", "event_type"])
+        assert out["event_id"].tolist() == [4, 3, 5]
+
+    def test_median_interpolates_and_all_null_group(self, tmp_path):
+        from bank_statement_pdf_parser_ray.pipelines.windows import user_value_median
+
+        rows = [
+            (1, 1, 0, "view", 1.0),
+            (2, 1, 1, "view", 2.0),
+            (3, 1, 2, "view", 10.0),
+            (4, 1, 3, "view", 20.0),  # even count: median = (2+10)/2 = 6
+            (5, 2, 0, "view", None),  # all-missing group -> NULL median
+            (6, 3, 0, "view", 7.0),
+        ]
+        sf = _write_events(tmp_path, rows)
+        out = user_value_median(sf).to_pandas().set_index("user_id")["med"]
+        assert out[1] == 6.0
+        assert np.isnan(out[2])
+        assert out[3] == 7.0
