@@ -519,3 +519,227 @@ SELECT word,
                            ORDER BY doc_id), '') AS postings_head
 FROM r GROUP BY word
 """
+
+
+# ---------------------------------------------------------------------------
+# Character-window duplication statistics (substring-level exact dedup)
+# ---------------------------------------------------------------------------
+
+CHAR_WIN = 40  # fixed-width non-overlapping character windows
+
+
+def _char_windows(t: pa.Table) -> tuple[np.ndarray, pa.Array]:
+    """(batch-local doc row index, window string) for every FULL
+    ``CHAR_WIN``-codepoint non-overlapping window of each non-null doc.
+
+    Vectorized across docs: one ``pc.utf8_slice_codeunits`` per window
+    SLOT (max_doc_len / CHAR_WIN iterations, each over the whole
+    batch), never a per-row Python loop. Codepoint slicing matches
+    DuckDB ``substr`` semantics exactly."""
+    text = t.column("text").combine_chunks()
+    n = pc.fill_null(pc.utf8_length(text), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    max_n = int(n.max()) if len(n) else 0
+    idx_out: list[np.ndarray] = []
+    win_out: list[pa.Array] = []
+    for start in range(0, max(max_n - CHAR_WIN + 1, 0), CHAR_WIN):
+        has = np.flatnonzero(n >= start + CHAR_WIN)
+        if len(has) == 0:
+            break
+        sub = pc.utf8_slice_codeunits(
+            text.take(pa.array(has, pa.int64())), start=start, stop=start + CHAR_WIN
+        )
+        idx_out.append(has)
+        win_out.append(sub.combine_chunks() if isinstance(sub, pa.ChunkedArray) else sub)
+    if not idx_out:
+        return np.array([], dtype=np.int64), pa.array([], pa.string())
+    return np.concatenate(idx_out), pa.concat_arrays(win_out)
+
+
+def _dup_window_set(sf_dir: str, min_docs: int) -> pa.Array:
+    """Pass 1: the global set of char windows present in >= ``min_docs``
+    distinct documents (the Lee et al. 2022 duplicated-substring
+    primitive at fixed window width). Same shuffle discipline as
+    ``_frequent_passages``: per-batch distinct (doc, win) first, then a
+    pre-combined O(distinct windows x blocks) exchange; the hot set is
+    bounded above by total_windows / min_docs."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        i, wins = _char_windows(t)
+        if len(i) == 0:
+            return pa.table({"win": pa.array([], pa.string()), "p_n": pa.array([], pa.int64())})
+        d = pa.TableGroupBy(
+            pa.table({"i": pa.array(i, pa.int64()), "win": wins}), ["i", "win"]
+        ).aggregate([([], "count_all")])
+        g = pa.TableGroupBy(d.select(["win"]), ["win"]).aggregate([([], "count_all")])
+        return g.rename_columns(["win", "p_n"])
+
+    refs = (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("win")
+        .aggregate(Sum("p_n", alias_name="n"))
+        .to_arrow_refs()
+    )
+    blocks = [b for b in map(ray.get, refs) if b.num_rows > 0]
+    if not blocks:
+        return pa.array([], pa.string())
+    tbl = pa.concat_tables(blocks)
+    hot = tbl.filter(pc.greater_equal(tbl.column("n"), pa.scalar(min_docs)))
+    return hot.column("win").combine_chunks()
+
+
+def dup_char_windows(sf_dir: str, min_docs: int = 2) -> "ray.data.Dataset":
+    """Per-document duplicated-substring statistics: for each doc with
+    >= 1 full ``CHAR_WIN``-char window, the total window count and how
+    many of those windows also occur in >= ``min_docs`` distinct
+    documents — the measurement pass of character-level exact substring
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"), complementary to the word-level ``passage_dedup``.
+
+    100 TB shape: pass 1 broadcast set as in ``passage_dedup``; pass 2
+    never shuffles — each document lives in one row, so its per-doc
+    counts reduce inside the batch with two ``np.bincount`` calls."""
+    hot = _dup_window_set(sf_dir, min_docs)
+    bcast = ray.put(hot)
+
+    def stats(t: pa.Table) -> pa.Table:
+        i, wins = _char_windows(t)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "total_windows": pa.array([], pa.int64()),
+                "dup_windows": pa.array([], pa.int64()),
+            }
+        )
+        if len(i) == 0:
+            return empty
+        hot_set: pa.Array = ray.get(bcast)
+        if len(hot_set):
+            isdup = pc.is_in(wins, value_set=hot_set).to_numpy(zero_copy_only=False)
+        else:
+            isdup = np.zeros(len(i), dtype=bool)
+        total = np.bincount(i, minlength=t.num_rows)
+        dup = np.bincount(i, weights=isdup.astype(np.float64), minlength=t.num_rows)
+        docs_with = np.flatnonzero(total > 0)
+        doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)[docs_with]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "total_windows": pa.array(total[docs_with], pa.int64()),
+                "dup_windows": pa.array(dup[docs_with].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+DUP_CHAR_WINDOWS_SQL = r"""
+WITH w AS (
+  SELECT doc_id, substr(text, CAST(i AS BIGINT), 40) AS win
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 39, 0) + 1, 40)) AS i
+        FROM documents WHERE text IS NOT NULL)
+), dup AS (
+  SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS total_windows,
+       CAST(count(*) FILTER (WHERE win IN (SELECT win FROM dup)) AS BIGINT) AS dup_windows
+FROM w GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global training shuffle
+# ---------------------------------------------------------------------------
+
+
+def _shuffle_keys(ids: list[int], seed: int) -> list[str]:
+    """md5 hex of "<doc_id>:<seed>" — byte-identical to DuckDB
+    md5(CAST(doc_id AS VARCHAR) || ':<seed>'), so the shuffle order is
+    reproducible on ANY engine. Per-row hashlib (no Arrow md5 kernel);
+    at 10^12 rows this becomes one vectorized xxhash/blake3 kernel and
+    the oracle pairing is dropped — md5 is the cross-engine-checkable
+    stand-in, as in ``stratified_sample``."""
+    import hashlib
+
+    return [hashlib.md5(f"{i}:{seed}".encode()).hexdigest() for i in ids]
+
+
+def shuffle_rank(sf_dir: str, seed: int = 42) -> "ray.data.Dataset":
+    """Deterministic seeded global shuffle order for training-data
+    assembly: rank = row_number over md5(doc_id || ':seed') — the
+    "shuffle once, stream forever" pass that fixes example order before
+    sequence packing, reproducible across engines and restarts (unlike
+    ``random_shuffle``, whose order is engine-private).
+
+    Same two-pass range-partition shape as ``queries.global_rank``: the
+    first hex byte of the key is a MONOTONE bucket function, so pass 1
+    reduces to a 256-row bucket histogram (driver computes exclusive
+    prefix offsets, broadcast once) and pass 2 is ONE hash shuffle of
+    (doc_id, key) rows where each bucket sorts locally and adds its
+    offset. No driver materialization of data rows."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        keys = _shuffle_keys(t.column("doc_id").to_pylist(), seed)
+        b = np.array([int(k[:2], 16) for k in keys], dtype=np.int64)
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(ub, pa.int64()), "p_n": pa.array(cnt, pa.int64())})
+
+    hist = (
+        ds.map_batches(bucket_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Sum("p_n", alias_name="n"))
+        .to_pandas()  # O(256) rows — the histogram, not the data
+        .sort_values("bucket")
+    )
+    counts = hist["n"].to_numpy()
+    off = dict(zip(hist["bucket"], np.cumsum(counts) - counts))
+    off_ref = ray.put(off)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        keys = _shuffle_keys(ids, seed)
+        b = np.array([int(k[:2], 16) for k in keys], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "skey": pa.array(keys, pa.string()),
+                "bucket": pa.array(b, pa.int64()),
+            }
+        )
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        offsets = ray.get(off_ref)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        keys = np.asarray(g.column("skey").to_pylist())
+        order = np.lexsort((ids, keys))  # key asc, doc_id tiebreak
+        base = int(offsets[int(g.column("bucket")[0].as_py())])
+        rank = np.empty(len(ids), dtype=np.int64)
+        rank[order] = base + 1 + np.arange(len(ids))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "shuffle_rank": pa.array(rank, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(rank_bucket, batch_format="pyarrow")
+    )
+
+
+SHUFFLE_RANK_SQL = r"""
+SELECT doc_id,
+       row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id)
+         AS shuffle_rank
+FROM documents
+"""

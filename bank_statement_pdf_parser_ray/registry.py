@@ -258,6 +258,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": dp.langid,
         "doc_fingerprint": dp.doc_fingerprint,
         "passage_dedup": co.passage_dedup,
+        "dup_char_windows": co.dup_char_windows,
+        "shuffle_rank": co.shuffle_rank,
         "gopher_quality": co.gopher_quality,
         "bm25_search": co.bm25_search,
         "source_cap": dp.source_cap,
@@ -349,6 +351,8 @@ def oracle_sql() -> dict[str, str]:
         "char_entropy": dp.CHAR_ENTROPY_SQL,
         "weighted_sample": dp.WEIGHTED_SAMPLE_SQL,
         "passage_dedup": co.PASSAGE_DEDUP_SQL,
+        "dup_char_windows": co.DUP_CHAR_WINDOWS_SQL,
+        "shuffle_rank": co.SHUFFLE_RANK_SQL,
         "gopher_quality": co.GOPHER_QUALITY_SQL,
         "bm25_search": co.BM25_SEARCH_SQL,
         "lineitem_corr": q.LINEITEM_CORR_SQL,

@@ -139,3 +139,47 @@ class TestBuildIndex:
         out = co.build_index(d).to_pandas().set_index("word")
         assert out.loc["common", "df"] == 30
         assert out.loc["common", "postings_head"] == ",".join(str(i) for i in range(co.INDEX_HEAD))
+
+
+class TestDupCharWindows:
+    def test_shared_block_counted_per_doc(self, tmp_path):
+        shared = "S" * 35 + "TAIL!" + "0123456789" * 4  # 80 chars = 2 full windows
+        d = _write_docs(
+            tmp_path,
+            [
+                shared + " unique tail for doc zero padded out to more",
+                shared + " another unique ending for document number 1",
+                "tiny",  # < 40 chars: no full window, no output row
+            ],
+        )
+        out = co.dup_char_windows(d).to_pandas().set_index("doc_id").sort_index()
+        assert 2 not in out.index
+        assert out.loc[0, "dup_windows"] == 2
+        assert out.loc[1, "dup_windows"] == 2
+        assert out.loc[0, "total_windows"] == len(shared + " unique tail for doc zero padded out to more") // 40
+
+    def test_within_doc_repeat_is_not_dup(self, tmp_path):
+        win = "R" * 40
+        d = _write_docs(tmp_path, [win + win, "completely unrelated text that is long enough to window"])
+        out = co.dup_char_windows(d).to_pandas().set_index("doc_id")
+        # the repeated window occurs in ONE distinct doc only
+        assert out.loc[0, "total_windows"] == 2
+        assert out.loc[0, "dup_windows"] == 0
+
+    def test_null_text_skipped(self, tmp_path):
+        d = _write_docs(tmp_path, [None, "x" * 45])
+        out = co.dup_char_windows(d).to_pandas()
+        assert out["doc_id"].tolist() == [1]
+        assert out["total_windows"].tolist() == [1]
+
+
+class TestShuffleRank:
+    def test_permutation_and_determinism(self, tmp_path):
+        d = _write_docs(tmp_path, [f"doc number {i}" for i in range(97)])
+        a = co.shuffle_rank(d).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = co.shuffle_rank(d).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert sorted(a["shuffle_rank"].tolist()) == list(range(1, 98))
+        assert a.equals(b)  # deterministic across runs
+        # seeded: a different seed produces a different permutation
+        c = co.shuffle_rank(d, seed=7).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert not a["shuffle_rank"].equals(c["shuffle_rank"])
