@@ -283,6 +283,8 @@ def run_bench() -> dict:
         "media_features",
         "audio_features",
         "video_frames",
+        "dup_char_windows",
+        "shuffle_rank",
     ]
     qtimes = {}
     for name in bench_queries:

@@ -50,8 +50,11 @@ class TestReadTranscripts:
         )
         out = read_transcripts(str(p), fmt="csv").take_all()
         assert len(out) == 2
-        assert out[0]["conv_id"] == "c1" and out[0]["text"] == "hello world"
-        assert str(out[0]["ts"]).startswith("2024-01-01")
+        # take_all block order is not guaranteed (preserve_order=False):
+        # address rows by turn_idx, not position
+        by_idx = {r["turn_idx"]: r for r in out}
+        assert by_idx[0]["conv_id"] == "c1" and by_idx[0]["text"] == "hello world"
+        assert str(by_idx[0]["ts"]).startswith("2024-01-01")
 
     def test_null_key_with_duplicates_dedups(self):
         """Regression: a reduce group holding a null conv_id row PLUS a
