@@ -802,3 +802,113 @@ SELECT user_id,
 FROM (SELECT user_id, CASE WHEN isnan(value) THEN NULL ELSE value END AS value FROM events)
 GROUP BY user_id
 """
+
+
+# --- Markov transition counts ------------------------------------------------
+
+
+def event_transitions(sf_dir: str) -> "ray.data.Dataset":
+    """First-order Markov transition counts over each user's event
+    stream: how often event type ``src`` is immediately followed by
+    ``dst`` within the SAME user, in (ts, event_id) order — the
+    behavioral-model / next-event-prediction building block (SQL:
+    ``lead() OVER (PARTITION BY user_id ORDER BY ts, event_id)``).
+
+    Plan: one hash shuffle on user_id; each group shifts its sorted
+    type array by one and pre-counts its own (src, dst) pairs with an
+    Arrow hash group-by, so the second exchange moves at most
+    |types|^2 rows per user — model-sized partials, never events.
+    Pairs whose NEXT type is NULL are dropped (SQL lead() makes the
+    end-of-partition and a stored-NULL successor indistinguishable and
+    the WHERE drops both); a NULL src forms its own group, exactly like
+    SQL GROUP BY."""
+    from ray.data.aggregate import Sum
+
+    def trans(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src": pa.array([], pa.string()),
+                "dst": pa.array([], pa.string()),
+                "p_n": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows < 2:
+            return empty
+        order, _ts, _eid = _sorted_group(g)
+        et = g.column("event_type").take(pa.array(order, pa.int64()))
+        pairs = pa.table({"src": et.slice(0, len(et) - 1), "dst": et.slice(1)})
+        pairs = pairs.filter(pc.is_valid(pairs.column("dst")))
+        if pairs.num_rows == 0:
+            return empty
+        agg = pa.TableGroupBy(pairs, ["src", "dst"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["src", "dst", "p_n"])
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    partial = ds.groupby("user_id").map_groups(trans, batch_format="pyarrow")
+    return partial.groupby(["src", "dst"]).aggregate(Sum("p_n", alias_name="n"))
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH w AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+)
+SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+FROM w WHERE dst IS NOT NULL GROUP BY src, dst
+"""
+
+
+# --- weekly cohort retention --------------------------------------------------
+
+US_PER_WEEK = 604_800_000_000
+
+
+def cohort_retention(sf_dir: str) -> "ray.data.Dataset":
+    """Cohort retention (the classic product-analytics triangle): users
+    are cohorted by the epoch-week of their FIRST event; for every
+    (cohort_week, week_offset) the count of cohort users still active
+    offset weeks later. week 0 row = cohort size.
+
+    Plan: one hash shuffle on user_id; each user collapses to their
+    distinct active weeks relative to their first week (at most
+    |distinct weeks| rows — the combiner), then one triangle-sized
+    (cohort_week, week_offset) count reduce. NULL ts / NULL user_id
+    rows are excluded on both sides (a NULL user is not a user; the
+    float-divide-then-floor keeps pre-1970 weeks exact)."""
+    from ray.data.aggregate import Sum
+
+    flt = pc.is_valid(pc.field("ts")) & pc.is_valid(pc.field("user_id"))
+    ds = _events(sf_dir, ["user_id", "ts"], flt=flt)
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").cast(pa.int64()).to_numpy()
+        weeks = np.unique(np.floor(ts / float(US_PER_WEEK)).astype(np.int64))
+        w0 = int(weeks[0])
+        return pa.table(
+            {
+                "cohort_week": pa.array(np.full(len(weeks), w0), pa.int64()),
+                "week_offset": pa.array(weeks - w0, pa.int64()),
+                "p_n": pa.array(np.ones(len(weeks), dtype=np.int64)),
+            }
+        )
+
+    partial = ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    return partial.groupby(["cohort_week", "week_offset"]).aggregate(
+        Sum("p_n", alias_name="n_users")
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH a AS (
+  SELECT user_id, CAST(floor(epoch_us(ts) / 604800000000.0) AS BIGINT) AS w
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), f AS (
+  SELECT user_id, min(w) AS w0 FROM a GROUP BY user_id
+), d AS (
+  SELECT DISTINCT a.user_id, f.w0 AS cohort_week, a.w - f.w0 AS week_offset
+  FROM a JOIN f ON a.user_id = f.user_id
+)
+SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_users
+FROM d GROUP BY cohort_week, week_offset
+"""

@@ -208,6 +208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_percent_rank": w.events_percent_rank,
         "user_event_paths": w.user_event_paths,
         "user_funnel": w.user_funnel,
+        "event_transitions": w.event_transitions,
+        "cohort_retention": w.cohort_retention,
         "bloom_join_revenue": q.bloom_join_revenue,
         "heavy_hitters": dp.heavy_hitters,
         "events_pivot": q.events_pivot,
@@ -329,6 +331,8 @@ def oracle_sql() -> dict[str, str]:
         "events_percent_rank": w.EVENTS_PERCENT_RANK_SQL,
         "user_event_paths": w.USER_EVENT_PATHS_SQL,
         "user_funnel": w.USER_FUNNEL_SQL,
+        "event_transitions": w.EVENT_TRANSITIONS_SQL,
+        "cohort_retention": w.COHORT_RETENTION_SQL,
         "bloom_join_revenue": q.BLOOM_JOIN_REVENUE_SQL,
         "events_pivot": q.EVENTS_PIVOT_SQL,
         "events_stats": q.EVENTS_STATS_SQL,

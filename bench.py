@@ -285,6 +285,8 @@ def run_bench() -> dict:
         "video_frames",
         "dup_char_windows",
         "shuffle_rank",
+        "event_transitions",
+        "cohort_retention",
     ]
     qtimes = {}
     for name in bench_queries:

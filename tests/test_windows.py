@@ -272,6 +272,8 @@ class TestRandomizedOracleParity:
         "events_percent_rank",
         "user_event_paths",
         "user_funnel",
+        "event_transitions",
+        "cohort_retention",
         "date_funcs",
         "global_rank",
         "events_resampled",
@@ -749,3 +751,76 @@ class TestLatestEventsAndMedian:
         assert out[1] == 6.0
         assert np.isnan(out[2])
         assert out[3] == 7.0
+
+
+class TestEventTransitions:
+    def test_known_sequences(self, tmp_path):
+        from bank_statement_pdf_parser_ray.pipelines.windows import event_transitions
+
+        H = 3_600_000_000
+        rows = [
+            # user 1: view -> click -> view -> purchase
+            (0, 1, 0 * H, "view", 1.0),
+            (1, 1, 1 * H, "click", 1.0),
+            (2, 1, 2 * H, "view", 1.0),
+            (3, 1, 3 * H, "purchase", 1.0),
+            # user 2: view -> view (equal ts: event_id breaks the tie)
+            (4, 2, 5 * H, "view", 1.0),
+            (5, 2, 5 * H, "view", 1.0),
+            # user 3: single event -> contributes nothing
+            (6, 3, 9 * H, "click", 1.0),
+        ]
+        sf = _write_events(tmp_path, rows)
+        out = event_transitions(sf).to_pandas()
+        got = {(r.src, r.dst): r.n for r in out.itertuples()}
+        assert got == {
+            ("view", "click"): 1,
+            ("click", "view"): 1,
+            ("view", "purchase"): 1,
+            ("view", "view"): 1,
+        }
+
+    def test_null_next_type_dropped(self, tmp_path):
+        """A stored-NULL successor is dropped exactly like SQL's
+        WHERE lead(...) IS NOT NULL; a NULL src keeps its group."""
+        import pyarrow.parquet as pq
+
+        from bank_statement_pdf_parser_ray.pipelines.windows import event_transitions
+
+        t = pa.table(
+            {
+                "event_id": pa.array([0, 1, 2], pa.int64()),
+                "user_id": pa.array([1, 1, 1], pa.int64()),
+                "ts": pa.array([0, 1, 2], pa.int64()).cast(pa.timestamp("us")),
+                "event_type": pa.array(["view", None, "click"], pa.string()),
+                "value": pa.array([1.0, 1.0, 1.0], pa.float64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = event_transitions(str(tmp_path)).to_pandas()
+        got = {(r.src, r.dst): r.n for r in out.itertuples()}
+        # (view -> NULL) dropped; (NULL -> click) kept with NULL src
+        assert got == {(None, "click"): 1}
+
+
+class TestCohortRetention:
+    def test_triangle(self, tmp_path):
+        from bank_statement_pdf_parser_ray.pipelines.windows import cohort_retention
+
+        W = 604_800_000_000
+        rows = [
+            # user 1: weeks 0, 1, 3  (cohort 0)
+            (0, 1, 0, "view", 1.0),
+            (1, 1, 1 * W, "view", 1.0),
+            (2, 1, 3 * W + 5, "view", 1.0),
+            # user 2: weeks 0, 0 (dup), 1  (cohort 0)
+            (3, 2, 10, "view", 1.0),
+            (4, 2, 20, "view", 1.0),
+            (5, 2, 1 * W + 7, "view", 1.0),
+            # user 3: week 2 only (cohort 2)
+            (6, 3, 2 * W, "view", 1.0),
+        ]
+        sf = _write_events(tmp_path, rows)
+        out = cohort_retention(sf).to_pandas()
+        got = {(r.cohort_week, r.week_offset): r.n_users for r in out.itertuples()}
+        assert got == {(0, 0): 2, (0, 1): 2, (0, 3): 1, (2, 0): 1}
