@@ -1,0 +1,266 @@
+"""Model-based corpus curation: a distributed logistic-regression
+quality classifier and DSIR-style importance resampling (Xie et al.
+2023, "Data Selection for Language Models via Importance Resampling").
+
+Both follow the engine's two-pass global-statistic shape (SCALE.md §6):
+every corpus-scale pass is a streaming ``map_batches`` that emits
+model-sized partials (a gradient vector, a hashed-bucket count table);
+the model itself — six regression weights, a 4096-bucket log-ratio
+table — is driver-sized, broadcast once via ``ray.put``, and the final
+scoring pass is a single shuffle-free map. Nothing corpus-sized ever
+reaches the driver.
+
+The classifier is the fasttext-style quality-filter pattern used by
+CCNet / GPT-3 / PaLM data work: train a cheap linear model to
+separate a trusted slice from the raw pool, then score everything.
+Here the trusted slice is ``lang == 'en'`` (the shared-table proxy for
+"looks like the target distribution"); the features are surface
+statistics, so the plumbing — distributed standardization, full-batch
+gradient descent over per-batch partials, broadcast scoring — is the
+real subject, pinned in pytest against a sequential numpy trainer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from bank_statement_pdf_parser_ray.core.hashing import stable_hash64
+from bank_statement_pdf_parser_ray.pipelines.datapipe import _docs, _tfidf_tf
+
+N_BUCKETS = 4096  # DSIR hashed-feature buckets (2^12; paper uses 10^4)
+N_FEATURES = 6  # classifier: bias + 5 surface statistics
+
+
+def _features(t: pa.Table) -> np.ndarray:
+    """(n, 6) float64 design matrix for one batch: bias, log1p(chars),
+    log1p(tokens), punctuation ratio, digit ratio, mean word length.
+    NULL text scores as an empty document (all-zero statistics)."""
+    text = pc.fill_null(t.column("text"), "")
+    n = t.num_rows
+    chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.float64)
+    words_list = pc.split_pattern_regex(text, pattern=r"\s+")
+    words = pc.list_flatten(words_list)
+    keep = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+    parent = pc.list_parent_indices(words_list).to_numpy(zero_copy_only=False)[keep]
+    wlen = pc.utf8_length(words).to_numpy(zero_copy_only=False).astype(np.float64)[keep]
+    n_tok = np.bincount(parent, minlength=n).astype(np.float64)
+    sum_wlen = np.bincount(parent, weights=wlen, minlength=n)
+    punct = pc.count_substring_regex(text, pattern=r"[^\w\s]").to_numpy(
+        zero_copy_only=False
+    ).astype(np.float64)
+    digit = pc.count_substring_regex(text, pattern=r"\d").to_numpy(
+        zero_copy_only=False
+    ).astype(np.float64)
+    safe_chars = np.maximum(chars, 1.0)
+    safe_tok = np.maximum(n_tok, 1.0)
+    return np.column_stack(
+        [
+            np.ones(n),
+            np.log1p(chars),
+            np.log1p(n_tok),
+            punct / safe_chars,
+            digit / safe_chars,
+            sum_wlen / safe_tok,
+        ]
+    )
+
+
+def _labels(t: pa.Table) -> np.ndarray:
+    lab = pc.equal(pc.fill_null(t.column("lang"), ""), "en")
+    return lab.to_numpy(zero_copy_only=False).astype(np.float64)
+
+
+def _sum_partials(ds: "ray.data.Dataset", make_row) -> np.ndarray:
+    """Reduce a corpus-scale Dataset to ONE driver-side float64 vector:
+    ``make_row(batch) -> 1-D partial``; partials are summed per batch
+    (the combiner) and the tiny (blocks x dim) residue is summed on the
+    driver. No shuffle — this is the gradient/moment reduction."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        row = np.asarray(make_row(t), dtype=np.float64)
+        # one packed binary cell per batch: a 4096-bucket partial as
+        # 8192 scalar columns was measurably slower than one blob
+        return pa.table({"p": pa.array([row.tobytes()], pa.binary())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    acc = None
+    for r in rows:
+        v = np.frombuffer(r["p"], dtype=np.float64)
+        acc = v.copy() if acc is None else acc + v
+    return acc if acc is not None else np.zeros(0)
+
+
+def _feature_dataset(sf_dir: str) -> "ray.data.Dataset":
+    """Materialized numeric design matrix: (doc_id, x0..x5, y). Built
+    with ONE pass over the text (tokenization paid once), then cached
+    in the object store so every GD epoch streams 7 floats/doc instead
+    of re-reading and re-tokenizing the corpus — at 100 TB the epochs
+    iterate a ~50 B/doc matrix, never the text."""
+
+    def to_feat(t: pa.Table) -> pa.Table:
+        x = _features(t)
+        cols = {"doc_id": t.column("doc_id").cast(pa.int64())}
+        for j in range(N_FEATURES):
+            cols[f"x{j}"] = pa.array(x[:, j], pa.float64())
+        cols["y"] = pa.array(_labels(t), pa.float64())
+        return pa.table(cols)
+
+    return (
+        _docs(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(to_feat, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+
+
+def _xy(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    x = np.column_stack(
+        [t.column(f"x{j}").to_numpy(zero_copy_only=False) for j in range(N_FEATURES)]
+    )
+    return x, t.column("y").to_numpy(zero_copy_only=False)
+
+
+def train_quality_classifier(
+    sf_dir: str, epochs: int = 30, lr: float = 0.5, feat: "ray.data.Dataset | None" = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Distributed full-batch logistic regression: returns (weights in
+    standardized space, feature means, feature stds).
+
+    One pass builds the materialized design matrix; one pass reduces
+    (sum x, sum x^2, sum y, n) for standardization; each epoch is one
+    gradient reduction — a map over the cached matrix emitting a
+    6-float partial per batch. Epoch count, not corpus size, bounds the
+    number of Ray rounds; each round's exchange is O(blocks x 6)."""
+    if feat is None:
+        feat = _feature_dataset(sf_dir)
+
+    d = N_FEATURES
+
+    def mom_row(t: pa.Table) -> np.ndarray:
+        x, y = _xy(t)
+        return np.concatenate([x.sum(axis=0), (x * x).sum(axis=0), [y.sum(), t.num_rows]])
+
+    mom = _sum_partials(feat, mom_row)
+    n = mom[2 * d + 1] if mom.size else 0.0
+    if n == 0:
+        return np.zeros(d), np.zeros(d), np.ones(d)
+    mean = mom[:d] / n
+    var = np.maximum(mom[d : 2 * d] - n * mean**2, 0.0) / n
+    std = np.where(var > 0, np.sqrt(var), 1.0)
+    mean[0], std[0] = 0.0, 1.0  # bias column passes through
+
+    w = np.zeros(d)
+    for _ in range(epochs):
+        bcast = ray.put((w.copy(), mean, std))
+
+        def grad_row(t: pa.Table, _ref=bcast) -> np.ndarray:
+            wk, mu, sd = ray.get(_ref)
+            x, y = _xy(t)
+            xs = (x - mu) / sd
+            p = 1.0 / (1.0 + np.exp(-(xs @ wk)))
+            return xs.T @ (p - y)
+
+        g = _sum_partials(feat, grad_row)
+        w -= lr * g / n
+    return w, mean, std
+
+
+def quality_classifier(sf_dir: str, epochs: int = 30, lr: float = 0.5) -> "ray.data.Dataset":
+    """Per-document trained-classifier quality score: (doc_id, p_good,
+    label). Training is the distributed GD above; scoring broadcasts
+    the (weights, mean, std) triple once and streams — one shuffle-free
+    corpus pass, same shape at any scale."""
+    feat = _feature_dataset(sf_dir)
+    w, mean, std = train_quality_classifier(sf_dir, epochs=epochs, lr=lr, feat=feat)
+    bcast = ray.put((w, mean, std))
+
+    def score(t: pa.Table) -> pa.Table:
+        wk, mu, sd = ray.get(bcast)
+        x, y = _xy(t)
+        xs = (x - mu) / sd
+        p = 1.0 / (1.0 + np.exp(-(xs @ wk)))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "p_good": pa.array(p, pa.float64()),
+                "label": pa.array(y.astype(bool)),
+            }
+        )
+
+    return feat.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _bucket_of(words: list[str], memo: dict[str, int]) -> np.ndarray:
+    out = np.empty(len(words), dtype=np.int64)
+    for j, w in enumerate(words):
+        b = memo.get(w)
+        if b is None:
+            b = memo[w] = stable_hash64(w) % N_BUCKETS
+        out[j] = b
+    return out
+
+
+def _bucket_counts(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_index, bucket, count) triples for one batch — hashing only
+    the batch's DISTINCT (row, word) pairs (Zipf pays once per word)."""
+    tf = _tfidf_tf(t)
+    buckets = _bucket_of(tf.column("word").to_pylist(), {})
+    i = tf.column("i").to_numpy(zero_copy_only=False)
+    c = tf.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+    return i, buckets, c
+
+
+def dsir_stats(sf_dir: str, target_lang: str = "en") -> np.ndarray:
+    """The DSIR model: per-bucket log(p_target / p_raw) over hashed
+    unigrams, with add-one smoothing. One corpus pass reduces to a
+    2 x N_BUCKETS count table (driver-sized)."""
+
+    def counts_row(t: pa.Table) -> np.ndarray:
+        i, b, c = _bucket_counts(t)
+        is_t = _labels(t)  # 1.0 where lang == target
+        raw = np.bincount(b, weights=c, minlength=N_BUCKETS)
+        tgt = np.bincount(b, weights=c * is_t[i], minlength=N_BUCKETS)
+        return np.concatenate([raw, tgt])
+
+    ds = _docs(sf_dir, ["text", "lang"])
+    both = _sum_partials(ds, counts_row)
+    raw, tgt = both[:N_BUCKETS] + 1.0, both[N_BUCKETS:] + 1.0
+    return np.log(tgt / tgt.sum()) - np.log(raw / raw.sum())
+
+
+def dsir_weights(sf_dir: str, target_lang: str = "en") -> "ray.data.Dataset":
+    """Per-document DSIR log importance weight: sum over the document's
+    hashed-unigram counts of log(p_target/p_raw). The 4096-float model
+    is broadcast once; scoring is one shuffle-free pass. Zero-token
+    documents weigh 0 (an empty product)."""
+    ratio_ref = ray.put(dsir_stats(sf_dir, target_lang))
+
+    def score(t: pa.Table) -> pa.Table:
+        ratio = ray.get(ratio_ref)
+        i, b, c = _bucket_counts(t)
+        lw = np.bincount(i, weights=c * ratio[b], minlength=t.num_rows)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "log_weight": pa.array(lw, pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def dsir_resample(sf_dir: str, target_lang: str = "en", m: int = 100) -> "ray.data.Dataset":
+    """DSIR selection: the m documents whose hashed-unigram profile
+    most resembles the target slice — a distributed sort + limit over
+    the weights (ties broken by doc_id so the cut is deterministic).
+    At 100 TB the same plan holds: the sort moves (doc_id, float)
+    pairs, never text; survivors join back via the pruned-read pattern
+    exact_dedup already uses."""
+    w = dsir_weights(sf_dir, target_lang)
+    return w.sort(["log_weight", "doc_id"], descending=[True, False]).limit(m)

@@ -163,7 +163,7 @@ def _semantic_dedup_checked(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from bank_statement_pdf_parser_ray.pipelines import bpe
+    from bank_statement_pdf_parser_ray.pipelines import bpe, mlprep
     from bank_statement_pdf_parser_ray.pipelines import cluster as cl
     from bank_statement_pdf_parser_ray.pipelines import corpusops as co
     from bank_statement_pdf_parser_ray.pipelines import datapipe as dp
@@ -264,6 +264,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_char_windows": co.dup_char_windows,
         "bpe_train": lambda sf: bpe.bpe_train(sf, n_merges=12),
         "token_count_trained": lambda sf: bpe.token_count_trained(sf, n_merges=12),
+        "quality_classifier": lambda sf: mlprep.quality_classifier(sf, epochs=10),
+        "dsir_resample": lambda sf: mlprep.dsir_resample(sf, m=100),
         "shuffle_rank": co.shuffle_rank,
         "gopher_quality": co.gopher_quality,
         "bm25_search": co.bm25_search,

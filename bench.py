@@ -287,6 +287,7 @@ def run_bench() -> dict:
         "shuffle_rank",
         "event_transitions",
         "cohort_retention",
+        "dsir_resample",
     ]
     qtimes = {}
     for name in bench_queries:
