@@ -2353,3 +2353,66 @@ SELECT CAST(count(*) AS BIGINT) AS n_sessions,
        round(CAST(sum(dur_us) AS DOUBLE) / count(*) / 1000000.0, 6) AS avg_dur_sec
 FROM per
 """
+
+
+# --- skyline (Pareto frontier) ------------------------------------------------
+
+
+def _skyline_cut(t: pa.Table) -> pa.Table:
+    """Non-dominated rows of one block under (o_totalprice MAX,
+    o_orderdate MAX). Vectorized: sort by (price desc, date desc),
+    then per distinct price the group's max-date rows survive iff that
+    date strictly beats every higher-price date (a running max over
+    the sorted groups). Equal points never dominate each other, so
+    duplicated frontier points all survive — exactly the SQL NOT
+    EXISTS semantics."""
+    if t.num_rows == 0:
+        return t
+    p = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+    d = t.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    order = np.lexsort((-d, -p))
+    ps, ds = p[order], d[order]
+    new_p = np.ones(len(ps), dtype=bool)
+    new_p[1:] = ps[1:] != ps[:-1]
+    grp = np.cumsum(new_p) - 1  # group index per row, by distinct price
+    dmax = ds[new_p]  # first row of each group = its max date (sort order)
+    # best date over all strictly-higher-price groups (exclusive running max)
+    best_prev = np.concatenate(([np.iinfo(np.int64).min], np.maximum.accumulate(dmax)[:-1]))
+    keep = (ds == dmax[grp]) & (dmax[grp] > best_prev[grp])
+    return t.take(pa.array(order[keep], pa.int64()))
+
+
+def skyline_orders(sf_dir: str) -> "ray.data.Dataset":
+    """Skyline / Pareto frontier of orders under (o_totalprice MAX,
+    o_orderdate MAX) — "no other order is both at least as expensive
+    and at least as recent, and strictly better in one" (Börzsönyi
+    et al. 2001, "The Skyline Operator").
+
+    Scale shape: local skyline per block is a CORRECT combiner
+    (dominance is transitive, so a globally non-dominated row is
+    non-dominated in its block), so each block first collapses to its
+    own frontier; survivors — frontier-sized, not input-sized — meet
+    in one final single-partition pass of the same kernel. No driver
+    materialization. NULL-dimension rows are excluded on both sides
+    (SQL three-valued NOT EXISTS would vacuously keep them)."""
+    flt = pc.is_valid(pc.field("o_totalprice")) & pc.is_valid(pc.field("o_orderdate"))
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+        filter=flt,
+    )
+    partial = ds.map_batches(_skyline_cut, batch_format="pyarrow", zero_copy_batch=True)
+    return partial.repartition(1).map_batches(
+        _skyline_cut, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+SKYLINE_ORDERS_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderdate FROM orders o
+WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL AND NOT EXISTS (
+  SELECT 1 FROM orders b
+  WHERE b.o_totalprice IS NOT NULL AND b.o_orderdate IS NOT NULL
+    AND b.o_totalprice >= o.o_totalprice AND b.o_orderdate >= o.o_orderdate
+    AND (b.o_totalprice > o.o_totalprice OR b.o_orderdate > o.o_orderdate)
+)
+"""

@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join": q.broadcast_join,
         "hash_join_revenue": q.hash_join_revenue,
         "q5_region_revenue": q.q5_region_revenue,
+        "skyline_orders": q.skyline_orders,
         "part_brand_revenue": q.part_brand_revenue,
         "anti_join_customers": q.anti_join_customers,
         "semi_join_customers": q.semi_join_customers,
@@ -377,6 +378,7 @@ def oracle_sql() -> dict[str, str]:
         "broadcast_join": q.BROADCAST_JOIN_SQL,
         "hash_join_revenue": q.HASH_JOIN_REVENUE_SQL,
         "q5_region_revenue": q.Q5_REGION_REVENUE_SQL,
+        "skyline_orders": q.SKYLINE_ORDERS_SQL,
         "part_brand_revenue": q.PART_BRAND_REVENUE_SQL,
         "distinct_langs": q.DISTINCT_LANGS_SQL,
         "json_props_sum": q.JSON_PROPS_SUM_SQL,

@@ -288,6 +288,7 @@ def run_bench() -> dict:
         "event_transitions",
         "cohort_retention",
         "dsir_resample",
+        "skyline_orders",
     ]
     qtimes = {}
     for name in bench_queries:

@@ -824,3 +824,75 @@ class TestCohortRetention:
         out = cohort_retention(sf).to_pandas()
         got = {(r.cohort_week, r.week_offset): r.n_users for r in out.itertuples()}
         assert got == {(0, 0): 2, (0, 1): 2, (0, 3): 1, (2, 0): 1}
+
+
+class TestSkyline:
+    def test_planted_frontier(self, tmp_path):
+        """Hand-built frontier incl. a duplicated frontier point (both
+        copies survive: equal points never dominate) and a same-price
+        tie where only the later date survives."""
+        import pyarrow.parquet as pq
+
+        from bank_statement_pdf_parser_ray.pipelines.queries import skyline_orders
+
+        D = 86_400_000_000
+        rows = [  # (key, price, day)
+            (1, 100.0, 5),   # frontier (max price)
+            (2, 100.0, 3),   # dominated by 1 (same price, older)
+            (3, 90.0, 9),    # frontier
+            (4, 90.0, 9),    # duplicate frontier point -> survives too
+            (5, 80.0, 9),    # dominated by 3 (same date, cheaper)
+            (6, 70.0, 12),   # frontier (most recent)
+            (7, 60.0, 1),    # dominated by everything
+        ]
+        t = pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_custkey": pa.array([1] * len(rows), pa.int64()),
+                "o_orderstatus": pa.array(["F"] * len(rows)),
+                "o_totalprice": pa.array([r[1] for r in rows], pa.float64()),
+                "o_orderdate": pa.array([r[2] * D for r in rows], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["1"] * len(rows)),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        out = skyline_orders(str(tmp_path)).to_pandas()
+        assert sorted(out["o_orderkey"].tolist()) == [1, 3, 4, 6]
+
+    def test_block_cut_matches_single_block(self, tmp_path):
+        """Random data split into many blocks must give the same
+        frontier as the brute-force O(n^2) dominance check."""
+        import pyarrow.parquet as pq
+
+        from bank_statement_pdf_parser_ray.pipelines.queries import skyline_orders
+
+        rng = np.random.default_rng(13)
+        n = 400
+        price = np.round(rng.uniform(0, 50, n), 0)  # coarse -> many ties
+        day = rng.integers(0, 40, n)
+        t = pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(n), pa.int64()),
+                "o_custkey": pa.array(np.zeros(n), pa.int64()),
+                "o_orderstatus": pa.array(["F"] * n),
+                "o_totalprice": pa.array(price, pa.float64()),
+                "o_orderdate": pa.array(day * 86_400_000_000, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["1"] * n),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        got = sorted(skyline_orders(str(tmp_path)).to_pandas()["o_orderkey"].tolist())
+        dominated = [
+            any(
+                (price[j] >= price[i]) and (day[j] >= day[i])
+                and ((price[j] > price[i]) or (day[j] > day[i]))
+                for j in range(n)
+            )
+            for i in range(n)
+        ]
+        exp = [i for i in range(n) if not dominated[i]]
+        assert got == exp
