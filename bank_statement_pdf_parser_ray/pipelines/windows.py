@@ -912,3 +912,116 @@ WITH a AS (
 SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_users
 FROM d GROUP BY cohort_week, week_offset
 """
+
+
+# --- per-key linear regression -------------------------------------------------
+
+
+def user_value_trend(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user least-squares trend of value over time (SQL
+    ``regr_slope`` / ``regr_intercept`` with x = hours since epoch) —
+    the per-entity drift signal behind anomaly detection and
+    forecasting features.
+
+    One hash shuffle on user_id; each group computes centered
+    co-moments in float64 (shift-invariant, so centering is free
+    numerical stability — the raw Σx² of microsecond epochs would
+    cancel catastrophically). Rows where EITHER x or y is missing are
+    excluded pairwise, exactly regr_*'s NULL semantics; a stored NaN
+    value is declared missing on both sides (the NaN→NULL CASE in the
+    oracle). Groups with <2 distinct x or zero x-variance emit NULL
+    slope, like SQL. Both coefficients rounded(6) on both sides
+    (order-dependent float sums)."""
+
+    def trend(g: pa.Table) -> pa.Table:
+        ts = g.column("ts")
+        v = g.column("value").to_numpy(zero_copy_only=False)
+        ok = pc.is_valid(ts).to_numpy(zero_copy_only=False) & ~np.isnan(v)
+        user = g.column("user_id")[0].as_py()
+        slope = intercept = None
+        n = int(ok.sum())
+        if n >= 1:
+            x = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)[ok] / 3.6e9
+            y = v[ok]
+            mx, my = x.mean(), y.mean()
+            sxx = float(((x - mx) ** 2).sum())
+            if sxx > 0.0:
+                slope = float(((x - mx) * (y - my)).sum()) / sxx
+                intercept = my - slope * mx
+        return pa.table(
+            {
+                "user_id": pa.array([user], pa.int64()),
+                "slope": pa.array([None if slope is None else round(slope, 6)], pa.float64()),
+                "intercept": pa.array(
+                    [None if intercept is None else round(intercept, 6)], pa.float64()
+                ),
+            }
+        )
+
+    ds = _events(sf_dir, ["user_id", "ts", "value"])
+    return ds.groupby("user_id").map_groups(trend, batch_format="pyarrow")
+
+
+USER_VALUE_TREND_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) / 3600000000.0 AS x,
+         CASE WHEN isnan(value) THEN NULL ELSE value END AS y
+  FROM events
+)
+SELECT user_id,
+       round(regr_slope(y, x), 6) AS slope,
+       round(regr_intercept(y, x), 6) AS intercept
+FROM e GROUP BY user_id
+"""
+
+
+# --- interval-union coverage ---------------------------------------------------
+
+SESSION_US = 1_800_000_000  # each event opens a 30-minute activity interval
+
+
+def user_coverage(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user total covered time: each event opens a 30-minute
+    interval; overlapping intervals merge (the interval-union /
+    utilization primitive SQL needs a running-max window trick for).
+    Exact integer-microsecond arithmetic end to end — the sum is an
+    int64, so engine and oracle agree bit-for-bit with no rounding.
+
+    One hash shuffle on user_id; each group sorts its start times and
+    clips each interval by the running max of prior ends
+    (``np.maximum.accumulate``) — vectorized, no row loop. NULL ts /
+    NULL user rows are excluded on both sides."""
+
+    def cover(g: pa.Table) -> pa.Table:
+        s = np.sort(g.column("ts").cast(pa.int64()).to_numpy())
+        e = s + SESSION_US
+        prev_max = np.concatenate(([np.iinfo(np.int64).min], np.maximum.accumulate(e)[:-1]))
+        lo = np.maximum(s, prev_max)
+        covered = int(np.maximum(e - lo, 0).sum())
+        return pa.table(
+            {
+                "user_id": g.column("user_id").slice(0, 1),
+                "covered_us": pa.array([covered], pa.int64()),
+            }
+        )
+
+    flt = pc.is_valid(pc.field("ts")) & pc.is_valid(pc.field("user_id"))
+    ds = _events(sf_dir, ["user_id", "ts"], flt=flt)
+    return ds.groupby("user_id").map_groups(cover, batch_format="pyarrow")
+
+
+USER_COVERAGE_SQL = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), m AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM iv
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN pmax IS NULL OR pmax <= s THEN e - s
+                     WHEN e > pmax THEN e - pmax ELSE 0 END) AS BIGINT) AS covered_us
+FROM m GROUP BY user_id
+"""

@@ -211,6 +211,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_funnel": w.user_funnel,
         "event_transitions": w.event_transitions,
         "cohort_retention": w.cohort_retention,
+        "user_value_trend": w.user_value_trend,
+        "user_coverage": w.user_coverage,
         "bloom_join_revenue": q.bloom_join_revenue,
         "heavy_hitters": dp.heavy_hitters,
         "events_pivot": q.events_pivot,
@@ -336,6 +338,8 @@ def oracle_sql() -> dict[str, str]:
         "user_funnel": w.USER_FUNNEL_SQL,
         "event_transitions": w.EVENT_TRANSITIONS_SQL,
         "cohort_retention": w.COHORT_RETENTION_SQL,
+        "user_value_trend": w.USER_VALUE_TREND_SQL,
+        "user_coverage": w.USER_COVERAGE_SQL,
         "bloom_join_revenue": q.BLOOM_JOIN_REVENUE_SQL,
         "events_pivot": q.EVENTS_PIVOT_SQL,
         "events_stats": q.EVENTS_STATS_SQL,

@@ -289,6 +289,8 @@ def run_bench() -> dict:
         "cohort_retention",
         "dsir_resample",
         "skyline_orders",
+        "user_value_trend",
+        "user_coverage",
     ]
     qtimes = {}
     for name in bench_queries:

@@ -274,6 +274,8 @@ class TestRandomizedOracleParity:
         "user_funnel",
         "event_transitions",
         "cohort_retention",
+        "user_value_trend",
+        "user_coverage",
         "date_funcs",
         "global_rank",
         "events_resampled",
@@ -896,3 +898,42 @@ class TestSkyline:
         ]
         exp = [i for i in range(n) if not dominated[i]]
         assert got == exp
+
+
+class TestUserValueTrend:
+    def test_known_line(self, tmp_path):
+        from bank_statement_pdf_parser_ray.pipelines.windows import user_value_trend
+
+        H = 3_600_000_000
+        # user 1: y = 2x + 1 exactly (x in hours); user 2: flat ts -> NULL slope
+        rows = [
+            (0, 1, 0 * H, "view", 1.0),
+            (1, 1, 1 * H, "view", 3.0),
+            (2, 1, 2 * H, "view", 5.0),
+            (3, 2, 4 * H, "view", 7.0),
+            (4, 2, 4 * H, "view", 9.0),
+        ]
+        sf = _write_events(tmp_path, rows)
+        out = user_value_trend(sf).to_pandas().set_index("user_id")
+        assert out.loc[1, "slope"] == 2.0 and out.loc[1, "intercept"] == 1.0
+        assert np.isnan(out.loc[2, "slope"]) and np.isnan(out.loc[2, "intercept"])
+
+
+class TestUserCoverage:
+    def test_merge_and_gap(self, tmp_path):
+        from bank_statement_pdf_parser_ray.pipelines.windows import user_coverage
+
+        M = 60_000_000  # one minute in us
+        rows = [
+            # user 1: overlapping pair (0-30, 10-40 -> 40 min) + distant (100-130)
+            (0, 1, 0 * M, "view", 1.0),
+            (1, 1, 10 * M, "view", 1.0),
+            (2, 1, 100 * M, "view", 1.0),
+            # user 2: duplicate timestamps merge to one interval
+            (3, 2, 0, "view", 1.0),
+            (4, 2, 0, "view", 1.0),
+        ]
+        sf = _write_events(tmp_path, rows)
+        out = user_coverage(sf).to_pandas().set_index("user_id")["covered_us"]
+        assert out[1] == 70 * M
+        assert out[2] == 30 * M
