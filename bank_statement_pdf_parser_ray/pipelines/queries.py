@@ -19,6 +19,20 @@ import ray
 import ray.data
 
 
+def _join_partitions(sf_dir: str, *tables: str, part_bytes: int = 32 << 20) -> int:
+    """Size a Dataset.join's hash-partition count from the INPUT bytes
+    instead of a constant: each partition is a shuffle aggregator with
+    real fixed cost (measured at sf0.1/32cpus: the same join runs
+    3.25 s at 4 partitions vs 17.2 s at 32 — pure per-partition
+    overhead at small data), while at 100 TB the byte rule dominates
+    and the clamp hands the join 2 partitions per CPU."""
+    import os
+
+    total = sum(os.path.getsize(f"{sf_dir}/{t}.parquet") for t in tables)
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(2, min(2 * cpus, -(-total // part_bytes)))
+
+
 def _read(sf_dir: str, table: str, columns: list[str]) -> "ray.data.Dataset":
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
@@ -343,7 +357,7 @@ def hash_join_revenue(sf_dir: str) -> pd.DataFrame:
     joined = orders.join(
         cust,
         join_type="inner",
-        num_partitions=16,
+        num_partitions=_join_partitions(sf_dir, "orders", "customer"),
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
@@ -1551,7 +1565,7 @@ def bloom_join_revenue(sf_dir: str) -> pd.DataFrame:
     joined = orders.join(
         cust,
         join_type="inner",
-        num_partitions=16,
+        num_partitions=_join_partitions(sf_dir, "orders", "customer"),
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
