@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": dp.doc_fingerprint,
         "passage_dedup": co.passage_dedup,
         "dup_char_windows": co.dup_char_windows,
+        "fuzzy_pairs": co.fuzzy_pairs,
         "bpe_train": lambda sf: bpe.bpe_train(sf, n_merges=12),
         "token_count_trained": lambda sf: bpe.token_count_trained(sf, n_merges=12),
         "quality_classifier": lambda sf: mlprep.quality_classifier(sf, epochs=10),
@@ -366,6 +367,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": dp.WEIGHTED_SAMPLE_SQL,
         "passage_dedup": co.PASSAGE_DEDUP_SQL,
         "dup_char_windows": co.DUP_CHAR_WINDOWS_SQL,
+        "fuzzy_pairs": co.FUZZY_PAIRS_SQL,
         "shuffle_rank": co.SHUFFLE_RANK_SQL,
         "gopher_quality": co.GOPHER_QUALITY_SQL,
         "bm25_search": co.BM25_SEARCH_SQL,

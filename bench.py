@@ -291,6 +291,7 @@ def run_bench() -> dict:
         "skyline_orders",
         "user_value_trend",
         "user_coverage",
+        "fuzzy_pairs",
     ]
     qtimes = {}
     for name in bench_queries:

@@ -183,3 +183,61 @@ class TestShuffleRank:
         # seeded: a different seed produces a different permutation
         c = co.shuffle_rank(d, seed=7).to_pandas().sort_values("doc_id").reset_index(drop=True)
         assert not a["shuffle_rank"].equals(c["shuffle_rank"])
+
+
+class TestFuzzyPairs:
+    def test_planted_pairs(self, tmp_path):
+        texts = [
+            "hello world this is a long document",   # 0
+            "hello worXd this is a long document",   # 1: 1 sub within prefix -> pair with 0
+            "hello completely different text here",  # 2: same block, prefix too far
+            "howdy world this is a long document",   # 3: block differs -> never compared
+            None,                                    # null text excluded
+        ]
+        sf = _write_docs(tmp_path, texts)
+        out = co.fuzzy_pairs(sf).to_pandas()
+        got = {(r.doc_a, r.doc_b): r.dist for r in out.itertuples()}
+        assert got == {(0, 1): 1}
+
+    def test_matches_duckdb_on_unicode(self, tmp_path):
+        """Byte-based distance + codepoint substr, on multibyte text —
+        the semantics pair measured against DuckDB directly."""
+        import duckdb
+
+        rng = np.random.default_rng(17)
+        alpha = list("ab ") + ["é", "中"]
+        base = ["abé中" + "".join(rng.choice(alpha, 26)) for _ in range(12)]
+        texts = []
+        for s in base:  # each base plus 4 perturbed copies at growing edit radius
+            texts.append(s)
+            for k in (1, 2, 3, 6):
+                chars = list(s)
+                for pos in rng.choice(np.arange(4, len(chars)), k, replace=False):
+                    chars[int(pos)] = str(rng.choice(alpha))
+                texts.append("".join(chars))
+        sf = _write_docs(tmp_path, texts)
+        got = (
+            co.fuzzy_pairs(sf)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+        )
+        exp = (
+            con.sql(co.FUZZY_PAIRS_SQL)
+            .df()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        con.close()
+        assert got.equals(exp.astype(got.dtypes.to_dict()))
+
+    def test_identical_docs_distance_zero(self, tmp_path):
+        texts = ["same prefix all the way through"] * 3
+        sf = _write_docs(tmp_path, texts)
+        out = co.fuzzy_pairs(sf).to_pandas()
+        assert len(out) == 3  # C(3,2) pairs
+        assert (out["dist"] == 0).all()
