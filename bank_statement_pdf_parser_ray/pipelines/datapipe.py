@@ -3419,3 +3419,90 @@ FROM c2 JOIN c1 a ON c2.w1 = a.w JOIN c1 b ON c2.w2 = b.w CROSS JOIN tot
 WHERE n2 >= 5
 ORDER BY pmi DESC, w1, w2 LIMIT 20
 """
+
+
+def _synth_pgm(doc_id: int, text: str) -> bytes:
+    """Deterministic binary PGM (P5) raster derived from a document:
+    pixels are the UTF-8 payload tiled over a 48x64 canvas, so equal
+    texts yield byte-identical images and near-equal texts yield
+    near-identical ones — the corpus-side stand-in for a real image
+    column (this env ships no codec libs; the DECODE below is the real
+    pure-numpy P5 parser, not a fake)."""
+    h, w = 48, 64
+    payload = (text or "").encode("utf-8") or bytes([doc_id % 251])
+    reps = -(-(h * w) // len(payload))
+    pix = (payload * reps)[: h * w]
+    return b"P5 %d %d 255\n" % (w, h) + pix
+
+
+def _ahash_bits(img: "np.ndarray") -> int:
+    """64-bit average hash: 8x8 grayscale, bit i set iff pixel_i > mean.
+    Invariant to uniform brightness shifts by construction."""
+    flat = img.reshape(-1)[:64]
+    bits = flat > flat.mean()
+    # signed reinterpretation of the 64 bits: fits Arrow int64 losslessly
+    return int(np.packbits(bits).view(">i8")[0]) if len(flat) == 64 else 0
+
+
+class _AhashActor(MediaDecodeActor):
+    """Decode (real P5 path) -> 8x8 nearest resize -> average hash."""
+
+    def __init__(self) -> None:
+        super().__init__(target_size=(8, 8))
+
+    def __call__(self, t: pa.Table) -> pa.Table:  # type: ignore[override]
+        hashes = []
+        for blob in t.column("media").to_pylist():
+            img, _h, _w = self._decode(blob or b"")
+            hashes.append(_ahash_bits(img))
+        return pa.table(
+            {
+                "media_id": t.column("media_id").cast(pa.int64()),
+                "ahash": pa.array(hashes, pa.int64()),
+            }
+        )
+
+
+def image_neardup(sf_dir: str) -> "ray.data.Dataset":
+    """Perceptual image dedup: decode each media blob (REAL pure-numpy
+    PGM parse), reduce it to a 64-bit average hash (brightness-shift
+    invariant), then exact-dedup in hash space — near-duplicate images
+    collapse to the same 8-byte key, so the exchange moves 16 B/row
+    and the cluster reduce is an ordinary groupby. Output: one row per
+    image in a cluster of >= 2, with the cluster representative (min
+    media_id) and cluster size. This is the image-side counterpart of
+    ``exact_dedup``'s hash-first shape: decode cost is paid once in an
+    actor pool with small batches; no pixel ever crosses the exchange."""
+    from ray.data.aggregate import Sum
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        blobs = [_synth_pgm(int(i), s) for i, s in zip(ids, texts)]
+        return pa.table(
+            {"media_id": t.column("doc_id").cast(pa.int64()), "media": pa.array(blobs, pa.binary())}
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        to_media, batch_format="pyarrow", zero_copy_batch=True
+    )
+    hashed = ds.map_batches(
+        _AhashActor, batch_format="pyarrow", zero_copy_batch=True, batch_size=64, concurrency=_pool()
+    )
+
+    def cluster(g: pa.Table) -> pa.Table:
+        # total output (singletons keep cluster_size=1): dedup is the
+        # caller's filter cluster_rep != media_id, and the result never
+        # collapses to a schemaless empty dataset on a clean corpus
+        ids = np.sort(g.column("media_id").to_numpy())
+        n = len(ids)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "ahash": g.column("ahash").take(pa.array(np.zeros(n, dtype=np.int64))),
+                "cluster_rep": pa.array(np.full(n, ids[0]), pa.int64()),
+                "cluster_size": pa.array(np.full(n, n), pa.int64()),
+            }
+        )
+
+    return hashed.groupby("ahash").map_groups(cluster, batch_format="pyarrow")

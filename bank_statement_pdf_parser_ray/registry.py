@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_pairs": co.fuzzy_pairs,
         "bpe_train": lambda sf: bpe.bpe_train(sf, n_merges=12),
         "token_count_trained": lambda sf: bpe.token_count_trained(sf, n_merges=12),
+        "image_neardup": dp.image_neardup,
         "quality_classifier": lambda sf: mlprep.quality_classifier(sf, epochs=10),
         "dsir_resample": lambda sf: mlprep.dsir_resample(sf, m=100),
         "shuffle_rank": co.shuffle_rank,

@@ -292,6 +292,7 @@ def run_bench() -> dict:
         "user_value_trend",
         "user_coverage",
         "fuzzy_pairs",
+        "image_neardup",
     ]
     qtimes = {}
     for name in bench_queries:

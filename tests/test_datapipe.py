@@ -872,3 +872,63 @@ class TestCollocations:
             assert pmi[("foo", "bar")] > pmi[("the", "cat")]
         # min-support: every returned pair occurs >= 5 times
         assert (out["n2"] >= 5).all()
+
+
+class TestImageNeardup:
+    def _docs_table(self, texts):
+        n = len(texts)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n),
+                "source": pa.array(["t"] * n),
+                "n_chars": pa.array([len(s or "") for s in texts], pa.int64()),
+            }
+        )
+
+    def test_duplicate_texts_cluster(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import image_neardup
+
+        texts = ["alpha beta gamma"] * 3 + ["a completely different body of pixels"] * 2 + [
+            "unique third document payload xyz"
+        ]
+        pq.write_table(self._docs_table(texts), str(tmp_path / "documents.parquet"))
+        out = image_neardup(str(tmp_path)).to_pandas().sort_values("media_id")
+        # total output: clusters {0,1,2} and {3,4}, singleton 5 kept with size 1
+        assert out["media_id"].tolist() == [0, 1, 2, 3, 4, 5]
+        assert out[out["media_id"] < 3]["cluster_rep"].tolist() == [0, 0, 0]
+        assert out[out["media_id"] < 3]["cluster_size"].tolist() == [3, 3, 3]
+        assert out[out["media_id"].isin([3, 4])]["cluster_rep"].tolist() == [3, 3]
+        assert out[out["media_id"] == 5]["cluster_size"].tolist() == [1]
+        # the dedup filter: drop every non-representative member
+        survivors = out[out["cluster_rep"] == out["media_id"]]
+        assert survivors["media_id"].tolist() == [0, 3, 5]
+
+    def test_ahash_brightness_invariant(self):
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import _ahash_bits
+
+        rng = np.random.default_rng(3)
+        img = rng.random((8, 8)).astype(np.float32)
+        assert _ahash_bits(img) == _ahash_bits(img + 0.17)  # uniform shift
+        other = rng.random((8, 8)).astype(np.float32)
+        assert _ahash_bits(img) != _ahash_bits(other)
+
+    def test_real_pgm_decode_feeds_hash(self):
+        """The synthesized blobs must take the REAL P5 decode path, not
+        the fake fallback: decoding by hand reproduces the hash."""
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import (
+            MediaDecodeActor,
+            _ahash_bits,
+            _synth_pgm,
+        )
+
+        blob = _synth_pgm(7, "some deterministic text body")
+        img = MediaDecodeActor._decode_image(blob)
+        assert img is not None and img.shape == (48, 64)
+        actor = MediaDecodeActor(target_size=(8, 8))
+        resized, sh, sw = actor._decode(blob)
+        assert (sh, sw) == (48, 64)
+        assert _ahash_bits(resized) != 0
