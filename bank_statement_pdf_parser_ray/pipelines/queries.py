@@ -2430,3 +2430,100 @@ WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL AND NOT EXISTS (
     AND (b.o_totalprice > o.o_totalprice OR b.o_orderdate > o.o_orderdate)
 )
 """
+
+
+# --- TPC-H Q3-shaped three-way join --------------------------------------------
+
+Q3_CUTOFF_US = 915_148_800_000_000  # 1999-01-01, mid-range of the synthetic dates
+
+
+def q3_shipping(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """TPC-H-Q3-shaped shipping-priority query: top-k unshipped-revenue
+    orders for one market segment — the canonical SELECTIVE three-way
+    join (customer ⋈ orders ⋈ lineitem) with predicates on all three
+    tables.
+
+    Plan, in 100 TB order of operations: (1) the BUILDING customer key
+    set is small after its filter — broadcast it once (ray.put of a
+    sorted int64 array, np.searchsorted probe) to pre-filter orders
+    WITHOUT a shuffle; (2) the surviving orders ⋈ lineitem pair is the
+    genuine big-big exchange, hash-partitioned on orderkey with the
+    byte-sized partition count; (3) revenue pre-aggregates per batch
+    before the final per-order reduce, and only the k winners reach the
+    driver. Predicates are pushed into every parquet read."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.dataset as pads
+
+    ckeys = (
+        pads.dataset(f"{sf_dir}/customer.parquet")
+        .to_table(columns=["c_custkey"], filter=pc.field("c_mktsegment") == "BUILDING")
+        .column("c_custkey")
+        .to_numpy()
+    )
+    ckeys_ref = ray.put(np.sort(ckeys))
+
+    cutoff = pa.scalar(Q3_CUTOFF_US, pa.timestamp("us"))
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=pc.field("o_orderdate") < cutoff,
+    )
+
+    def in_segment(t: pa.Table) -> pa.Table:
+        keys = ray.get(ckeys_ref)
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, ck)
+        hit = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == ck)
+        return t.filter(pa.array(hit)).drop_columns(["o_custkey"])
+
+    orders = orders.map_batches(in_segment, batch_format="pyarrow", zero_copy_batch=True)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=pc.field("l_shipdate") > cutoff,
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        g = pa.TableGroupBy(
+            pa.table({"l_orderkey": t.column("l_orderkey"), "rev": rev}), ["l_orderkey"]
+        ).aggregate([("rev", "sum")])
+        return g.rename_columns(["l_orderkey", "p_rev"])
+
+    li = li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=_join_partitions(sf_dir, "lineitem", "orders"),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    out = (
+        joined.groupby(["l_orderkey", "o_orderdate"])
+        .aggregate(Sum("p_rev", alias_name="revenue"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    out = out.sort_values(
+        ["revenue", "o_orderdate", "l_orderkey"], ascending=[False, True, True]
+    ).head(k)
+    return out.reset_index(drop=True)
+
+
+Q3_SHIPPING_SQL = """
+SELECT l_orderkey, o_orderdate, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+  AND l_shipdate  > TIMESTAMP '1999-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""

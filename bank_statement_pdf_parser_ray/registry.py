@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join_revenue": q.hash_join_revenue,
         "q5_region_revenue": q.q5_region_revenue,
         "skyline_orders": q.skyline_orders,
+        "q3_shipping": q.q3_shipping,
         "part_brand_revenue": q.part_brand_revenue,
         "anti_join_customers": q.anti_join_customers,
         "semi_join_customers": q.semi_join_customers,
@@ -386,6 +387,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_join_revenue": q.HASH_JOIN_REVENUE_SQL,
         "q5_region_revenue": q.Q5_REGION_REVENUE_SQL,
         "skyline_orders": q.SKYLINE_ORDERS_SQL,
+        "q3_shipping": q.Q3_SHIPPING_SQL,
         "part_brand_revenue": q.PART_BRAND_REVENUE_SQL,
         "distinct_langs": q.DISTINCT_LANGS_SQL,
         "json_props_sum": q.JSON_PROPS_SUM_SQL,

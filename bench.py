@@ -293,6 +293,7 @@ def run_bench() -> dict:
         "user_coverage",
         "fuzzy_pairs",
         "image_neardup",
+        "q3_shipping",
     ]
     qtimes = {}
     for name in bench_queries:
