@@ -3506,3 +3506,36 @@ def image_neardup(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return hashed.groupby("ahash").map_groups(cluster, batch_format="pyarrow")
+
+
+def compression_ratio(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document zlib compression ratio — the classic cheap
+    redundancy gate (highly repetitive/boilerplate text compresses far
+    below prose; random noise compresses above it; both tails are
+    filtered in practice). Complements ``repetition_ratio`` (exact
+    duplicate lines) and ``char_entropy`` (symbol distribution) with a
+    sequence-model view of redundancy.
+
+    Shuffle-free streaming map; zlib is stateless so a task pool
+    suffices (no actor state to warm). NULL text emits a NULL ratio
+    (no SQL zlib exists, so this is pytest-pinned, not oracle-paired)."""
+    import zlib
+
+    def ratio(t: pa.Table) -> pa.Table:
+        out = []
+        for s in t.column("text").to_pylist():
+            if s is None:
+                out.append(None)
+                continue
+            raw = s.encode("utf-8")
+            out.append(round(len(zlib.compress(raw, 6)) / len(raw), 6) if raw else None)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "zlib_ratio": pa.array(out, pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ratio, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": lambda sf: bpe.bpe_train(sf, n_merges=12),
         "token_count_trained": lambda sf: bpe.token_count_trained(sf, n_merges=12),
         "image_neardup": dp.image_neardup,
+        "compression_ratio": dp.compression_ratio,
         "quality_classifier": lambda sf: mlprep.quality_classifier(sf, epochs=10),
         "dsir_resample": lambda sf: mlprep.dsir_resample(sf, m=100),
         "shuffle_rank": co.shuffle_rank,

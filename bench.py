@@ -294,6 +294,7 @@ def run_bench() -> dict:
         "fuzzy_pairs",
         "image_neardup",
         "q3_shipping",
+        "compression_ratio",
     ]
     qtimes = {}
     for name in bench_queries:

@@ -932,3 +932,39 @@ class TestImageNeardup:
         resized, sh, sw = actor._decode(blob)
         assert (sh, sw) == (48, 64)
         assert _ahash_bits(resized) != 0
+
+
+class TestCompressionRatio:
+    def test_matches_zlib_and_orders_redundancy(self, tmp_path):
+        import zlib
+
+        import pyarrow.parquet as pq
+
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import compression_ratio
+
+        texts = [
+            "spam " * 400,                         # highly redundant -> tiny ratio
+            "The quick brown fox jumps over the lazy dog. " * 20,
+            "".join(chr(33 + c) for c in np.random.default_rng(4).integers(0, 90, 2000)),
+            None,
+            "",
+        ]
+        n = len(texts)
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n),
+                "source": pa.array(["t"] * n),
+                "n_chars": pa.array([len(s or "") for s in texts], pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = compression_ratio(str(tmp_path)).to_pandas().set_index("doc_id")["zlib_ratio"]
+        for i, s in enumerate(texts):
+            if not s:
+                assert np.isnan(out[i])
+            else:
+                raw = s.encode()
+                assert out[i] == round(len(zlib.compress(raw, 6)) / len(raw), 6)
+        assert max(out[0], out[1]) < out[2]  # repetitive text beats noise
