@@ -152,11 +152,22 @@ def bpe_train(
     )
 
 
+_MERGES_CACHE: dict[tuple[str, int, int], list[tuple[str, str]]] = {}
+
+
 def train_merges(sf_dir: str, n_merges: int = 30, max_vocab: int = 50_000) -> list[tuple[str, str]]:
-    """The learned merge list as plain tuples (driver-side, O(n_merges))."""
+    """The learned merge list as plain tuples (driver-side, O(n_merges)).
+    Cached per (corpus, params) within the process: training is
+    deterministic, so the apply pass never pays for a second train."""
+    key = (sf_dir, n_merges, max_vocab)
+    hit = _MERGES_CACHE.get(key)
+    if hit is not None:
+        return hit
     t = bpe_train(sf_dir, n_merges=n_merges, max_vocab=max_vocab).to_arrow_refs()
     rows = pa.concat_tables([ray.get(r) for r in t]).sort_by("merge_rank")
-    return list(zip(rows.column("left").to_pylist(), rows.column("right").to_pylist()))
+    out = list(zip(rows.column("left").to_pylist(), rows.column("right").to_pylist()))
+    _MERGES_CACHE[key] = out
+    return out
 
 
 def token_count_trained(sf_dir: str, n_merges: int = 30) -> "ray.data.Dataset":
