@@ -165,6 +165,7 @@ def _semantic_dedup_checked(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from bank_statement_pdf_parser_ray.pipelines import bpe, mlprep
     from bank_statement_pdf_parser_ray.pipelines import cluster as cl
+    from bank_statement_pdf_parser_ray.pipelines import layout as ly
     from bank_statement_pdf_parser_ray.pipelines import corpusops as co
     from bank_statement_pdf_parser_ray.pipelines import datapipe as dp
     from bank_statement_pdf_parser_ray.pipelines import queries as q
@@ -271,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_trained": lambda sf: bpe.token_count_trained(sf, n_merges=12),
         "image_neardup": dp.image_neardup,
         "compression_ratio": dp.compression_ratio,
+        "zorder_benefit": ly.zorder_benefit,
         "quality_classifier": lambda sf: mlprep.quality_classifier(sf, epochs=10),
         "dsir_resample": lambda sf: mlprep.dsir_resample(sf, m=100),
         "shuffle_rank": co.shuffle_rank,

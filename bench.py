@@ -295,6 +295,7 @@ def run_bench() -> dict:
         "image_neardup",
         "q3_shipping",
         "compression_ratio",
+        "zorder_benefit",
     ]
     qtimes = {}
     for name in bench_queries:

@@ -1,0 +1,68 @@
+"""Z-order layout (pipelines/layout.py): Morton-code properties and the
+measured pruning claims."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from bank_statement_pdf_parser_ray.pipelines.layout import (
+    _morton,
+    _part1by1,
+    _quantize,
+    zorder_benefit,
+)
+
+
+class TestMorton:
+    def test_part1by1_spreads_bits(self):
+        # 0b1111 -> 0b01010101
+        assert _part1by1(np.array([0b1111]))[0] == 0b01010101
+        assert _part1by1(np.array([0]))[0] == 0
+        assert _part1by1(np.array([0xFFFF]))[0] == 0x55555555
+
+    def test_morton_is_injective_and_locality_monotone(self):
+        rng = np.random.default_rng(2)
+        a = rng.integers(0, 1 << 16, 4000).astype(np.uint64)
+        b = rng.integers(0, 1 << 16, 4000).astype(np.uint64)
+        z = _morton(a, b)
+        assert len(np.unique(z)) == len(set(zip(a.tolist(), b.tolist())))
+        # fixing one coordinate, z is monotone in the other
+        ys = np.arange(100, dtype=np.uint64)
+        z_row = _morton(np.full(100, 7, dtype=np.uint64), ys)
+        assert (np.diff(z_row) > 0).all()
+
+    def test_quantize_clips_and_spans(self):
+        q = _quantize(np.array([-5.0, 0.0, 50.0, 100.0, 999.0]), 0.0, 100.0)
+        assert q[0] == 0 and q[1] == 0 and q[-1] == (1 << 16) - 1
+        assert 0 < q[2] < (1 << 16) - 1
+
+
+class TestZorderBenefit:
+    def test_pruning_claims(self, tmp_path):
+        """On a uniform grid of (user, time) events, the Z layout must
+        (a) beat the unsorted input on the box query and (b) beat the
+        single-key layout on the time-only query, while (c) the
+        single-key layout stays near-unable to prune time-only."""
+        rng = np.random.default_rng(9)
+        n = 20_000
+        t = pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "ts": pa.array(rng.integers(0, 3_600_000_000_000, n), pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "user_id": pa.array(rng.integers(0, 5000, n), pa.int64()),
+                "event_type": pa.array(["view"] * n),
+                "value": pa.array(rng.random(n), pa.float64()),
+                "props": pa.array(["{}"] * n),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"), row_group_size=n)
+        out = zorder_benefit(str(tmp_path), rows_per_group=512).to_pandas()
+        s = out.set_index(["layout", "query_shape"])["rows_scanned"]
+        assert s[("zorder", "box")] < 0.5 * s[("input", "box")]
+        assert s[("zorder", "time_range")] < 0.7 * s[("sorted_user", "time_range")]
+        assert s[("sorted_user", "time_range")] > 0.9 * n  # single key can't prune time
+        assert s[("sorted_user", "user_range")] < 0.5 * n  # ... but wins its own dim
