@@ -3539,3 +3539,59 @@ def compression_ratio(sf_dir: str) -> "ray.data.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         ratio, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def leakage_safe_split(sf_dir: str) -> "ray.data.Dataset":
+    """Train/val/test assignment with the dedup-leakage guard: the
+    split key is the CONTENT CLUSTER representative (min doc_id among
+    exact-text duplicates), so duplicated content can never land in
+    train AND test — the benchmark-contamination failure mode id-hash
+    splits (``hash_split``) leave open, and the reason corpus papers
+    split after dedup clustering. Near-dup variants compose the same
+    way: substitute the minhash/image cluster rep for the text hash.
+
+    One shuffle on the 16-byte content hash (payloads never move —
+    the hash is computed per batch before the exchange); each cluster
+    assigns its rep's split to every member. Oracle-paired: DuckDB
+    states the identical plan as a self-join on md5(text)."""
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.md5(s.encode("utf-8")).hexdigest() if s is not None else "<null>"
+            for s in t.column("text").to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": t.column("doc_id").cast(pa.int64()), "h": pa.array(hs, pa.string())}
+        )
+
+    def assign(g: pa.Table) -> pa.Table:
+        ids = np.sort(g.column("doc_id").to_numpy())
+        rep = int(ids[0])
+        split = _split_of(hashlib.md5(str(rep).encode("ascii")).hexdigest())
+        n = len(ids)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cluster_rep": pa.array(np.full(n, rep), pa.int64()),
+                "split": pa.array([split] * n, pa.string()),
+            }
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_hash, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ds.groupby("h").map_groups(assign, batch_format="pyarrow")
+
+
+LEAKAGE_SAFE_SPLIT_SQL = """
+WITH h AS (
+  SELECT doc_id, coalesce(md5(text), '<null>') AS hh FROM documents
+), r AS (
+  SELECT hh, min(doc_id) AS rep FROM h GROUP BY hh
+)
+SELECT h.doc_id, r.rep AS cluster_rep,
+       CASE WHEN substr(md5(CAST(r.rep AS VARCHAR)), 1, 2) <= 'cc' THEN 'train'
+            WHEN substr(md5(CAST(r.rep AS VARCHAR)), 1, 2) <= 'e5' THEN 'val'
+            ELSE 'test' END AS split
+FROM h JOIN r ON h.hh = r.hh
+"""

@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": dp.pii_scrub,
         "repetition_ratio": dp.repetition_ratio,
         "hash_split": dp.hash_split,
+        "leakage_safe_split": dp.leakage_safe_split,
         "decontaminate": dp.decontaminate,
         "mixture_sample": dp.mixture_sample,
         "pack_sequences": dp.pack_sequences,
@@ -373,6 +374,7 @@ def oracle_sql() -> dict[str, str]:
         "passage_dedup": co.PASSAGE_DEDUP_SQL,
         "dup_char_windows": co.DUP_CHAR_WINDOWS_SQL,
         "fuzzy_pairs": co.FUZZY_PAIRS_SQL,
+        "leakage_safe_split": dp.LEAKAGE_SAFE_SPLIT_SQL,
         "shuffle_rank": co.SHUFFLE_RANK_SQL,
         "gopher_quality": co.GOPHER_QUALITY_SQL,
         "bm25_search": co.BM25_SEARCH_SQL,

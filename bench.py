@@ -296,6 +296,7 @@ def run_bench() -> dict:
         "q3_shipping",
         "compression_ratio",
         "zorder_benefit",
+        "leakage_safe_split",
     ]
     qtimes = {}
     for name in bench_queries:

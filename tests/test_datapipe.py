@@ -968,3 +968,32 @@ class TestCompressionRatio:
                 raw = s.encode()
                 assert out[i] == round(len(zlib.compress(raw, 6)) / len(raw), 6)
         assert max(out[0], out[1]) < out[2]  # repetitive text beats noise
+
+
+class TestLeakageSafeSplit:
+    def test_duplicates_co_assign(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import leakage_safe_split
+
+        texts = ["same body"] * 40 + [f"unique {i}" for i in range(200)] + [None, None]
+        n = len(texts)
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n),
+                "source": pa.array(["t"] * n),
+                "n_chars": pa.array([len(s or "") for s in texts], pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = leakage_safe_split(str(tmp_path)).to_pandas()
+        assert len(out) == n
+        dup = out[out["doc_id"] < 40]
+        assert dup["split"].nunique() == 1 and dup["cluster_rep"].unique().tolist() == [0]
+        nulls = out[out["doc_id"] >= n - 2]
+        assert nulls["split"].nunique() == 1  # null texts form ONE cluster
+        # the unique docs spread across all three splits
+        uniq = out[(out["doc_id"] >= 40) & (out["doc_id"] < n - 2)]
+        assert set(uniq["split"]) == {"train", "val", "test"}
