@@ -850,3 +850,53 @@ SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
 FROM p a JOIN p c ON a.b = c.b AND a.doc_id < c.doc_id
 WHERE levenshtein(a.pref, c.pref) <= 3
 """
+
+
+# --- hybrid retrieval (RRF fusion) -------------------------------------------
+
+RRF_K = 60  # the standard reciprocal-rank-fusion constant (Cormack et al. 2009)
+
+
+def hybrid_search(
+    sf_dir: str,
+    terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    query_vec_id: int = 0,
+    k: int = BM25_TOPK,
+) -> pd.DataFrame:
+    """Hybrid lexical+vector retrieval via reciprocal-rank fusion
+    (Cormack et al. 2009): BM25 top-k over documents and cosine top-k
+    over the aligned embeddings, fused by summing 1/(RRF_K + rank) —
+    the production pattern behind every 'hybrid search' retrieval
+    stack, and a composition proof that the two retrieval operators
+    share an id space.
+
+    Both branches are the existing distributed operators (each returns
+    only k rows); fusion is O(k) driver arithmetic by design — the
+    fused list cannot exceed 2k candidates."""
+    from bank_statement_pdf_parser_ray.pipelines.datapipe import knn_cosine
+
+    lex = bm25_search(sf_dir, terms=terms, k=k)
+    lex_rank = {int(d): i + 1 for i, d in enumerate(lex["doc_id"])}
+    vec = knn_cosine(sf_dir, query_ids=(query_vec_id,), k=k)
+    vec_df = vec.to_pandas() if not isinstance(vec, pd.DataFrame) else vec
+    vec_df = vec_df.sort_values("rank")
+    vec_rank = {int(v): int(r) for v, r in zip(vec_df["vec_id"], vec_df["rank"])}
+
+    fused = []
+    for d in set(lex_rank) | set(vec_rank):
+        s = 0.0
+        if d in lex_rank:
+            s += 1.0 / (RRF_K + lex_rank[d])
+        if d in vec_rank:
+            s += 1.0 / (RRF_K + vec_rank[d])
+        fused.append(
+            (d, round(s, 9), lex_rank.get(d, 0), vec_rank.get(d, 0))
+        )
+    fused.sort(key=lambda r: (-r[1], r[0]))
+    out = pd.DataFrame(
+        fused[:k], columns=["doc_id", "rrf_score", "bm25_rank", "knn_rank"]
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["bm25_rank"] = out["bm25_rank"].astype("int64")
+    out["knn_rank"] = out["knn_rank"].astype("int64")
+    return out

@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_rank": co.shuffle_rank,
         "gopher_quality": co.gopher_quality,
         "bm25_search": co.bm25_search,
+        "hybrid_search": co.hybrid_search,
         "source_cap": dp.source_cap,
         "chunk_documents": dp.chunk_documents,
         "build_index": co.build_index,

@@ -297,6 +297,7 @@ def run_bench() -> dict:
         "compression_ratio",
         "zorder_benefit",
         "leakage_safe_split",
+        "hybrid_search",
     ]
     qtimes = {}
     for name in bench_queries:

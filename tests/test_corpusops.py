@@ -241,3 +241,42 @@ class TestFuzzyPairs:
         out = co.fuzzy_pairs(sf).to_pandas()
         assert len(out) == 3  # C(3,2) pairs
         assert (out["dist"] == 0).all()
+
+
+class TestHybridSearch:
+    def test_rrf_fuses_both_branches(self, tmp_path):
+        """A doc ranked by BOTH branches must outscore docs of equal
+        single-branch rank; ranks are carried through; ties broken by
+        doc_id."""
+        import pyarrow.parquet as pq
+
+        texts = [
+            "customer spark window customer spark window",  # doc 0: lexical hit
+            "customer spark data window query",             # doc 1: lexical hit
+            "nothing relevant here at all",                 # doc 2
+            "pure filler text body",                        # doc 3
+        ]
+        sf = _write_docs(tmp_path, texts)
+        rng = np.random.default_rng(8)
+        vecs = rng.normal(size=(4, 8)).astype(np.float32)
+        vecs[1] = vecs[0] + 0.01 * rng.normal(size=8).astype(np.float32)  # knn favors 1
+        emb = pa.table(
+            {
+                "vec_id": pa.array(np.arange(4), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+                "label": pa.array([0] * 4, pa.int32()),
+            }
+        )
+        pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+        out = co.hybrid_search(sf, query_vec_id=0, k=3)
+        assert out["doc_id"].tolist()[0] == 1  # in both lists -> fused to the top
+        row1 = out[out["doc_id"] == 1].iloc[0]
+        assert row1["bm25_rank"] > 0 and row1["knn_rank"] > 0
+        # every fused score equals the RRF arithmetic of its carried ranks
+        for _, r in out.iterrows():
+            s = 0.0
+            if r["bm25_rank"]:
+                s += 1.0 / (60 + r["bm25_rank"])
+            if r["knn_rank"]:
+                s += 1.0 / (60 + r["knn_rank"])
+            assert abs(r["rrf_score"] - round(s, 9)) < 1e-12
