@@ -814,7 +814,12 @@ def minhash_verified(sf_dir: str, threshold: float = 0.8) -> "ray.data.Dataset":
     )
 
 
-def dedup_clusters(sf_dir: str, threshold: float = 0.8, max_iters: int = 25) -> pd.DataFrame:
+def dedup_clusters(
+    sf_dir: str,
+    threshold: float = 0.8,
+    max_iters: int = 25,
+    pairs: "ray.data.Dataset | None" = None,
+) -> pd.DataFrame:
     """Near-dup CLUSTERS via distributed min-label propagation over the
     verified pair graph: every document gets ``cluster_id`` = the min
     doc_id of its connected component (docs with no near-dup are their
@@ -834,7 +839,10 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.8, max_iters: int = 25) -> 
     """
     from ray.data.aggregate import Min, Sum
 
-    pairs = minhash_verified(sf_dir, threshold)
+    if pairs is None:
+        pairs = minhash_verified(sf_dir, threshold)
+    # any (doc_a, doc_b[, ...]) pair Dataset works as the edge source —
+    # fuzzy_clusters feeds the edit-distance pairs through the same engine
 
     def symmetrize(t: pa.Table) -> pa.Table:
         a, b = t.column("doc_a"), t.column("doc_b")
@@ -3595,3 +3603,15 @@ SELECT h.doc_id, r.rep AS cluster_rep,
             ELSE 'test' END AS split
 FROM h JOIN r ON h.hh = r.hh
 """
+
+
+def fuzzy_clusters(sf_dir: str) -> pd.DataFrame:
+    """Connected components over the EDIT-DISTANCE near-dup graph: the
+    blocked Levenshtein pairs (corpusops.fuzzy_pairs) fed through the
+    same distributed min-label propagation engine as the MinHash
+    clusters — one edge source swapped, zero new shuffle machinery.
+    cluster_id = min doc_id of the component; keep-one-per-cluster is
+    the doc_id == cluster_id filter."""
+    from bank_statement_pdf_parser_ray.pipelines.corpusops import fuzzy_pairs
+
+    return dedup_clusters(sf_dir, pairs=fuzzy_pairs(sf_dir))

@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "passage_dedup": co.passage_dedup,
         "dup_char_windows": co.dup_char_windows,
         "fuzzy_pairs": co.fuzzy_pairs,
+        "fuzzy_clusters": dp.fuzzy_clusters,
         "bpe_train": lambda sf: bpe.bpe_train(sf, n_merges=12),
         "token_count_trained": lambda sf: bpe.token_count_trained(sf, n_merges=12),
         "image_neardup": dp.image_neardup,

@@ -997,3 +997,48 @@ class TestLeakageSafeSplit:
         # the unique docs spread across all three splits
         uniq = out[(out["doc_id"] >= 40) & (out["doc_id"] < n - 2)]
         assert set(uniq["split"]) == {"train", "val", "test"}
+
+
+class TestFuzzyClusters:
+    def test_components_over_edit_pairs(self, tmp_path):
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import fuzzy_clusters
+
+        base = "hello world this is a long document body"
+        texts = [
+            base,                         # 0
+            base.replace("long", "lonX"), # 1: ~0 edits within prefix -> edge (0,1)
+            base.replace("this", "thXs"), # 2: edge (0,2) -> component {0,1,2}
+            "completely different text body here",  # 3: singleton
+        ]
+        n = len(texts)
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n),
+                "source": pa.array(["t"] * n),
+                "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = fuzzy_clusters(str(tmp_path)).set_index("doc_id")["cluster_id"]
+        assert out[0] == out[1] == out[2] == 0
+        assert out[3] == 3
+
+    def test_no_pairs_all_singletons(self, tmp_path):
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import fuzzy_clusters
+
+        texts = ["alpha one body", "beta two body text", "gamma three different"]
+        n = len(texts)
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n),
+                "source": pa.array(["t"] * n),
+                "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = fuzzy_clusters(str(tmp_path)).set_index("doc_id")["cluster_id"]
+        assert out.to_dict() == {0: 0, 1: 1, 2: 2}
