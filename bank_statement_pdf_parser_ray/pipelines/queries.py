@@ -2527,3 +2527,59 @@ GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue DESC, o_orderdate, l_orderkey
 LIMIT 10
 """
+
+
+def cross_join_sweep(sf_dir: str) -> pd.DataFrame:
+    """CROSS JOIN as a broadcast nested-loop: a literal parameter table
+    (5 price thresholds) joined against every `orders` row — the
+    parameter-sweep shape (sensitivity analysis, grid search) where the
+    small side has no join key at all.
+
+    Plan: the small side is a constant list compiled into the batch fn
+    (the degenerate broadcast); each batch answers ALL thresholds from
+    ONE np.sort + np.searchsorted + suffix-cumsum — O(n log n + k) per
+    batch instead of the k*n the naive replicated cross join pays — and
+    emits k partial rows. The exchange moves O(k x blocks) rows; the
+    orders stream never replicates and never shuffles. NaN/NULL prices
+    are excluded on both sides (DuckDB compares NaN greater than
+    everything, so `>=` semantics would otherwise diverge)."""
+    from ray.data.aggregate import Sum
+
+    thresholds = [500.0, 1_000.0, 5_000.0, 10_000.0, 50_000.0]
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("o_totalprice")
+        v = v.filter(pc.and_(pc.is_valid(v), pc.is_finite(pc.fill_null(v, 0.0))))
+        x = np.sort(v.to_numpy(zero_copy_only=False))
+        # suffix sums: total of all prices at-or-after each sorted slot
+        suffix = np.concatenate((np.cumsum(x[::-1])[::-1], [0.0]))
+        pos = np.searchsorted(x, np.asarray(thresholds), side="left")
+        return pa.table(
+            {
+                "thr": pa.array(thresholds, pa.float64()),
+                "p_n": pa.array((len(x) - pos).astype("int64"), pa.int64()),
+                "p_sum": pa.array(suffix[pos], pa.float64()),
+            }
+        )
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = (
+        ds.groupby("thr")
+        .aggregate(Sum("p_n", alias_name="n_orders"), Sum("p_sum", alias_name="sum_price"))
+        .to_pandas()
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["sum_price"] = out["sum_price"].round(2)
+    return out
+
+
+CROSS_JOIN_SWEEP_SQL = """
+SELECT thr,
+       CAST(count(*) FILTER (WHERE o_totalprice >= thr) AS BIGINT)      AS n_orders,
+       round(sum(o_totalprice) FILTER (WHERE o_totalprice >= thr), 2)   AS sum_price
+FROM (SELECT o_totalprice FROM orders
+      WHERE o_totalprice IS NOT NULL AND isfinite(o_totalprice)) o
+CROSS JOIN (SELECT unnest([500.0, 1000.0, 5000.0, 10000.0, 50000.0]) AS thr) t
+GROUP BY thr
+"""

@@ -1025,3 +1025,78 @@ SELECT user_id,
                      WHEN e > pmax THEN e - pmax ELSE 0 END) AS BIGINT) AS covered_us
 FROM m GROUP BY user_id
 """
+
+
+def events_hopping(sf_dir: str) -> "pa.Table":
+    """Hopping (sliding) window aggregate: 1-hour windows advancing every
+    15 minutes, keyed by the window's start expressed in hop units
+    (``window_q``). Each event belongs to exactly size/hop = 4
+    overlapping windows — the one streaming-window shape the tumbling
+    ``events_windowed`` (queries.py) cannot express.
+
+    Plan: the replicate-into-owning-windows step is a vectorized
+    per-batch expansion (four Arrow column slices concatenated — no row
+    loop), immediately pre-aggregated per (user, window) INSIDE the
+    batch, so the exchange moves per-batch partial rows, never the
+    4x-replicated event stream. At 100 TB the shuffled volume is
+    O(users x windows x blocks), independent of per-window event
+    counts. NaN/NULL semantics mirror events_windowed: Arrow sum skips
+    NULLs exactly like SQL, and a NaN counter re-poisons groups whose
+    sum SQL would make NaN (Ray's Sum-over-partials would silently skip
+    them)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        # float divide BEFORE floor so pre-1970 (negative) timestamps
+        # bucket identically to the oracle's floor(epoch(ts)/900)
+        ts_us = pc.cast(pc.cast(t.column("ts"), pa.int64()), pa.float64())
+        m = pc.cast(pc.floor(pc.divide(ts_us, 9.0e8)), pa.int64())
+        v = t.column("value")
+        nan_mask = pc.and_(pc.is_valid(v), pc.is_nan(pc.fill_null(v, 0.0)))
+        base = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "window_q": m,
+                "value": pc.if_else(nan_mask, pa.scalar(0.0), v),
+                "is_nan": pc.cast(nan_mask, pa.int64()),
+            }
+        )
+        # window w (in hop units) contains ts iff w*hop <= ts < w*hop + 4*hop
+        # => w in {m-3 .. m}: emit the four owning-window replicas
+        reps = [
+            base.set_column(1, "window_q", pc.subtract(m, pa.scalar(i, pa.int64())))
+            for i in range(4)
+        ]
+        exp = pa.concat_tables(reps)
+        g = pa.TableGroupBy(exp, ["user_id", "window_q"]).aggregate(
+            [("value", "sum"), ("is_nan", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["user_id", "window_q", "p_sum", "p_nan", "p_n"])
+
+    ds = _events(sf_dir, ["user_id", "ts", "value"])
+    ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = (
+        ds.groupby(["user_id", "window_q"])
+        .aggregate(
+            Sum("p_sum", alias_name="sum_value"),
+            Sum("p_nan", alias_name="n_nan"),
+            Sum("p_n", alias_name="n_events"),
+        )
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(2)
+    out.loc[out["n_nan"] > 0, "sum_value"] = np.nan
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.drop(columns=["n_nan"])
+
+
+EVENTS_HOPPING_SQL = """
+SELECT user_id, window_q, round(sum(value), 2) AS sum_value, count(*) AS n_events
+FROM (
+  SELECT user_id, value,
+         unnest(generate_series(CAST(floor(epoch(ts) / 900) AS BIGINT) - 3,
+                                CAST(floor(epoch(ts) / 900) AS BIGINT))) AS window_q
+  FROM events)
+GROUP BY user_id, window_q
+"""

@@ -165,6 +165,7 @@ def _semantic_dedup_checked(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from bank_statement_pdf_parser_ray.pipelines import bpe, mlprep
     from bank_statement_pdf_parser_ray.pipelines import cluster as cl
+    from bank_statement_pdf_parser_ray.pipelines import graph as gr
     from bank_statement_pdf_parser_ray.pipelines import layout as ly
     from bank_statement_pdf_parser_ray.pipelines import corpusops as co
     from bank_statement_pdf_parser_ray.pipelines import datapipe as dp
@@ -201,6 +202,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_orders": q.rollup_orders,
         "cube_orders": q.cube_orders,
         "asof_join_events": w.asof_join_events,
+        "events_hopping": w.events_hopping,
+        "cross_join_sweep": q.cross_join_sweep,
         "events_rolling": w.events_rolling,
         "events_lag_lead": w.events_lag_lead,
         "events_cumsum": w.events_cumsum,
@@ -217,6 +220,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_coverage": w.user_coverage,
         "bloom_join_revenue": q.bloom_join_revenue,
         "heavy_hitters": dp.heavy_hitters,
+        "pagerank_edges": gr.pagerank_edges,
+        "pagerank_nations": gr.pagerank_nations,
         "events_pivot": q.events_pivot,
         "events_stats": q.events_stats,
         "user_top_event": q.user_top_event,
@@ -321,11 +326,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from bank_statement_pdf_parser_ray.pipelines import corpusops as co
     from bank_statement_pdf_parser_ray.pipelines import datapipe as dp
+    from bank_statement_pdf_parser_ray.pipelines import graph as gr
     from bank_statement_pdf_parser_ray.pipelines import queries as q
     from bank_statement_pdf_parser_ray.pipelines import windows as w
 
     return {
         "anti_join_customers": q.ANTI_JOIN_CUSTOMERS_SQL,
+        "events_hopping": w.EVENTS_HOPPING_SQL,
+        "cross_join_sweep": q.CROSS_JOIN_SWEEP_SQL,
+        "pagerank_edges": gr.PAGERANK_EDGES_SQL,
+        "pagerank_nations": gr.PAGERANK_NATIONS_SQL,
         "semi_join_customers": q.SEMI_JOIN_CUSTOMERS_SQL,
         "left_join_big_orders": q.LEFT_JOIN_BIG_ORDERS_SQL,
         "full_outer_user_activity": q.FULL_OUTER_USER_ACTIVITY_SQL,

@@ -195,6 +195,9 @@ def run_bench() -> dict:
         "left_join_big_orders",
         "full_outer_user_activity",
         "asof_join_events",
+        "events_hopping",
+        "cross_join_sweep",
+        "pagerank_nations",
         "events_rolling",
         "events_lag_lead",
         "events_cumsum",
