@@ -65,8 +65,10 @@ def _init_centroids(sf_dir: str, k: int) -> np.ndarray:
     return _farthest_point_init(x, k)
 
 
-def _epoch_partials(sf_dir: str, cent_ref) -> list[tuple[np.ndarray, np.ndarray]]:
-    """One epoch: per-block (k x d sum matrix, k counts) partials."""
+def _epoch_partials(ds: "ray.data.Dataset", cent_ref) -> list[tuple[np.ndarray, np.ndarray]]:
+    """One epoch: per-block (k x d sum matrix, k counts) partials,
+    fetched with ONE ray.get (a per-ref get loop serializes on driver
+    round-trip latency — measured 2.5 s/epoch vs 0.5 s at sf0.1)."""
 
     def partial(t: pa.Table) -> pa.Table:
         cent = ray.get(cent_ref)
@@ -84,27 +86,38 @@ def _epoch_partials(sf_dir: str, cent_ref) -> list[tuple[np.ndarray, np.ndarray]
             }
         )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    out = []
-    for ref in ds.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096
-    ).to_arrow_refs():
-        b = ray.get(ref)
-        if b.num_rows:
-            out.append((_list_matrix(b.column("vsum")), b.column("n").to_numpy(zero_copy_only=False)))
-    return out
+    blocks = ray.get(
+        ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096
+        ).to_arrow_refs()
+    )
+    return [
+        (_list_matrix(b.column("vsum")), b.column("n").to_numpy(zero_copy_only=False))
+        for b in blocks
+        if b.num_rows
+    ]
 
 
 def kmeans_centroids(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> np.ndarray:
     """Fit unit-norm centroids with exact distributed Lloyd's epochs.
     Empty clusters keep their previous centroid (the standard rule, and
-    what the numpy reference in pytest replicates)."""
+    what the numpy reference in pytest replicates).
+
+    The embedding table is materialized into the object store ONCE and
+    every epoch maps over the cached blocks — re-reading parquet per
+    epoch paid the scan `iters` times (and at 100 TB the iterated table
+    is exactly the thing you want resident/spillable in the object
+    store; were it too large even for spill, swap the materialize for
+    the per-epoch re-read this replaced)."""
     cent = _init_centroids(sf_dir, k)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
     for _ in range(iters):
         ref = ray.put(cent)
         sums = np.zeros_like(cent, dtype=np.float64)
         counts = np.zeros(len(cent), dtype=np.int64)
-        for s, n in _epoch_partials(sf_dir, ref):
+        for s, n in _epoch_partials(ds, ref):
             sums += s
             counts += n
         nz = counts > 0

@@ -1870,13 +1870,24 @@ def profile_events(sf_dir: str) -> pd.DataFrame:
         )
 
     def distinct_pairs(t: pa.Table) -> pa.Table:
-        outc, outv = [], []
+        # all-Arrow: pc.unique on a string cast — the earlier numpy
+        # astype(str) + tolist() built one Python object per distinct
+        # value (measured 10.7 s -> 6.0 s for this leg at sf0.1).
+        # Only injectivity of the repr matters, not its format.
+        parts = []
         for c in COLS:
-            v = _clean_np(t, c)
-            u = np.unique(v.astype(str))
-            outc.extend([c] * len(u))
-            outv.extend(u.tolist())
-        return pa.table({"col": pa.array(outc, pa.string()), "v": pa.array(outv, pa.string())})
+            a = t.column(c)
+            if NUM.get(c) == "t":
+                a = a.cast(pa.int64())
+            if NUM.get(c) == "f":
+                a = a.filter(
+                    pc.and_(pc.is_valid(a), pc.invert(pc.is_nan(pc.fill_null(a, 0.0))))
+                )
+            else:
+                a = a.drop_null()
+            u = pc.unique(pc.cast(a, pa.string()))
+            parts.append(pa.table({"col": pa.array([c] * len(u), pa.string()), "v": u}))
+        return pa.concat_tables(parts)
 
     ds = _read(sf_dir, "events", COLS)
     stats = (
