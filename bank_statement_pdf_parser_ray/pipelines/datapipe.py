@@ -737,13 +737,38 @@ def _pairs_by_bucket(
             }
         )
 
-    from ray.data.aggregate import Count
-
     sharded = ds.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
     cand = sharded.groupby("shard").map_groups(emit_pairs, batch_format="pyarrow")
-    # cross-bucket dedup: pre-combined aggregate on the pair key (moves
-    # one row per distinct pair per block, no Python per-pair calls)
-    return cand.groupby([out_a, out_b]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+    # cross-bucket dedup (a pair found by several tables/bands): the
+    # same coarse-shard trick as the pairing itself — a two-key
+    # groupby.aggregate(Count) here measured 5.4 s vs 1.2 s for the
+    # shard + within-shard Arrow distinct on identical data
+    return _dedup_pair_rows(cand, [out_a, out_b])
+
+
+def _dedup_pair_rows(ds: "ray.data.Dataset", cols: list[str]) -> "ray.data.Dataset":
+    """Distinct rows of a (small-width, int-keyed) pair Dataset via ONE
+    coarse-shard exchange: rows shard by a mixed hash of the key
+    columns (each batch pre-deduped before the shuffle), and each shard
+    task emits its Arrow-native distinct rows. Same-key rows share a
+    shard, so within-shard distinct IS globally distinct."""
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(t, cols).aggregate([]).rename_columns(cols)
+        mixed = None
+        for i, k in enumerate(cols):
+            col = pc.multiply(
+                pc.cast(t.column(k), pa.int64()), pa.scalar(0x9E3779B1 + 2 * i, pa.int64())
+            )
+            mixed = col if mixed is None else pc.bit_wise_xor(mixed, col)
+        shard = pc.cast(pc.bit_wise_and(mixed, pa.scalar(_PAIR_SHARDS - 1, pa.int64())), pa.int32())
+        return t.append_column("shard", shard)
+
+    def distinct(g: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(g.select(cols), cols).aggregate([]).rename_columns(cols)
+
+    sharded = ds.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+    return sharded.groupby("shard").map_groups(distinct, batch_format="pyarrow")
 
 
 def minhash_candidates(sf_dir: str, bucket_cap: int = MINHASH_BUCKET_CAP) -> "ray.data.Dataset":
