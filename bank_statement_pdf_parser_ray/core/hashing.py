@@ -41,3 +41,23 @@ def fingerprint(text: str, k: int = 8) -> int:
             if h < best:
                 best = h
     return best if best is not None else 0
+
+
+def hash_text_array(col) -> "object":
+    """Vectorized 63-bit hash of a STRING Arrow column (polars xxhash,
+    one kernel call — the per-row ``stable_hash64`` loop it replaces
+    built a Python object per document in the dedup hot path). Returns
+    a pyarrow int64 Array aligned with ``col``.
+
+    NULLs hash to polars' fixed null hash, i.e. all NULL texts form ONE
+    group — identical to SQL ``GROUP BY text`` semantics. The values are
+    engine-internal group keys only (never oracle-visible), so the only
+    requirement is determinism within a run plus the usual negligible
+    63-bit collision bound."""
+    import polars as pl
+    import pyarrow as pa
+
+    ca = col if isinstance(col, pa.ChunkedArray) else pa.chunked_array([col])
+    h = pl.Series("t", ca.cast(pa.large_string())).hash(seed=0)
+    out = (h // 2).cast(pl.Int64).to_arrow()
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out

@@ -22,7 +22,7 @@ import ray
 import ray.data
 
 from bank_statement_pdf_parser_ray.core.hashing import fingerprint as _fingerprint
-from bank_statement_pdf_parser_ray.core.hashing import stable_hash64
+from bank_statement_pdf_parser_ray.core.hashing import hash_text_array, stable_hash64
 
 
 def _docs(sf_dir: str, columns: list[str]) -> "ray.data.Dataset":
@@ -209,10 +209,11 @@ def vocab_topk(sf_dir: str, k: int = 50) -> pd.DataFrame:
         g = pa.TableGroupBy(pa.table({"word": words}), ["word"]).aggregate([("word", "count")])
         return g.rename_columns(["word", "p_n"])
 
+    from bank_statement_pdf_parser_ray.stages.agg import shard_aggregate
+
     ds = _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     out = (
-        ds.groupby("word")
-        .aggregate(Sum("p_n", alias_name="n"))
+        shard_aggregate(ds, ["word"], [("p_n", "sum")], ["word", "n"])
         .sort(["n", "word"], descending=[True, False])
         .limit(k)
         .to_pandas()
@@ -495,7 +496,6 @@ class _FetchTexts(_SelectiveDocReader):
         )
 
 
-_NULL_TEXT_H = -0x7FF3_9A1C_55E0_0001  # reserved group key for NULL text
 
 
 def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
@@ -515,13 +515,11 @@ def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
     from ray.data.aggregate import Min
 
     def add_hash(t: pa.Table) -> pa.Table:
-        # NULL text forms ONE group, exactly like SQL GROUP BY text —
-        # mapped to a reserved hash (the same negligible-collision
-        # argument as the hash itself)
-        hs = pa.array(
-            [_NULL_TEXT_H if s is None else stable_hash64(s) for s in t.column("text").to_pylist()],
-            pa.int64(),
-        )
+        # vectorized xxhash (one kernel call; the per-row blake2b loop
+        # it replaces built a Python object per document). NULL text
+        # forms ONE group, exactly like SQL GROUP BY text (polars
+        # hashes null to a fixed value).
+        hs = hash_text_array(t.column("text"))
         return pa.table({"text_h": hs, "doc_id": t.column("doc_id")})  # payload dropped pre-shuffle
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
@@ -561,7 +559,7 @@ def corpus_clean(sf_dir: str, min_tokens: int = 5, max_punct_ratio: float = 0.2)
             ),
         )
         t = t.filter(keep)
-        hs = pa.array([stable_hash64(s) for s in t.column("text").to_pylist()], pa.int64())
+        hs = hash_text_array(t.column("text"))
         return pa.table({"text_h": hs, "doc_id": t.column("doc_id")})
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(gate_and_hash, batch_format="pyarrow", zero_copy_batch=True)

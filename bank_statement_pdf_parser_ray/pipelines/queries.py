@@ -147,17 +147,18 @@ def events_windowed(sf_dir: str) -> pd.DataFrame:
         )
         return g.rename_columns(["user_id", "window_h", "p_sum", "p_nan", "p_n"])
 
+    from bank_statement_pdf_parser_ray.stages.agg import shard_aggregate
+
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
     ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    out = (
-        ds.groupby(["user_id", "window_h"])
-        .aggregate(
-            Sum("p_sum", alias_name="sum_value"),
-            Sum("p_nan", alias_name="n_nan"),
-            Sum("p_n", alias_name="n_events"),
-        )
-        .to_pandas()
-    )
+    # coarse-shard aggregate: ~95k (user, window) groups at sf0.1 is the
+    # many-group regime where Ray's sort aggregate pays per-group cost
+    out = shard_aggregate(
+        ds,
+        ["user_id", "window_h"],
+        [("p_sum", "sum"), ("p_nan", "sum"), ("p_n", "sum")],
+        ["user_id", "window_h", "sum_value", "n_nan", "n_events"],
+    ).to_pandas()
     out["sum_value"] = out["sum_value"].round(2)
     out.loc[out["n_nan"] > 0, "sum_value"] = np.nan
     out["n_events"] = out["n_events"].astype("int64")
@@ -523,7 +524,12 @@ def _exists_cogroup(sf_dir: str, threshold: float, keep_matched: bool) -> pd.Dat
     cogroup also sidesteps a Dataset.join degeneracy: an ALL-EMPTY
     aggregated side yields schema-less blocks that Arrow's hash join
     rejects (ArrowInvalid on the key FieldRef) instead of returning all
-    left rows — found by probing the zero-match case."""
+    left rows — found by probing the zero-match case.
+
+    The exchange is COARSE-SHARDED (stages/agg.py): keys hash into
+    n_shards groups and one vectorized ``pc.is_in`` mask answers EXISTS
+    for a whole shard, instead of Ray's per-key map_groups paying one
+    Python call per customer (15k calls at sf0.1)."""
 
     def probe_keys(t: pa.Table) -> pa.Table:
         keep = pc.greater(t.column("o_totalprice"), pa.scalar(threshold))
@@ -553,23 +559,18 @@ def _exists_cogroup(sf_dir: str, threshold: float, keep_matched: bool) -> pd.Dat
         cust_rows, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def select_group(g: pa.Table) -> pa.Table:
-        matched = pc.any(g.column("is_probe")).as_py()
-        if matched != keep_matched:
-            return pa.table(
-                {"c_custkey": pa.array([], pa.int64()), "c_mktsegment": pa.array([], pa.string())}
-            )
-        # drop the probe marker rows; customer rows carry the payload
-        g = g.filter(pc.invert(g.column("is_probe")))
-        return g.select(["c_custkey", "c_mktsegment"])
+    def select_shard(g: pa.Table) -> pa.Table:
+        is_probe = g.column("is_probe")
+        probe_k = pc.unique(pc.filter(g.column("c_custkey"), is_probe))
+        custg = g.filter(pc.invert(is_probe))
+        mask = pc.is_in(custg.column("c_custkey"), value_set=probe_k)
+        if not keep_matched:
+            mask = pc.invert(mask)
+        return custg.filter(mask).select(["c_custkey", "c_mktsegment"])
 
-    out = (
-        cust.union(probe)
-        .groupby("c_custkey")
-        .map_groups(select_group, batch_format="pyarrow")
-        .to_pandas()
-    )
-    return out
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
+    return shard_map_groups(cust.union(probe), ["c_custkey"], select_shard).to_pandas()
 
 
 def anti_join_customers(sf_dir: str, threshold: float = 400_000.0) -> pd.DataFrame:
@@ -614,13 +615,11 @@ def left_join_big_orders(sf_dir: str, threshold: float = 400_000.0) -> pd.DataFr
     sides (see `_exists_cogroup`), built on the same tagged-union
     cogroup instead. The probe side is filtered at the parquet read
     (predicate pushdown), both sides stream into ONE hash shuffle on
-    the key, and the per-group kernel replicates the single customer
-    payload row across that key's order rows (or emits the NULL-padded
-    row). No broadcast, no driver-side state — survives a right side of
-    any size. NULL keys would differ from SQL here (GROUP BY unifies
-    them, JOIN never matches them); the shared tables have none, and
-    the contract is documented rather than paid for with an extra
-    filter."""
+    the key, and the exchange is coarse-sharded
+    (stages/agg.py) with ONE in-shard Arrow hash join answering every
+    key in a shard. No broadcast, no driver-side state — survives a
+    right side of any size, and the in-shard join gives SQL's NULL-key
+    semantics (never matches) exactly."""
 
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
@@ -655,39 +654,21 @@ def left_join_big_orders(sf_dir: str, threshold: float = 400_000.0) -> pd.DataFr
         cust_rows, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def pair_group(g: pa.Table) -> pa.Table:
+    def join_shard(g: pa.Table) -> pa.Table:
+        # one in-shard Arrow hash join answers every key in the shard
+        # (the per-key map_groups it replaces paid one Python call per
+        # customer); "left outer" drops orders referencing no customer
+        # and NULL-pads customers with no qualifying order — exactly
+        # the SQL plan's semantics
         is_probe = g.column("is_probe")
-        left = g.filter(pc.invert(is_probe))
-        empty = pa.table(
-            {
-                "c_custkey": pa.array([], pa.int64()),
-                "c_mktsegment": pa.array([], pa.string()),
-                "o_orderkey": pa.array([], pa.int64()),
-                "o_totalprice": pa.array([], pa.float64()),
-            }
-        )
-        if len(left) == 0:  # orders referencing no customer: inner on the left side
-            return empty
-        right = g.filter(is_probe)
-        if len(right) == 0:  # unmatched customer: one NULL-padded row
-            return left.drop_columns(["is_probe"])
-        seg = left.column("c_mktsegment")[0].as_py()
-        n = len(right)
-        return pa.table(
-            {
-                "c_custkey": right.column("c_custkey"),
-                "c_mktsegment": pa.array([seg] * n, pa.string()),
-                "o_orderkey": right.column("o_orderkey"),
-                "o_totalprice": right.column("o_totalprice"),
-            }
-        )
+        left = g.filter(pc.invert(is_probe)).select(["c_custkey", "c_mktsegment"])
+        right = g.filter(is_probe).select(["c_custkey", "o_orderkey", "o_totalprice"])
+        out = left.join(right, keys=["c_custkey"], join_type="left outer")
+        return out.select(["c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice"])
 
-    return (
-        cust.union(probe)
-        .groupby("c_custkey")
-        .map_groups(pair_group, batch_format="pyarrow")
-        .to_pandas()
-    )
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
+    return shard_map_groups(cust.union(probe), ["c_custkey"], join_shard).to_pandas()
 
 
 LEFT_JOIN_BIG_ORDERS_SQL = """

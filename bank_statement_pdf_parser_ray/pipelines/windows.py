@@ -1044,9 +1044,6 @@ def events_hopping(sf_dir: str) -> "pa.Table":
     NULLs exactly like SQL, and a NaN counter re-poisons groups whose
     sum SQL would make NaN (Ray's Sum-over-partials would silently skip
     them)."""
-    import pandas as pd
-    from ray.data.aggregate import Sum
-
     def partial(t: pa.Table) -> pa.Table:
         # float divide BEFORE floor so pre-1970 (negative) timestamps
         # bucket identically to the oracle's floor(epoch(ts)/900)
@@ -1074,17 +1071,16 @@ def events_hopping(sf_dir: str) -> "pa.Table":
         )
         return g.rename_columns(["user_id", "window_q", "p_sum", "p_nan", "p_n"])
 
+    from bank_statement_pdf_parser_ray.stages.agg import shard_aggregate
+
     ds = _events(sf_dir, ["user_id", "ts", "value"])
     ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    out = (
-        ds.groupby(["user_id", "window_q"])
-        .aggregate(
-            Sum("p_sum", alias_name="sum_value"),
-            Sum("p_nan", alias_name="n_nan"),
-            Sum("p_n", alias_name="n_events"),
-        )
-        .to_pandas()
-    )
+    out = shard_aggregate(
+        ds,
+        ["user_id", "window_q"],
+        [("p_sum", "sum"), ("p_nan", "sum"), ("p_n", "sum")],
+        ["user_id", "window_q", "sum_value", "n_nan", "n_events"],
+    ).to_pandas()
     out["sum_value"] = out["sum_value"].round(2)
     out.loc[out["n_nan"] > 0, "sum_value"] = np.nan
     out["n_events"] = out["n_events"].astype("int64")
