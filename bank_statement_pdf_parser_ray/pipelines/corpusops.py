@@ -70,7 +70,7 @@ def _frequent_passages(sf_dir: str, min_docs: int) -> pa.Array:
     O(distinct passages x blocks), never one row per occurrence; the
     result is bounded above by total_passages / min_docs (each frequent
     passage consumes >= min_docs occurrences)."""
-    from ray.data.aggregate import Sum
+    from bank_statement_pdf_parser_ray.stages.agg import shard_aggregate
 
     def partial(t: pa.Table) -> pa.Table:
         i, _, chunks = _doc_chunks(t)
@@ -84,13 +84,12 @@ def _frequent_passages(sf_dir: str, min_docs: int) -> pa.Array:
         g = pa.TableGroupBy(d.select(["chunk"]), ["chunk"]).aggregate([([], "count_all")])
         return g.rename_columns(["chunk", "p_n"])
 
-    refs = (
-        _docs(sf_dir, ["text"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("chunk")
-        .aggregate(Sum("p_n", alias_name="n"))
-        .to_arrow_refs()
-    )
+    refs = shard_aggregate(
+        _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["chunk"],
+        [("p_n", "sum")],
+        ["chunk", "n"],
+    ).to_arrow_refs()
     blocks = [b for b in map(ray.get, refs) if b.num_rows > 0]
     if not blocks:
         return pa.array([], pa.string())
@@ -562,7 +561,7 @@ def _dup_window_set(sf_dir: str, min_docs: int) -> pa.Array:
     ``_frequent_passages``: per-batch distinct (doc, win) first, then a
     pre-combined O(distinct windows x blocks) exchange; the hot set is
     bounded above by total_windows / min_docs."""
-    from ray.data.aggregate import Sum
+    from bank_statement_pdf_parser_ray.stages.agg import shard_aggregate
 
     def partial(t: pa.Table) -> pa.Table:
         i, wins = _char_windows(t)
@@ -574,13 +573,12 @@ def _dup_window_set(sf_dir: str, min_docs: int) -> pa.Array:
         g = pa.TableGroupBy(d.select(["win"]), ["win"]).aggregate([([], "count_all")])
         return g.rename_columns(["win", "p_n"])
 
-    refs = (
-        _docs(sf_dir, ["text"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("win")
-        .aggregate(Sum("p_n", alias_name="n"))
-        .to_arrow_refs()
-    )
+    refs = shard_aggregate(
+        _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["win"],
+        [("p_n", "sum")],
+        ["win", "n"],
+    ).to_arrow_refs()
     blocks = [b for b in map(ray.get, refs) if b.num_rows > 0]
     if not blocks:
         return pa.array([], pa.string())

@@ -285,20 +285,21 @@ def tfidf_topterms(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
         g = pa.TableGroupBy(tf.select(["word"]), ["word"]).aggregate([([], "count_all")])
         return g.rename_columns(["word", "p_df"])
 
-    from ray.data.aggregate import Sum
+    from bank_statement_pdf_parser_ray.stages.agg import shard_aggregate
 
     # N from the parquet footer — no data pass (row-group metadata is
     # exact and costs one footer read per file)
     import pyarrow.parquet as _pq
 
     n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    df_tbl = (
-        _docs(sf_dir, ["text"])
-        .map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("word")
-        .aggregate(Sum("p_df", alias_name="df"))
-        .to_arrow_refs()
-    )
+    df_tbl = shard_aggregate(
+        _docs(sf_dir, ["text"]).map_batches(
+            df_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["word"],
+        [("p_df", "sum")],
+        ["word", "df"],
+    ).to_arrow_refs()
     # drop the schema-less EMPTY blocks Ray groupby emits for empty
     # key ranges (they poison concat_tables — measured at sf0.1)
     blocks = [b for b in map(ray.get, df_tbl) if b.num_rows > 0]
@@ -382,7 +383,7 @@ def unigram_logprob(sf_dir: str) -> "ray.data.Dataset":
     ``np.bincount`` calls — token multiplicity included, no Python
     row loop. Docs with zero tokens emit no row (SQL GROUP BY over
     their empty token set does the same)."""
-    from ray.data.aggregate import Sum
+    from bank_statement_pdf_parser_ray.stages.agg import shard_aggregate
 
     def count_partial(t: pa.Table) -> pa.Table:
         words = pc.list_flatten(pc.split_pattern_regex(t.column("text"), pattern=r"\s+"))
@@ -390,13 +391,14 @@ def unigram_logprob(sf_dir: str) -> "ray.data.Dataset":
         g = pa.TableGroupBy(pa.table({"word": words}), ["word"]).aggregate([([], "count_all")])
         return g.rename_columns(["word", "p_n"])
 
-    refs = (
-        _docs(sf_dir, ["text"])
-        .map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("word")
-        .aggregate(Sum("p_n", alias_name="c"))
-        .to_arrow_refs()
-    )
+    refs = shard_aggregate(
+        _docs(sf_dir, ["text"]).map_batches(
+            count_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["word"],
+        [("p_n", "sum")],
+        ["word", "c"],
+    ).to_arrow_refs()
     blocks = [b for b in map(ray.get, refs) if b.num_rows > 0]
     if not blocks:
         blocks = [pa.table({"word": pa.array([], pa.string()), "c": pa.array([], pa.int64())})]
@@ -1842,7 +1844,7 @@ def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
     canonical sketch shape for 10^12-row cardinality estimation.
     Rows-only in the driver check (approximate by construction); pytest
     pins the relative error vs the exact count at <5%."""
-    from ray.data.aggregate import Max
+    from bank_statement_pdf_parser_ray.stages.agg import shard_aggregate
 
     def partial(t: pa.Table) -> pa.Table:
         # COUNT(DISTINCT x) excludes NULLs; an unfiltered NULL would
@@ -1857,13 +1859,14 @@ def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    merged = (
-        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("register_id")
-        .aggregate(Max("rank", alias_name="rank"))
-        .to_pandas()
-    )
+    merged = shard_aggregate(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["register_id"],
+        [("rank", "max")],
+        ["register_id", "rank"],
+    ).to_pandas()
     regs = np.zeros(1 << HLL_P, dtype=np.uint8)
     regs[merged["register_id"].to_numpy()] = merged["rank"].to_numpy().astype(np.uint8)
     return pd.DataFrame({"approx_distinct": [int(round(_hll_estimate(regs)))]})
