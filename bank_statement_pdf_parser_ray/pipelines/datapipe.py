@@ -514,7 +514,7 @@ def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
     probability ~n²/2^63 — negligible against exact-oracle comparison at
     any feasible n.
     """
-    from ray.data.aggregate import Min
+    from bank_statement_pdf_parser_ray.stages.agg import shard_aggregate
 
     def add_hash(t: pa.Table) -> pa.Table:
         # vectorized xxhash (one kernel call; the per-row blake2b loop
@@ -525,7 +525,9 @@ def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
         return pa.table({"text_h": hs, "doc_id": t.column("doc_id")})  # payload dropped pre-shuffle
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
-    survivors = ds.groupby("text_h").aggregate(Min("doc_id", alias_name="doc_id")).drop_columns(["text_h"])
+    survivors = shard_aggregate(
+        ds, ["text_h"], [("doc_id", "min")], ["text_h", "doc_id"]
+    ).drop_columns(["text_h"])
     return survivors.map_batches(
         _FetchTexts,
         fn_constructor_args=(f"{sf_dir}/documents.parquet",),
@@ -540,13 +542,14 @@ def corpus_clean(sf_dir: str, min_tokens: int = 5, max_punct_ratio: float = 0.2)
     """The composed training-data cleaning pipeline a 100 TB corpus
     actually runs: vectorized quality gates (min token count, max
     punctuation ratio) -> exact dedup keep-min-doc_id — all streaming,
-    one 16 B/row shuffle (the dedup groupby), survivors as doc_ids.
+    one 16 B/row coarse-shard exchange (stages/agg.py), survivors as
+    doc_ids.
 
     Composition note: the gates run BEFORE dedup so the shuffle only
     moves rows that could survive; at web scale the quality filter
     typically drops 30-60% of raw documents (C4/RefinedWeb-style
     pipelines), which directly shrinks the one exchange."""
-    from ray.data.aggregate import Min
+    from bank_statement_pdf_parser_ray.stages.agg import shard_aggregate
 
     def gate_and_hash(t: pa.Table) -> pa.Table:
         text = t.column("text")
@@ -565,10 +568,8 @@ def corpus_clean(sf_dir: str, min_tokens: int = 5, max_punct_ratio: float = 0.2)
         return pa.table({"text_h": hs, "doc_id": t.column("doc_id")})
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(gate_and_hash, batch_format="pyarrow", zero_copy_batch=True)
-    return (
-        ds.groupby("text_h")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
-        .drop_columns(["text_h"])
+    return shard_aggregate(ds, ["text_h"], [("doc_id", "min")], ["text_h", "doc_id"]).drop_columns(
+        ["text_h"]
     )
 
 

@@ -1882,14 +1882,26 @@ def profile_events(sf_dir: str) -> pd.DataFrame:
         )
         .to_pandas()
     )
+    # coarse-shard distinct (stages/agg.py): event_id alone is ~1M
+    # distinct (col, v) groups at sf0.1 — one vectorized in-shard
+    # distinct+count replaces Ray's per-group sort-aggregate reduce
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
+    def shard_distinct(g: pa.Table) -> pa.Table:
+        d = pa.TableGroupBy(g, ["col", "v"]).aggregate([([], "count_all")])
+        out = pa.TableGroupBy(d.select(["col"]), ["col"]).aggregate([([], "count_all")])
+        return out.rename_columns(["col", "p_distinct"])
+
     uniq = (
-        ds.map_batches(distinct_pairs, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["col", "v"])
-        .count()
-        .groupby("col")
-        .count()
+        shard_map_groups(
+            ds.map_batches(distinct_pairs, batch_format="pyarrow", zero_copy_batch=True),
+            ["col", "v"],
+            shard_distinct,
+        )
         .to_pandas()
-        .rename(columns={"count()": "n_distinct"})
+        .groupby("col", as_index=False)["p_distinct"]
+        .sum()
+        .rename(columns={"p_distinct": "n_distinct"})
     )
     out = stats.merge(uniq, on="col", how="left")
     out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
