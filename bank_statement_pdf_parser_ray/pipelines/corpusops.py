@@ -90,7 +90,7 @@ def _frequent_passages(sf_dir: str, min_docs: int) -> pa.Array:
         [("p_n", "sum")],
         ["chunk", "n"],
     ).to_arrow_refs()
-    blocks = [b for b in map(ray.get, refs) if b.num_rows > 0]
+    blocks = [b for b in ray.get(list(refs)) if b.num_rows > 0]  # ONE batched fetch, not a serial get per shard block
     if not blocks:
         return pa.array([], pa.string())
     tbl = pa.concat_tables(blocks)
@@ -346,7 +346,7 @@ def bm25_search(
         )
         .to_arrow_refs()
     )
-    blocks = [b for b in map(ray.get, refs) if b.num_rows > 0]
+    blocks = [b for b in ray.get(list(refs)) if b.num_rows > 0]  # ONE batched fetch, not a serial get per shard block
     stats = (
         pa.concat_tables(blocks)
         if blocks
@@ -579,7 +579,7 @@ def _dup_window_set(sf_dir: str, min_docs: int) -> pa.Array:
         [("p_n", "sum")],
         ["win", "n"],
     ).to_arrow_refs()
-    blocks = [b for b in map(ray.get, refs) if b.num_rows > 0]
+    blocks = [b for b in ray.get(list(refs)) if b.num_rows > 0]  # ONE batched fetch, not a serial get per shard block
     if not blocks:
         return pa.array([], pa.string())
     tbl = pa.concat_tables(blocks)

@@ -302,7 +302,7 @@ def tfidf_topterms(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
     ).to_arrow_refs()
     # drop the schema-less EMPTY blocks Ray groupby emits for empty
     # key ranges (they poison concat_tables — measured at sf0.1)
-    blocks = [b for b in map(ray.get, df_tbl) if b.num_rows > 0]
+    blocks = [b for b in ray.get(list(df_tbl)) if b.num_rows > 0]  # ONE batched fetch
     if not blocks:
         blocks = [pa.table({"word": pa.array([], pa.string()), "df": pa.array([], pa.int64())})]
     df_tbl = pa.concat_tables(blocks)
@@ -399,7 +399,7 @@ def unigram_logprob(sf_dir: str) -> "ray.data.Dataset":
         [("p_n", "sum")],
         ["word", "c"],
     ).to_arrow_refs()
-    blocks = [b for b in map(ray.get, refs) if b.num_rows > 0]
+    blocks = [b for b in ray.get(list(refs)) if b.num_rows > 0]  # ONE batched fetch, not a serial get per shard block
     if not blocks:
         blocks = [pa.table({"word": pa.array([], pa.string()), "c": pa.array([], pa.int64())})]
     cnt = pa.concat_tables(blocks)

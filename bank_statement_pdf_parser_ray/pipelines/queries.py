@@ -176,16 +176,41 @@ FROM events GROUP BY user_id, window_h
 
 def events_ordered(sf_dir: str) -> "ray.data.Dataset":
     """O1 analogue on the shared tables: per-user stable ordering by
-    (ts, event_id) realized as a groupby(user_id).map_groups sort; the
-    emitted row number makes the ordering hash-visible."""
+    (ts, event_id), emitted as a row number so the ordering is
+    hash-visible. Coarse-sharded (stages/agg.py): ONE Arrow sort +
+    vectorized run-relative ranks per shard replaces one pandas call
+    per user (~10k at sf0.1). NULL user_ids form one partition, like
+    SQL PARTITION BY."""
 
-    def number(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        g["rn"] = np.arange(1, len(g) + 1, dtype="int64")
-        return g[["event_id", "user_id", "rn"]]
+    def number_shard(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        uid = g.column("user_id")
+        uv = pc.fill_null(uid, 0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        un = pc.is_valid(uid).to_numpy(zero_copy_only=False)
+        new = np.concatenate(([True], (uv[1:] != uv[:-1]) | (un[1:] != un[:-1])))
+        pos = np.arange(len(uv))
+        run_start = np.maximum.accumulate(np.where(new, pos, 0))
+        rn = pos - run_start + 1
+        return pa.table(
+            {
+                "event_id": g.column("event_id"),
+                "user_id": uid,
+                "rn": pa.array(rn, pa.int64()),
+            }
+        )
+
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    return ds.groupby("user_id").map_groups(number, batch_format="pandas")
+    return shard_map_groups(ds, ["user_id"], number_shard)
 
 
 EVENTS_ORDERED_SQL = """
@@ -287,38 +312,73 @@ def events_sessionized(sf_dir: str) -> "ray.data.Dataset":
     """Gap-based sessionization (streaming-shaped, SURVEY.md §2.9 /
     ray_guide "Streaming-shaped workloads"): events of one user form a
     new session whenever the gap to the previous event exceeds 30min.
-    Implemented as groupby(user_id).map_groups over the ts-sorted group;
-    SQL oracle uses a window-function cumulative sum of gap markers.
+    Coarse-sharded (stages/agg.py): ONE Arrow sort per shard, then the
+    session boundaries, per-session counts and sums all fall out of
+    numpy cumsum/bincount over the whole shard — no per-user Python
+    call. SQL oracle uses a window-function cumulative sum of gap
+    markers.
 
-    NaN note: the pandas kernel cannot distinguish NULL from a stored
-    NaN double (both are NaN in a float64 frame), so valid NaN values
-    are treated as missing in sum_value — declared semantics, asserted
-    by the randomized fuzz against a NaN->NULL oracle."""
+    NaN note: valid NaN values are treated as missing in sum_value
+    (indistinguishable from NULL in the float64 kernel) — declared
+    semantics, asserted by the randomized fuzz against a NaN->NULL
+    oracle."""
 
     GAP_US = 30 * 60 * 1_000_000
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        ts_us = g["ts"].astype("int64")
-        new_sess = (ts_us - ts_us.shift(1)).fillna(GAP_US + 1) > GAP_US
-        g["session_id"] = new_sess.cumsum().astype("int64")
-        out = (
-            g.groupby("session_id")
-            .agg(
-                user_id=("user_id", "first"),
-                n_events=("event_id", "size"),
-                # min_count=1: an all-NULL session sums to NULL like SQL,
-                # not pandas' default 0.0
-                sum_value=("value", lambda s: s.sum(min_count=1)),
+    def sessions_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "session_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "sum_value": pa.array([], pa.float64()),
+                }
             )
-            .reset_index()
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
         )
-        out["n_events"] = out["n_events"].astype("int64")
-        out["sum_value"] = out["sum_value"].round(2)
-        return out[["user_id", "session_id", "n_events", "sum_value"]]
+        g = g.take(idx)
+        uid = g.column("user_id")
+        uv = pc.fill_null(uid, 0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        un = pc.is_valid(uid).to_numpy(zero_copy_only=False)
+        new_user = np.concatenate(([True], (uv[1:] != uv[:-1]) | (un[1:] != un[:-1])))
+        ts_us = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        gap = np.empty(len(ts_us), dtype=np.int64)
+        gap[0] = GAP_US + 1
+        gap[1:] = ts_us[1:] - ts_us[:-1]
+        new_sess = new_user | (gap > GAP_US)
+        sid = np.cumsum(new_sess)  # global (within-shard) session index, 1-based
+        pos = np.arange(len(uv))
+        run_start = np.maximum.accumulate(np.where(new_user, pos, 0))
+        session_id = sid - sid[run_start] + 1  # per-user session number
+        n_sess = int(sid[-1])
+        starts = np.flatnonzero(new_sess)
+        n_events = np.bincount(sid, minlength=n_sess + 1)[1:]
+        v = g.column("value").to_numpy(zero_copy_only=False)
+        have = ~np.isnan(v)
+        sums = np.bincount(sid[have], weights=v[have], minlength=n_sess + 1)[1:]
+        cnt = np.bincount(sid[have], minlength=n_sess + 1)[1:]
+        # an all-missing session sums to NULL like SQL, not 0.0
+        sum_value = pa.array(np.round(sums, 2), pa.float64(), mask=cnt == 0)
+        return pa.table(
+            {
+                "user_id": uid.take(pa.array(starts, pa.int64())),
+                "session_id": pa.array(session_id[starts], pa.int64()),
+                "n_events": pa.array(n_events, pa.int64()),
+                "sum_value": sum_value,
+            }
+        )
+
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return shard_map_groups(ds, ["user_id"], sessions_shard)
 
 
 EVENTS_SESSIONIZED_SQL = """
