@@ -2493,25 +2493,54 @@ _DECON_N = 5  # word n-gram order
 _DECON_TOKEN_RX = re.compile(r"[A-Za-z0-9]+")  # pure-ASCII class == RE2 class
 
 
+def _decon_grams(t: pa.Table) -> tuple[np.ndarray, pa.Array]:
+    """All overlapping word ``_DECON_N``-grams of a batch, fully
+    vectorized: one RE2 split, ``_DECON_N`` zero-copy shifted takes,
+    one ``binary_join_element_wise`` — no Python per-token loop (the
+    per-row ``" ".join`` loop it replaces was the decontaminate hot
+    path). Returns (batch-local doc row index per gram, gram string).
+    Tokenizer parity: splitting on ``[^A-Za-z0-9]+`` and dropping
+    empties yields exactly ``findall([A-Za-z0-9]+)``."""
+    wl = pc.split_pattern_regex(t.column("text"), pattern="[^A-Za-z0-9]+")
+    words = pc.list_flatten(wl).combine_chunks()
+    parent = pc.list_parent_indices(wl).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+    words = words.filter(pa.array(keep))
+    parent = parent[keep].astype(np.int64, copy=False)
+    n = len(words)
+    if n < _DECON_N:
+        return np.array([], dtype=np.int64), pa.array([], pa.string())
+    # a gram starts at j iff all _DECON_N tokens share one doc
+    starts = np.flatnonzero(parent[: n - _DECON_N + 1] == parent[_DECON_N - 1 :])
+    if len(starts) == 0:
+        return np.array([], dtype=np.int64), pa.array([], pa.string())
+    shifted = [words.take(pa.array(starts + k, pa.int64())) for k in range(_DECON_N)]
+    grams = pc.binary_join_element_wise(*shifted, " ")
+    return parent[starts], grams
+
+
 class _DeconProbe:
     """Actor-pool probe stage: the benchmark n-gram set is shipped via
     the object store ONCE and dereferenced once per actor in __init__
-    (broadcast pattern), never per batch. Per batch the work is
-    tokenize + gram membership against the in-memory set."""
+    (broadcast pattern), never per batch. Per batch the work is one
+    vectorized gram build (``_decon_grams``) + one ``pc.is_in`` probe +
+    one ``np.bincount``."""
 
     def __init__(self, bench_ref) -> None:
-        self.bench: frozenset = ray.get(bench_ref)
+        bench = ray.get(bench_ref)
+        # Arrow value_set built once per actor
+        self.bench: pa.Array = (
+            bench if isinstance(bench, pa.Array) else pa.array(sorted(bench), pa.string())
+        )
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        n_hits = []
-        for s in t.column("text").to_pylist():
-            toks = _DECON_TOKEN_RX.findall(s or "")
-            hits = 0
-            for j in range(len(toks) - _DECON_N + 1):
-                if " ".join(toks[j : j + _DECON_N]) in self.bench:
-                    hits += 1
-            n_hits.append(hits)
-        hits_arr = pa.array(n_hits, pa.int64())
+        i, grams = _decon_grams(t)
+        if len(self.bench) and len(i):
+            hit = pc.is_in(grams, value_set=self.bench).to_numpy(zero_copy_only=False)
+            n_hits = np.bincount(i[hit], minlength=t.num_rows)
+        else:
+            n_hits = np.zeros(t.num_rows, dtype=np.int64)
+        hits_arr = pa.array(n_hits.astype(np.int64), pa.int64())
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
@@ -2533,24 +2562,25 @@ def decontaminate(sf_dir: str) -> "ray.data.Dataset":
     is hashing grams to int64 before broadcast to shrink the set. The
     tokenizer is a pure-ASCII regex class, identical in Python, RE2 and
     the DuckDB oracle's regexp_split_to_array."""
-    bench_tbls = []
+    def bench_grams(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.array(t.column("doc_id").to_numpy() % _DECON_MOD == 0))
+        _, grams = _decon_grams(t)
+        return pa.table({"g": pc.unique(grams)})
+
+    parts = []
     for b in (
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(
-            lambda t: t.filter(pa.array(t.column("doc_id").to_numpy() % _DECON_MOD == 0)),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
+        .map_batches(bench_grams, batch_format="pyarrow", zero_copy_batch=True)
         .iter_batches(batch_format="pyarrow")
     ):
-        bench_tbls.append(b)
-    grams: set[str] = set()
-    for b in bench_tbls:
-        for s in b.column("text").to_pylist():
-            toks = _DECON_TOKEN_RX.findall(s or "")
-            for j in range(len(toks) - _DECON_N + 1):
-                grams.add(" ".join(toks[j : j + _DECON_N]))
-    bench_ref = ray.put(frozenset(grams))
+        if b.num_rows:
+            parts.append(b.column("g"))
+    gram_set = (
+        pc.unique(pa.concat_arrays([c.combine_chunks() for c in parts]))
+        if parts
+        else pa.array([], pa.string())
+    )
+    bench_ref = ray.put(gram_set)
 
     train = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         lambda t: t.filter(pa.array(t.column("doc_id").to_numpy() % _DECON_MOD != 0)),
