@@ -1,0 +1,144 @@
+"""Direct tests of the coarse-shard grouped-execution machinery
+(stages/agg.py) — the shared exchange behind the many-group
+aggregates, EXISTS joins, and vectorized per-key kernels.
+
+Contract under test: same-key rows always land in one shard, NULL
+keys group together (SQL GROUP BY semantics), results equal Ray's
+native groupby / a pandas reference for any associative spec, and
+n_shards never changes the answer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from bank_statement_pdf_parser_ray.stages.agg import shard_aggregate, shard_map_groups
+
+
+def _table(n: int, seed: int, with_nulls: bool = True) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    keys = rng.integers(0, max(2, n // 3), n).astype(object)
+    vals = rng.integers(-50, 50, n)
+    if with_nulls:
+        keys[rng.random(n) < 0.1] = None
+    return pa.table(
+        {
+            "k": pa.array(list(keys), pa.int64()),
+            "v": pa.array(vals, pa.int64()),
+        }
+    )
+
+
+def _expected(t: pa.Table) -> pd.DataFrame:
+    df = t.to_pandas()
+    out = df.groupby("k", dropna=False, as_index=False)["v"].agg(["sum", "min"])
+    out.columns = ["k", "s", "m"]
+    return out.sort_values("k", na_position="last").reset_index(drop=True)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values("k", na_position="last").reset_index(drop=True)
+
+
+class TestShardAggregate:
+    def test_matches_pandas_including_null_keys(self):
+        t = _table(5_000, seed=1)
+        ds = ray.data.from_arrow(t).repartition(7)
+        got = _canon(
+            shard_aggregate(ds, ["k"], [("v", "sum"), ("v", "min")], ["k", "s", "m"]).to_pandas()
+        )
+        exp = _expected(t)
+        pd.testing.assert_frame_equal(
+            got.astype({"s": "int64", "m": "int64"}), exp.astype({"s": "int64", "m": "int64"})
+        )
+
+    def test_n_shards_invariant(self):
+        t = _table(2_000, seed=2)
+        ds = ray.data.from_arrow(t).repartition(5)
+        a = _canon(shard_aggregate(ds, ["k"], [("v", "sum")], ["k", "s"], n_shards=3).to_pandas())
+        b = _canon(shard_aggregate(ds, ["k"], [("v", "sum")], ["k", "s"], n_shards=64).to_pandas())
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_string_keys(self):
+        t = pa.table(
+            {
+                "k": pa.array(["a", "b", None, "a", None, "b", "b"], pa.string()),
+                "v": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(3)
+        got = shard_aggregate(ds, ["k"], [("v", "sum")], ["k", "s"]).to_pandas()
+        got = got.set_index("k")["s"].to_dict()
+        assert got["a"] == 5 and got["b"] == 15
+        # both NULL keys merged into ONE group, like SQL GROUP BY
+        nulls = [v for k, v in got.items() if pd.isna(k)]
+        assert nulls == [8]
+
+
+class TestShardMapGroups:
+    def test_whole_groups_per_shard(self):
+        """Every key's rows arrive in exactly one fn call (the
+        correctness precondition for in-shard per-key kernels)."""
+        t = _table(3_000, seed=3, with_nulls=False)
+        ds = ray.data.from_arrow(t).repartition(6)
+
+        def keys_seen(g: pa.Table) -> pa.Table:
+            ks = g.column("k").unique()
+            return pa.table({"k": ks, "n": pa.array([len(g)] * len(ks), pa.int64())})
+
+        out = shard_map_groups(ds, ["k"], keys_seen, n_shards=16).to_pandas()
+        # each key appears in exactly one shard's output
+        assert out["k"].is_unique
+
+    def test_in_shard_join_matches_pandas(self):
+        """A per-key LEFT JOIN computed with one pa.Table.join per
+        shard equals the pandas merge (the left_join_big_orders
+        pattern)."""
+        rng = np.random.default_rng(4)
+        left = pa.table(
+            {
+                "k": pa.array(np.arange(200), pa.int64()),
+                "payload": pa.array([f"p{i}" for i in range(200)], pa.string()),
+                "r_val": pa.nulls(200, pa.int64()),
+                "is_probe": pa.array([False] * 200),
+            }
+        )
+        rk = rng.integers(0, 300, 150)  # some keys match nothing on the left
+        right = pa.table(
+            {
+                "k": pa.array(rk, pa.int64()),
+                "payload": pa.nulls(150, pa.string()),
+                "r_val": pa.array(np.arange(150), pa.int64()),
+                "is_probe": pa.array([True] * 150),
+            }
+        )
+        both = ray.data.from_arrow(pa.concat_tables([left, right])).repartition(4)
+
+        def join_shard(g: pa.Table) -> pa.Table:
+            is_probe = g.column("is_probe")
+            import pyarrow.compute as pc
+
+            lhs = g.filter(pc.invert(is_probe)).select(["k", "payload"])
+            rhs = g.filter(is_probe).select(["k", "r_val"])
+            out = lhs.join(rhs, keys=["k"], join_type="left outer")
+            return out.select(["k", "payload", "r_val"])
+
+        got = (
+            shard_map_groups(both, ["k"], join_shard, n_shards=8)
+            .to_pandas()
+            .sort_values(["k", "r_val"], na_position="last")
+            .reset_index(drop=True)
+        )
+        exp = (
+            left.to_pandas()[["k", "payload"]]
+            .merge(right.to_pandas()[["k", "r_val"]], on="k", how="left")
+            .sort_values(["k", "r_val"], na_position="last")
+            .reset_index(drop=True)
+        )
+        assert got["k"].tolist() == exp["k"].tolist()
+        assert got["payload"].tolist() == exp["payload"].tolist()
+        assert got["r_val"].fillna(-1).tolist() == exp["r_val"].fillna(-1).tolist()
