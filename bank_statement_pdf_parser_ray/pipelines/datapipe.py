@@ -3424,7 +3424,6 @@ def collocations(sf_dir: str, k: int = 20, min_n2: int = 5) -> pd.DataFrame:
     so the shuffles carry O(vocab x blocks) rows, never per-token rows);
     the PMI arithmetic runs driver-side over the vocabulary-scale model,
     with the exact float expression the oracle uses."""
-    from ray.data.aggregate import Sum
 
     def count_pairs(t: pa.Table) -> pa.Table:
         _, w1, w2 = _doc_bigrams(t)
@@ -3439,19 +3438,21 @@ def collocations(sf_dir: str, k: int = 20, min_n2: int = 5) -> pd.DataFrame:
         g = pa.TableGroupBy(pa.table({"w": words}), ["w"]).aggregate([("w", "count")])
         return g.rename_columns(["w", "p_n"])
 
+    from bank_statement_pdf_parser_ray.stages.agg import shard_aggregate
+
     docs = _docs(sf_dir, ["text"])
-    big = (
-        docs.map_batches(count_pairs, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["w1", "w2"])
-        .aggregate(Sum("p_n", alias_name="n2"))
-        .to_pandas()
-    )
-    uni = (
-        docs.map_batches(count_words, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("w")
-        .aggregate(Sum("p_n", alias_name="n1"))
-        .to_pandas()
-    )
+    big = shard_aggregate(
+        docs.map_batches(count_pairs, batch_format="pyarrow", zero_copy_batch=True),
+        ["w1", "w2"],
+        [("p_n", "sum")],
+        ["w1", "w2", "n2"],
+    ).to_pandas()
+    uni = shard_aggregate(
+        docs.map_batches(count_words, batch_format="pyarrow", zero_copy_batch=True),
+        ["w"],
+        [("p_n", "sum")],
+        ["w", "n1"],
+    ).to_pandas()
     n_tok = float(uni["n1"].sum())
     n_big = float(big["n2"].sum())
     n1 = pd.Series(uni["n1"].to_numpy(dtype=float), index=uni["w"])
