@@ -37,41 +37,65 @@ def _lut(sf_dir: str, table: str, key: str, val: str) -> pa.Table:
 def pagerank_edges(sf_dir: str) -> pd.DataFrame:
     """Edge list of the nation trade graph: one edge (src = customer's
     nation, dst = supplier's nation) per lineitem, weight = lineitem
-    count. lineitem⋈orders is the honest big-big exchange (Dataset.join
-    hash-partitioned on orderkey, byte-sized partition count);
-    customer/supplier/nation are dimension LUTs broadcast once and
-    probed vectorized (pc.index_in + pc.take). Every batch pre-combines
-    to ≤ nations² partial rows before the final small groupby."""
-    from bank_statement_pdf_parser_ray.pipelines.queries import _join_partitions, _read
+    count. lineitem⋈orders is the honest big-big exchange — ONE
+    coarse-shard cogroup on orderkey (stages/agg.py tagged union; an
+    orderkey's rows all share a shard, so the in-shard Arrow join is
+    globally complete). Customer/supplier nation LUTs are broadcast
+    once and probed vectorized (pc.index_in + pc.take) INSIDE the shard
+    kernel, which also pre-combines to ≤ nations² partial rows, so the
+    final groupby moves O(nations² × shards)."""
+    from bank_statement_pdf_parser_ray.pipelines.queries import _read
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
     from ray.data.aggregate import Sum
 
     cust = _lut(sf_dir, "customer", "c_custkey", "c_nationkey")
     supp = _lut(sf_dir, "supplier", "s_suppkey", "s_nationkey")
     cust_ref, supp_ref = ray.put(cust), ray.put(supp)
 
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    joined = li.join(
-        orders,
-        join_type="inner",
-        num_partitions=_join_partitions(sf_dir, "lineitem", "orders"),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
+    def li_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "okey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "o_custkey": pa.nulls(len(t), pa.int64()),
+                "is_probe": pa.array(np.ones(len(t), dtype=bool)),
+            }
+        )
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "okey": t.column("o_orderkey"),
+                "l_suppkey": pa.nulls(len(t), pa.int64()),
+                "o_custkey": t.column("o_custkey"),
+                "is_probe": pa.array(np.zeros(len(t), dtype=bool)),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]).map_batches(
+        li_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        order_rows, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def partial(t: pa.Table) -> pa.Table:
+    def edge_shard(g: pa.Table) -> pa.Table:
+        is_probe = g.column("is_probe")
+        o = g.filter(pc.invert(is_probe)).select(["okey", "o_custkey"])
+        l = g.filter(is_probe).select(["okey", "l_suppkey"])
+        t = l.join(o, keys=["okey"], join_type="inner")
         cl, sl = ray.get(cust_ref), ray.get(supp_ref)
         ci = pc.index_in(t.column("o_custkey"), value_set=cl.column("c_custkey"))
         si = pc.index_in(t.column("l_suppkey"), value_set=sl.column("s_suppkey"))
         ok = pc.and_(pc.is_valid(ci), pc.is_valid(si))  # inner-join semantics
         src = pc.take(cl.column("c_nationkey"), ci.filter(ok))
         dst = pc.take(sl.column("s_nationkey"), si.filter(ok))
-        g = pa.TableGroupBy(pa.table({"src": src, "dst": dst}), ["src", "dst"]).aggregate(
+        g2 = pa.TableGroupBy(pa.table({"src": src, "dst": dst}), ["src", "dst"]).aggregate(
             [([], "count_all")]
         )
-        return g.rename_columns(["src", "dst", "p_w"])
+        return g2.rename_columns(["src", "dst", "p_w"])
 
-    edges = joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    edges = shard_map_groups(li.union(orders), ["okey"], edge_shard)
     out = edges.groupby(["src", "dst"]).aggregate(Sum("p_w", alias_name="w")).to_pandas()
     out["w"] = out["w"].astype("int64")
     return out
