@@ -142,3 +142,71 @@ class TestShardMapGroups:
         assert got["k"].tolist() == exp["k"].tolist()
         assert got["payload"].tolist() == exp["payload"].tolist()
         assert got["r_val"].fillna(-1).tolist() == exp["r_val"].fillna(-1).tolist()
+
+
+class TestNumpyShardPath:
+    """The splitmix64 integer-key fast path (no polars import) added
+    late round 2: range validity, same-key determinism, fallback."""
+
+    def test_numpy_shard_range_and_determinism(self):
+        from bank_statement_pdf_parser_ray.stages.agg import _numpy_shard
+
+        t = _table(4_000, seed=11)  # int64 keys with NULLs
+        s1 = _numpy_shard(t, ["k"], 16)
+        s2 = _numpy_shard(t, ["k"], 16)
+        assert s1 is not None
+        a = s1.to_numpy(zero_copy_only=False)
+        assert ((a >= 0) & (a < 16)).all()
+        assert (a == s2.to_numpy(zero_copy_only=False)).all()
+        # same key value -> same shard
+        df = pd.DataFrame({"k": t.column("k").to_pandas(), "s": a})
+        assert (df.groupby("k", dropna=False)["s"].nunique() == 1).all()
+
+    def test_numpy_shard_timestamp_and_multikey(self):
+        from bank_statement_pdf_parser_ray.stages.agg import _numpy_shard
+
+        ts = pa.array(
+            np.array([0, 10**15, -(10**12), 0], dtype="datetime64[us]"),
+            pa.timestamp("us"),
+        )
+        t = pa.table({"a": ts, "b": pa.array([1, 1, 2, 1], pa.int64())})
+        s = _numpy_shard(t, ["a", "b"], 8)
+        assert s is not None
+        a = s.to_numpy(zero_copy_only=False)
+        assert ((a >= 0) & (a < 8)).all()
+        assert a[0] == a[3]  # identical (a, b) pair -> identical shard
+
+    def test_string_key_falls_back_to_polars(self):
+        from bank_statement_pdf_parser_ray.stages.agg import _numpy_shard
+
+        t = pa.table(
+            {"k": pa.array(["x", "y"], pa.string()), "i": pa.array([1, 2], pa.int64())}
+        )
+        assert _numpy_shard(t, ["k"], 8) is None
+        assert _numpy_shard(t, ["k", "i"], 8) is None  # any string key disables it
+
+    def test_multikey_int_aggregate_matches_pandas(self):
+        rng = np.random.default_rng(21)
+        t = pa.table(
+            {
+                "k1": pa.array(rng.integers(0, 40, 3000), pa.int64()),
+                "k2": pa.array(rng.integers(0, 5, 3000), pa.int32()),
+                "v": pa.array(rng.integers(-9, 9, 3000), pa.int64()),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(5)
+        got = (
+            shard_aggregate(ds, ["k1", "k2"], [("v", "sum")], ["k1", "k2", "s"])
+            .to_pandas()
+            .sort_values(["k1", "k2"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            t.to_pandas()
+            .groupby(["k1", "k2"], as_index=False)["v"]
+            .sum()
+            .rename(columns={"v": "s"})
+            .sort_values(["k1", "k2"])
+            .reset_index(drop=True)
+        )
+        assert got["s"].tolist() == exp["s"].tolist()
