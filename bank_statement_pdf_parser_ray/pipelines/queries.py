@@ -1279,27 +1279,40 @@ def user_top_event(sf_dir: str) -> pd.DataFrame:
 
     Scale shape: per-batch partial (user, type) counts pre-combine
     BEFORE the shuffle, so the all-to-all moves O(users x types x
-    blocks) rows; the final per-user argmax runs distributed in
-    ``map_groups`` over the already-tiny count table."""
-    from ray.data.aggregate import Sum
+    blocks) rows; ONE coarse-shard exchange on user_id (stages/agg.py)
+    then answers both the count merge and the per-user argmax with a
+    single vectorized kernel per shard (the per-user pandas map_groups
+    it replaces paid one Python call per user — 10k at sf0.1)."""
 
     def partial(t: pa.Table) -> pa.Table:
         g = pa.TableGroupBy(t, ["user_id", "event_type"]).aggregate([([], "count_all")])
         return g.rename_columns(["user_id", "event_type", "p_n"])
 
-    def pick(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["n", "event_type"], ascending=[False, True], na_position="last")
-        return df.head(1)
+    def top_shard(g: pa.Table) -> pa.Table:
+        # merge partial counts, then run-first per user under the
+        # pinned (n desc, event_type asc) order — all Arrow/numpy
+        m = pa.TableGroupBy(g, ["user_id", "event_type"]).aggregate([("p_n", "sum")])
+        m = m.rename_columns(["user_id", "event_type", "n"])
+        order = pc.sort_indices(
+            m,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("n", "descending"),
+                ("event_type", "ascending"),
+            ],
+        )
+        m = m.take(order)
+        uid = m.column("user_id")
+        uv = pc.fill_null(uid, 0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        un = pc.is_valid(uid).to_numpy(zero_copy_only=False)
+        first = np.concatenate(([True], (uv[1:] != uv[:-1]) | (un[1:] != un[:-1])))
+        return m.filter(pa.array(first))
+
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
 
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "event_type"])
-        .aggregate(Sum("p_n", alias_name="n"))
-        .groupby("user_id")
-        .map_groups(pick, batch_format="pandas")
-        .to_pandas()
-    )
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = shard_map_groups(parts, ["user_id"], top_shard).to_pandas()
     out = out.rename(columns={"event_type": "top_event"})
     out["user_id"] = out["user_id"].astype("int64")
     out["n"] = out["n"].astype("int64")
@@ -1377,27 +1390,32 @@ def distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
 
     Scale shape: each batch first reduces to its DISTINCT (type, user)
     pairs, so the one real shuffle moves O(distinct pairs x blocks)
-    rows, never raw events; the global pair dedup's output is one row
-    per distinct pair, and the per-type count over it is a second,
-    O(types)-sized exchange."""
-    from ray.data.aggregate import Count, Sum
+    rows, never raw events; the pair dedup AND the per-type partial
+    count both run inside ONE coarse-shard exchange on user_id (all of
+    a user's pairs co-locate, so the in-shard pair distinct is globally
+    exact), leaving an O(types x shards) final sum."""
+    from ray.data.aggregate import Sum
 
     def pairs(t: pa.Table) -> pa.Table:
         g = pa.TableGroupBy(t, ["event_type", "user_id"]).aggregate([([], "count_all")])
         return g.select(["event_type", "user_id"])
 
-    def count_types(t: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(t.select(["event_type"]), ["event_type"]).aggregate(
+    def distinct_count_shard(g: pa.Table) -> pa.Table:
+        # global pair distinct (exact: a user's rows never split across
+        # shards) then the per-type partial count, one Arrow pass each
+        d = pa.TableGroupBy(g, ["event_type", "user_id"]).aggregate([([], "count_all")])
+        c = pa.TableGroupBy(d.select(["event_type"]), ["event_type"]).aggregate(
             [([], "count_all")]
         )
-        return g.rename_columns(["event_type", "p_n"])
+        return c.rename_columns(["event_type", "p_n"])
 
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
+    parts = _read(sf_dir, "events", ["event_type", "user_id"]).map_batches(
+        pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
     out = (
-        _read(sf_dir, "events", ["event_type", "user_id"])
-        .map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["event_type", "user_id"])
-        .aggregate(Count(alias_name="dummy"))
-        .map_batches(count_types, batch_format="pyarrow", zero_copy_batch=True)
+        shard_map_groups(parts, ["user_id"], distinct_count_shard)
         .groupby("event_type")
         .aggregate(Sum("p_n", alias_name="n_users"))
         .to_pandas()
