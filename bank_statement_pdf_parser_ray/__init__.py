@@ -25,6 +25,6 @@ pytest verifies per-turn text equality between the distributed pipeline and
 the oracle under stable (conv_id, turn_idx) ordering.
 """
 
-EXTRACTOR_VERSION = "bspp-ray/0.1.0"
+EXTRACTOR_VERSION = "bspp-ray/0.2.0"
 
 __all__ = ["EXTRACTOR_VERSION"]

@@ -43,6 +43,29 @@ def fingerprint(text: str, k: int = 8) -> int:
     return best if best is not None else 0
 
 
+def row_hash_batch(conv_id, turn_idx, text) -> "object":
+    """Vectorized 63-bit lineage hash of (conv_id, turn_idx,
+    extracted_text) rows — the flagship's per-row ``row_h`` column
+    (order-sensitive \\x1f field join, like ``row_hash``, but ONE
+    polars hash kernel instead of a Python blake2b call per row: the
+    per-row loop measured ~10 us/row, >40 core-seconds of the 4.9M-turn
+    write leg). The values are engine-internal (manifest checksums +
+    resume identity, never oracle-visible); runs that must interoperate
+    across hash versions are fenced by EXTRACTOR_VERSION in the
+    manifest parameter check. Returns a pyarrow int64 Array."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    conv = pc.fill_null(conv_id, "\x00<null-conv>")
+    joined = pc.binary_join_element_wise(
+        pc.cast(conv, pa.string()),
+        pc.cast(turn_idx, pa.string()),
+        pc.fill_null(text, ""),
+        "\x1f",
+    )
+    return hash_text_array(joined)
+
+
 def hash_text_array(col) -> "object":
     """Vectorized 63-bit hash of a STRING Arrow column (polars xxhash,
     one kernel call — the per-row ``stable_hash64`` loop it replaces

@@ -21,7 +21,7 @@ import ray
 import ray.data
 
 from bank_statement_pdf_parser_ray import EXTRACTOR_VERSION
-from bank_statement_pdf_parser_ray.core.hashing import row_hash
+from bank_statement_pdf_parser_ray.core.hashing import row_hash_batch
 from bank_statement_pdf_parser_ray.stages.extract import ExtractorActor
 from bank_statement_pdf_parser_ray.stages.keys import (
     DEFAULT_N_PARTS,
@@ -44,15 +44,12 @@ def _default_concurrency() -> int:
 
 
 def _add_row_hash(batch: pa.Table) -> pa.Table:
-    h = [
-        row_hash(c if c is not None else "\x00<null-conv>", str(i), t)
-        for c, i, t in zip(
-            batch.column("conv_id").to_pylist(),
-            batch.column("turn_idx").to_pylist(),
-            batch.column("extracted_text").to_pylist(),
-        )
-    ]
-    return batch.append_column("row_h", pa.array(h, type=pa.int64()))
+    h = row_hash_batch(
+        batch.column("conv_id"),
+        batch.column("turn_idx"),
+        batch.column("extracted_text"),
+    )
+    return batch.append_column("row_h", h)
 
 
 def _drop_committed(batch: pa.Table, committed: frozenset[int]) -> pa.Table:
