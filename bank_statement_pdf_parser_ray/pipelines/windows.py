@@ -1096,3 +1096,122 @@ FROM (
   FROM events)
 GROUP BY user_id, window_q
 """
+
+
+def time_decay_agg(sf_dir: str, tau_us: float = 86_400_000_000.0) -> pd.DataFrame:
+    """Exponentially time-decayed per-user value sum — the classic
+    recency-weighted feature (decayed activity/engagement score):
+    ``sum(value * exp(-(t_anchor - ts)/tau))`` with tau = 1 day and the
+    anchor pinned to the corpus-wide max timestamp so both engines weigh
+    every event identically.
+
+    Scale shape: pass 1 is an O(1)-result distributed max; pass 2
+    pre-combines decayed partials per (user, batch) — exp is applied
+    element-wise against the broadcast anchor, so partial sums are
+    exact and associative — and ONE coarse-shard exchange merges them.
+    NULL value or NULL ts contributes NULL (skipped by sum, a user with
+    no valid contribution reports NULL, like SQL SUM). Rounded to 6
+    decimals: both engines compute the identical libm double per
+    element; only the summation ORDER differs."""
+    ds = _events(sf_dir, ["user_id", "ts", "value"])
+    anchor = ds.max("ts")
+    anchor_us = pa.scalar(anchor, pa.timestamp("us")).cast(pa.int64()).as_py()
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        v = t.column("value")
+        ok = pc.and_(pc.is_valid(v), pc.is_valid(t.column("ts"))).to_numpy(zero_copy_only=False)
+        w = np.exp(-(anchor_us - ts_us.astype(np.float64)) / tau_us)
+        contrib = v.to_numpy(zero_copy_only=False) * w
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    "c": pa.array(np.where(ok, contrib, 0.0), pa.float64(), mask=~ok),
+                }
+            ),
+            ["user_id"],
+        ).aggregate([("c", "sum")])
+        return g.rename_columns(["user_id", "p_sum"])
+
+    from bank_statement_pdf_parser_ray.stages.agg import shard_aggregate
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = shard_aggregate(parts, ["user_id"], [("p_sum", "sum")], ["user_id", "decayed_sum"]).to_pandas()
+    out["decayed_sum"] = out["decayed_sum"].round(6)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+TIME_DECAY_AGG_SQL = """
+WITH a AS (SELECT max(epoch_us(ts)) AS t0 FROM events)
+SELECT user_id,
+       round(sum(value * exp(-(a.t0 - epoch_us(ts)) / 86400000000.0)), 6) AS decayed_sum
+FROM events, a
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def events_gap_dedup(sf_dir: str, gap_us: int = 5_000_000) -> "ray.data.Dataset":
+    """Window-gap event dedup — the standard double-fire/bot-burst
+    filter in event pipelines: drop an event when the SAME user emitted
+    the SAME event_type within the previous ``gap_us`` (lag-based, i.e.
+    measured against the immediately preceding RAW event, exactly SQL's
+    ``lag(ts) IS NULL OR ts - lag(ts) > INTERVAL``).
+
+    ONE coarse-shard exchange on user_id; the shard kernel sorts by
+    (user, type, ts, event_id) and computes the keep mask over run
+    boundaries vectorized — no per-key Python. NULL semantics mirror
+    the SQL exactly: a NULL-ts row never beats the gap test (NULL
+    comparison is false) but IS kept when its predecessor's ts is NULL
+    (lag(ts) IS NULL), with NULLS LAST ordering on both sides."""
+
+    def dedup_shard(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("event_type", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(order)
+        n = g.num_rows
+        if n == 0:
+            return g
+        uid = g.column("user_id")
+        uv = pc.fill_null(uid, 0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        un = pc.is_valid(uid).to_numpy(zero_copy_only=False)
+        et = g.column("event_type")
+        # dictionary-encode the type so the run compare is int-vectorized
+        codes = pc.dictionary_encode(et.combine_chunks()).indices
+        ec = pc.fill_null(codes, -1).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        same_run = np.zeros(n, dtype=bool)
+        if n > 1:
+            same_run[1:] = (uv[1:] == uv[:-1]) & (un[1:] == un[:-1]) & (ec[1:] == ec[:-1])
+        ts = g.column("ts")
+        tv = pc.fill_null(pc.cast(ts, pa.int64()), 0).to_numpy(zero_copy_only=False)
+        tn = pc.is_valid(ts).to_numpy(zero_copy_only=False)
+        prev_ts_valid = np.concatenate(([False], tn[:-1]))
+        gap_ok = np.zeros(n, dtype=bool)
+        if n > 1:
+            gap_ok[1:] = tn[1:] & tn[:-1] & ((tv[1:] - tv[:-1]) > gap_us)
+        keep = (~same_run) | (~prev_ts_valid) | gap_ok
+        return g.filter(pa.array(keep)).select(["event_id", "user_id", "event_type", "ts"])
+
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+    return shard_map_groups(ds, ["user_id"], dedup_shard)
+
+
+EVENTS_GAP_DEDUP_SQL = """
+SELECT event_id, user_id, event_type, ts
+FROM (
+  SELECT event_id, user_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events)
+WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 5 SECOND
+"""

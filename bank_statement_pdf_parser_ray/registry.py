@@ -218,6 +218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": w.cohort_retention,
         "user_value_trend": w.user_value_trend,
         "user_coverage": w.user_coverage,
+        "time_decay_agg": w.time_decay_agg,
+        "events_gap_dedup": w.events_gap_dedup,
         "bloom_join_revenue": q.bloom_join_revenue,
         "heavy_hitters": dp.heavy_hitters,
         "pagerank_edges": gr.pagerank_edges,
@@ -359,6 +361,8 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": w.COHORT_RETENTION_SQL,
         "user_value_trend": w.USER_VALUE_TREND_SQL,
         "user_coverage": w.USER_COVERAGE_SQL,
+        "time_decay_agg": w.TIME_DECAY_AGG_SQL,
+        "events_gap_dedup": w.EVENTS_GAP_DEDUP_SQL,
         "bloom_join_revenue": q.BLOOM_JOIN_REVENUE_SQL,
         "events_pivot": q.EVENTS_PIVOT_SQL,
         "events_stats": q.EVENTS_STATS_SQL,

@@ -294,6 +294,8 @@ def run_bench() -> dict:
         "skyline_orders",
         "user_value_trend",
         "user_coverage",
+        "time_decay_agg",
+        "events_gap_dedup",
         "fuzzy_pairs",
         "image_neardup",
         "q3_shipping",

@@ -297,6 +297,8 @@ class TestRandomizedOracleParity:
         "intersect_users",
         "except_users",
         "full_outer_user_activity",
+        "time_decay_agg",
+        "events_gap_dedup",
     ]
 
     @pytest.mark.parametrize("seed", [1, 2, 3])
@@ -937,3 +939,97 @@ class TestUserCoverage:
         out = user_coverage(sf).to_pandas().set_index("user_id")["covered_us"]
         assert out[1] == 70 * M
         assert out[2] == 30 * M
+
+
+class TestGapDedupPlanted:
+    """events_gap_dedup on planted bursts: verifies rows actually DROP
+    (the shared tables are too sparse to exercise the gap) and pins the
+    lag-vs-kept-row semantics: a chain at 3 s intervals keeps only the
+    first row of each (user, type) run-start, but a row 3 s after a
+    DROPPED row is still dropped only by its RAW predecessor (SQL lag),
+    not by the last KEPT row."""
+
+    def test_bursts_and_chains(self, tmp_path):
+        import duckdb
+        import pyarrow.parquet as pq
+
+        from bank_statement_pdf_parser_ray.pipelines.windows import (
+            EVENTS_GAP_DEDUP_SQL,
+            events_gap_dedup,
+        )
+
+        S = 1_000_000  # 1 second in us
+        rows = [
+            # burst: 0, 3s, 6s -> lag semantics keep ONLY the first
+            (0, 1, "click", 0 * S),
+            (1, 1, "click", 3 * S),
+            (2, 1, "click", 6 * S),
+            # next event 10s after the previous RAW row -> kept
+            (3, 1, "click", 16 * S),
+            # same user, different type at the same instants -> its own run
+            (4, 1, "view", 0 * S),
+            (5, 1, "view", 3 * S),
+            # different user, same type/instant -> kept
+            (6, 2, "click", 3 * S),
+            # duplicate timestamp pair -> second dropped (diff 0 <= gap)
+            (7, 2, "view", 50 * S),
+            (8, 2, "view", 50 * S),
+        ]
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "ts": pa.array([r[3] for r in rows], pa.int64()).cast(pa.timestamp("us")),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        got = sorted(
+            events_gap_dedup(str(tmp_path)).to_pandas()["event_id"].tolist()
+        )
+        # lag semantics: event 2 is 3s after event 1 (dropped), still dropped
+        assert got == [0, 3, 4, 6, 7]
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')")
+        exp = sorted(con.execute(EVENTS_GAP_DEDUP_SQL).fetchdf()["event_id"].tolist())
+        assert got == exp
+
+
+class TestTimeDecayAgg:
+    def test_anchor_and_null_semantics(self, tmp_path):
+        import duckdb
+        import pyarrow.parquet as pq
+
+        import pandas as pd
+
+        from bank_statement_pdf_parser_ray.pipelines.windows import (
+            TIME_DECAY_AGG_SQL,
+            time_decay_agg,
+        )
+
+        D = 86_400_000_000  # 1 day in us
+        t = pa.table(
+            {
+                "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "user_id": pa.array([1, 1, 2, 3], pa.int64()),
+                "event_type": pa.array(["a"] * 4, pa.string()),
+                # user 1: anchor-day event (weight 1) + one-day-old (1/e)
+                "ts": pa.array([2 * D, 1 * D, 2 * D, 1 * D], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "value": pa.array([10.0, 10.0, 5.0, None], pa.float64()),
+                "props": pa.array(["{}"] * 4, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        got = time_decay_agg(str(tmp_path))
+        by_user = got.set_index("user_id")["decayed_sum"].to_dict()
+        assert abs(by_user[1] - round(10.0 + 10.0 * np.exp(-1.0), 6)) < 1e-9
+        assert by_user[2] == 5.0
+        assert pd.isna(by_user[3])  # all-NULL contributions -> NULL, like SQL SUM
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')")
+        exp = con.execute(TIME_DECAY_AGG_SQL).fetchdf()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
