@@ -44,6 +44,53 @@ def _sorted_group(g: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return order, ts[order], eid[order]
 
 
+# --- coarse-shard run machinery -------------------------------------------
+#
+# The ops below process ONE SHARD (stages/agg.py: many whole users) per
+# Python call instead of one user: the shard is sorted once by
+# (user_id, ts, event_id) and every per-user semantics is computed over
+# RUN BOUNDARIES with numpy — the per-user map_groups form paid one
+# Python call per user (10k at sf0.1; the difference between a reduce
+# that finishes and one that doesn't at 10^8+ users, SCALE.md §13).
+
+
+def _sorted_shard(g: pa.Table, keys=(("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending"))) -> pa.Table:
+    return g.take(pc.sort_indices(g, sort_keys=list(keys)))
+
+
+def _uid_runs(uid: "pa.ChunkedArray | pa.Array") -> tuple[np.ndarray, np.ndarray]:
+    """(first-of-run mask, per-row run-start index) over a user_id
+    column that is already sorted (NULLs grouped like SQL PARTITION BY:
+    validity participates in the boundary test, so every NULL row joins
+    ONE run)."""
+    uv = pc.fill_null(uid, 0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    un = pc.is_valid(uid).to_numpy(zero_copy_only=False)
+    n = len(uv)
+    first = np.ones(n, dtype=bool)
+    if n > 1:
+        first[1:] = (uv[1:] != uv[:-1]) | (un[1:] != un[:-1])
+    pos = np.arange(n)
+    run_start = np.maximum.accumulate(np.where(first, pos, 0))
+    return first, run_start
+
+
+def _run_local_key(ts_s: np.ndarray, run_start: np.ndarray, window_us: int) -> np.ndarray:
+    """Monotone int64 key that makes ONE global ``np.searchsorted``
+    answer per-run window probes: ``run_id * spacing + (ts - run_min)``
+    with spacing > max_rel + window, so ``key ± window`` can never cross
+    into a neighboring run. Requires n_runs * spacing < 2^62 — at int64
+    microseconds that is ~4e5 run-years per shard, far beyond any
+    per-user history; asserted rather than silently wrapped."""
+    first = np.zeros(len(ts_s), dtype=bool)
+    first[run_start == np.arange(len(ts_s))] = True
+    run_id = np.cumsum(first) - 1
+    ts_rel = ts_s - ts_s[run_start]
+    spacing = int(ts_rel.max() if len(ts_rel) else 0) + window_us + 2
+    n_runs = int(run_id[-1]) + 1 if len(run_id) else 0
+    assert n_runs * spacing < (1 << 62), "run-local key overflow: shard too wide"
+    return run_id * spacing + ts_rel
+
+
 def asof_join_events(sf_dir: str) -> "ray.data.Dataset":
     """As-of join (most-recent-prior match), the classic trades⋈quotes
     temporal join: each ``purchase`` event picks up the value of the
@@ -62,42 +109,50 @@ def asof_join_events(sf_dir: str) -> "ray.data.Dataset":
     """
 
     def merge(g: pa.Table) -> pa.Table:
-        order, ts_s, eid_s = _sorted_group(g)
-        is_view_col = pc.and_(
-            pc.equal(g.column("event_type"), "view"), pc.is_valid(g.column("value"))
-        )
-        val_s = g.column("value").to_numpy(zero_copy_only=False)[order]
-        n = len(ts_s)
+        g = _sorted_shard(g)
+        n = g.num_rows
+        if n == 0:
+            return g
+        _, run_start = _uid_runs(g.column("user_id"))
+        ts_s = g.column("ts").cast(pa.int64()).to_numpy()
+        val_s = g.column("value").to_numpy(zero_copy_only=False)
         # Arrow-native mask (no per-row string objects); NULL-valued
         # views are NOT matches — mirroring the oracle, which skips
         # them for both the value (IGNORE NULLS) and the timestamp
-        is_view = is_view_col.to_numpy(zero_copy_only=False)[order]
-        # forward-fill: index of the latest matching view at-or-before each row
+        is_view = pc.and_(
+            pc.equal(g.column("event_type"), "view"), pc.is_valid(g.column("value"))
+        ).to_numpy(zero_copy_only=False)
+        # global forward-fill of view indices; a fill from BEFORE this
+        # row's run start belongs to another user and is masked out
+        # (indices are global and monotone, so `< run_start` detects it)
         src = np.where(is_view, np.arange(n), -1)
         last_view = np.maximum.accumulate(src)
+        last_view = np.where(last_view >= run_start, last_view, -1)
         # explicit purchase mask — NOT ~is_view, which would sweep in
         # null-valued view rows excluded from the match mask above
-        take = pc.equal(g.column("event_type"), "purchase").to_numpy(zero_copy_only=False)[order]
+        take = pc.equal(g.column("event_type"), "purchase").to_numpy(zero_copy_only=False)
         lv = last_view[take]
         has = lv >= 0
         lv_safe = np.where(has, lv, 0)
-        user = g.column("user_id")[0].as_py()
+        idx = pa.array(np.flatnonzero(take))
         return pa.table(
             {
-                "event_id": pa.array(eid_s[take], pa.int64()),
-                "user_id": pa.array(np.full(int(take.sum()), user), pa.int64()),
-                "ts": pa.array(ts_s[take], pa.int64()).cast(pa.timestamp("us")),
+                "event_id": g.column("event_id").take(idx),
+                "user_id": g.column("user_id").take(idx),
+                "ts": g.column("ts").take(idx),
                 "last_view_ts": pa.array(ts_s[lv_safe], pa.int64(), mask=~has).cast(pa.timestamp("us")),
                 "last_view_value": pa.array(val_s[lv_safe], pa.float64(), mask=~has),
             }
         )
+
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
 
     ds = _events(
         sf_dir,
         ["event_id", "user_id", "ts", "event_type", "value"],
         flt=pc.field("event_type").isin(["purchase", "view"]),
     )
-    return ds.groupby("user_id").map_groups(merge, batch_format="pyarrow")
+    return shard_map_groups(ds, ["user_id"], merge)
 
 
 ASOF_JOIN_EVENTS_SQL = """
@@ -132,9 +187,15 @@ def events_rolling(sf_dir: str) -> "ray.data.Dataset":
     """
 
     def roll(g: pa.Table) -> pa.Table:
-        order, ts_s, eid_s = _sorted_group(g)
-        val_s = g.column("value").to_numpy(zero_copy_only=False)[order]
-        valid = pc.is_valid(g.column("value")).to_numpy(zero_copy_only=False)[order]
+        g = _sorted_shard(g)
+        n = g.num_rows
+        if n == 0:
+            return g
+        _, run_start = _uid_runs(g.column("user_id"))
+        ts_s = g.column("ts").cast(pa.int64()).to_numpy()
+        key = _run_local_key(ts_s, run_start, US_PER_HOUR)
+        val_s = g.column("value").to_numpy(zero_copy_only=False)
+        valid = pc.is_valid(g.column("value")).to_numpy(zero_copy_only=False)
         # SQL sum() IGNORES NULLs and returns NULL only when the whole
         # window is NULL — a NaN inside a plain cumsum would instead
         # poison every later window (caught by the randomized fuzz).
@@ -146,23 +207,24 @@ def events_rolling(sf_dir: str) -> "ray.data.Dataset":
         csum = np.concatenate(([0.0], np.cumsum(np.where(valid & ~is_nan, val_s, 0.0))))
         ccnt = np.concatenate(([0], np.cumsum(valid.astype(np.int64))))
         cnan = np.concatenate(([0], np.cumsum(is_nan.astype(np.int64))))
-        lo = np.searchsorted(ts_s, ts_s - US_PER_HOUR, side="left")
-        hi = np.searchsorted(ts_s, ts_s, side="right")
+        lo = np.searchsorted(key, key - US_PER_HOUR, side="left")
+        hi = np.searchsorted(key, key, side="right")
         n_valid = ccnt[hi] - ccnt[lo]
         sums = np.round(csum[hi] - csum[lo], 2)
         sums = np.where(cnan[hi] - cnan[lo] > 0, np.nan, sums)
-        user = g.column("user_id")[0].as_py()
         return pa.table(
             {
-                "event_id": pa.array(eid_s, pa.int64()),
-                "user_id": pa.array(np.full(len(ts_s), user), pa.int64()),
-                "ts": pa.array(ts_s, pa.int64()).cast(pa.timestamp("us")),
+                "event_id": g.column("event_id"),
+                "user_id": g.column("user_id"),
+                "ts": g.column("ts"),
                 "rolling_1h": pa.array(sums, pa.float64(), mask=n_valid == 0),
             }
         )
 
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
     ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
-    return ds.groupby("user_id").map_groups(roll, batch_format="pyarrow")
+    return shard_map_groups(ds, ["user_id"], roll)
 
 
 EVENTS_ROLLING_SQL = """
@@ -222,7 +284,11 @@ def grouped_topk_events(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
     oracle's ``row_number() OVER`` exactly."""
 
     def cut(t: pa.Table, with_rank: bool) -> pa.Table:
-        uid = t.column("user_id").to_numpy()
+        # run codes, not raw ids: a NULL user_id becomes NaN under
+        # to_numpy and NaN != NaN would split the null partition into
+        # one run per row; np.unique collapses NaNs to ONE code
+        uid_raw = t.column("user_id").to_numpy(zero_copy_only=False)
+        uid = np.unique(uid_raw, return_inverse=True)[1].astype(np.int64)
         val = t.column("value").to_numpy(zero_copy_only=False)
         eid = t.column("event_id").to_numpy()
         valid = pc.is_valid(t.column("value")).to_numpy(zero_copy_only=False)
@@ -230,7 +296,7 @@ def grouped_topk_events(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
         keep = rank < k
         idx = order[keep]
         cols = {
-            "user_id": pa.array(uid[idx], pa.int64()),
+            "user_id": t.column("user_id").take(pa.array(idx)),
             "event_id": pa.array(eid[idx], pa.int64()),
             # mask keeps NULL distinct from valid NaN ACROSS the shuffle
             # — a NULL flattened to NaN between partial and final would
@@ -247,9 +313,11 @@ def grouped_topk_events(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
     def final(g: pa.Table) -> pa.Table:
         return cut(g, with_rank=True)
 
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
     ds = _events(sf_dir, ["event_id", "user_id", "value"])
     ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return ds.groupby("user_id").map_groups(final, batch_format="pyarrow")
+    return shard_map_groups(ds, ["user_id"], final)
 
 
 GROUPED_TOPK_EVENTS_SQL = """
@@ -281,29 +349,51 @@ def user_value_quantiles(sf_dir: str) -> "ray.data.Dataset":
     """
 
     def q(g: pa.Table) -> pa.Table:
-        val = g.column("value").to_numpy(zero_copy_only=False)
-        # one isnan filter drops BOTH NULLs (NaN after to_numpy) and
+        # sort by (user, value): Arrow places NaN after all numbers and
+        # NULL after NaN, so each run is [finite asc | NaN | NULL] and
+        # the finite prefix length is the run's quantile population.
+        # isnan-after-to_numpy drops BOTH NULLs (NaN placeholder) and
         # valid NaN values: measured DuckDB behavior — quantile_disc
         # ignores NaN exactly like NULL even though ORDER BY sorts NaN
         # as the greatest value (probed: quantile_disc(0.9) over
         # [1,2,NaN,3] = 3.0, not NaN)
-        val = val[~np.isnan(val)]
-        user = g.column("user_id")[0].as_py()
-        if len(val) == 0:  # all-NULL/NaN group -> NULL quantiles, like SQL
-            med = p90 = [None]
-        else:
-            med = [float(np.quantile(val, 0.5, method="inverted_cdf"))]
-            p90 = [float(np.quantile(val, 0.9, method="inverted_cdf"))]
+        g = _sorted_shard(g, keys=(("user_id", "ascending"), ("value", "ascending")))
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "median_value": pa.array([], pa.float64()),
+                    "p90_value": pa.array([], pa.float64()),
+                }
+            )
+        first, _ = _uid_runs(g.column("user_id"))
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], n)
+        val = g.column("value").to_numpy(zero_copy_only=False)
+        finite = ~np.isnan(val)
+        P = np.concatenate(([0], np.cumsum(finite.astype(np.int64))))
+        n_valid = P[ends] - P[starts]
+        has = n_valid > 0
+        nv = np.maximum(n_valid, 1)
+        # inverted_cdf selection: element at ceil(q*n)-1 of the finite
+        # prefix (verified == quantile_disc across parities in pytest)
+        med_idx = starts + np.ceil(0.5 * nv).astype(np.int64) - 1
+        p90_idx = starts + np.ceil(0.9 * nv).astype(np.int64) - 1
+        med = val[med_idx]
+        p90 = val[p90_idx]
         return pa.table(
             {
-                "user_id": pa.array([user], pa.int64()),
-                "median_value": pa.array(med, pa.float64()),
-                "p90_value": pa.array(p90, pa.float64()),
+                "user_id": g.column("user_id").take(pa.array(starts)),
+                "median_value": pa.array(med, pa.float64(), mask=~has),
+                "p90_value": pa.array(p90, pa.float64(), mask=~has),
             }
         )
 
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
     ds = _events(sf_dir, ["user_id", "value"])
-    return ds.groupby("user_id").map_groups(q, batch_format="pyarrow")
+    return shard_map_groups(ds, ["user_id"], q)
 
 
 USER_VALUE_QUANTILES_SQL = """
@@ -322,36 +412,42 @@ def events_lag_lead(sf_dir: str) -> "ray.data.Dataset":
     NULL-vs-valid-NaN distinction must survive the shift (a lag of a
     NULL is NULL; a lag of a stored NaN is NaN).
 
-    Same one-shuffle per-key plan as the rest of this module: hash
-    partition on user_id, per-group vectorized shift of the sorted
-    arrays. First/last rows of a group get NULL, exactly as SQL's
+    One coarse-shard exchange (stages/agg.py): the shard kernel sorts
+    by (user, ts, event_id) once and applies the shifts over run
+    boundaries — first/last rows of a RUN get NULL, exactly as SQL's
     default one-row offset with no fill does."""
 
     def shift(g: pa.Table) -> pa.Table:
-        order, ts_s, eid_s = _sorted_group(g)
-        val_s = g.column("value").to_numpy(zero_copy_only=False)[order]
-        valid_s = pc.is_valid(g.column("value")).to_numpy(zero_copy_only=False)[order]
-        n = len(ts_s)
-        user = g.column("user_id")[0].as_py()
+        g = _sorted_shard(g)
+        n = g.num_rows
+        if n == 0:
+            return g
+        first, _ = _uid_runs(g.column("user_id"))
+        last = np.concatenate((first[1:], [True]))
+        ts_s = g.column("ts").cast(pa.int64()).to_numpy()
+        val_s = g.column("value").to_numpy(zero_copy_only=False)
+        valid_s = pc.is_valid(g.column("value")).to_numpy(zero_copy_only=False)
         prev_val = np.concatenate(([0.0], val_s[:-1]))
-        prev_valid = np.concatenate(([False], valid_s[:-1]))
+        prev_valid = np.concatenate(([False], valid_s[:-1])) & ~first
         next_val = np.concatenate((val_s[1:], [0.0]))
-        next_valid = np.concatenate((valid_s[1:], [False]))
+        next_valid = np.concatenate((valid_s[1:], [False])) & ~last
         prev_ts = np.concatenate(([0], ts_s[:-1]))
-        has_prev = np.arange(n) > 0
+        has_prev = ~first
         return pa.table(
             {
-                "event_id": pa.array(eid_s, pa.int64()),
-                "user_id": pa.array(np.full(n, user), pa.int64()),
-                "ts": pa.array(ts_s, pa.int64()).cast(pa.timestamp("us")),
+                "event_id": g.column("event_id"),
+                "user_id": g.column("user_id"),
+                "ts": g.column("ts"),
                 "prev_value": pa.array(prev_val, pa.float64(), mask=~prev_valid),
                 "next_value": pa.array(next_val, pa.float64(), mask=~next_valid),
                 "prev_ts": pa.array(prev_ts, pa.int64(), mask=~has_prev).cast(pa.timestamp("us")),
             }
         )
 
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
     ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
-    return ds.groupby("user_id").map_groups(shift, batch_format="pyarrow")
+    return shard_map_groups(ds, ["user_id"], shift)
 
 
 EVENTS_LAG_LEAD_SQL = """
@@ -379,26 +475,39 @@ def events_cumsum(sf_dir: str) -> "ray.data.Dataset":
     NaN poison the cumsum arithmetic."""
 
     def cumulate(g: pa.Table) -> pa.Table:
-        order, ts_s, eid_s = _sorted_group(g)
-        val_s = g.column("value").to_numpy(zero_copy_only=False)[order]
-        valid = pc.is_valid(g.column("value")).to_numpy(zero_copy_only=False)[order]
+        g = _sorted_shard(g)
+        n = g.num_rows
+        if n == 0:
+            return g
+        first, run_start = _uid_runs(g.column("user_id"))
+        val_s = g.column("value").to_numpy(zero_copy_only=False)
+        valid = pc.is_valid(g.column("value")).to_numpy(zero_copy_only=False)
         is_nan = valid & np.isnan(val_s)
-        csum = np.round(np.cumsum(np.where(valid & ~is_nan, val_s, 0.0)), 2)
-        n_valid = np.cumsum(valid.astype(np.int64))
-        csum = np.where(np.cumsum(is_nan.astype(np.int64)) > 0, np.nan, csum)
-        user = g.column("user_id")[0].as_py()
+        contrib = np.where(valid & ~is_nan, val_s, 0.0)
+        # per-run running totals = global cumsum minus the value of the
+        # global cumsum just BEFORE each run's first row
+        s = np.cumsum(contrib)
+        base_s = (s - contrib)[run_start]
+        csum = np.round(s - base_s, 2)
+        cv = np.cumsum(valid.astype(np.int64))
+        n_valid = cv - (cv - valid.astype(np.int64))[run_start]
+        cn = np.cumsum(is_nan.astype(np.int64))
+        nan_seen = cn - (cn - is_nan.astype(np.int64))[run_start]
+        csum = np.where(nan_seen > 0, np.nan, csum)
         return pa.table(
             {
-                "event_id": pa.array(eid_s, pa.int64()),
-                "user_id": pa.array(np.full(len(ts_s), user), pa.int64()),
-                "ts": pa.array(ts_s, pa.int64()).cast(pa.timestamp("us")),
+                "event_id": g.column("event_id"),
+                "user_id": g.column("user_id"),
+                "ts": g.column("ts"),
                 "cum_value": pa.array(csum, pa.float64(), mask=n_valid == 0),
                 "cum_n": pa.array(n_valid, pa.int64()),
             }
         )
 
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
     ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
-    return ds.groupby("user_id").map_groups(cumulate, batch_format="pyarrow")
+    return shard_map_groups(ds, ["user_id"], cumulate)
 
 
 EVENTS_CUMSUM_SQL = """
@@ -429,20 +538,27 @@ def range_join_counts(sf_dir: str) -> "ray.data.Dataset":
     The SQL oracle is a correlated range-predicate subquery."""
 
     def band(g: pa.Table) -> pa.Table:
-        order, ts_s, eid_s = _sorted_group(g)
-        lo = np.searchsorted(ts_s, ts_s - US_PER_5MIN, side="left")
-        hi = np.searchsorted(ts_s, ts_s + US_PER_5MIN, side="right")
-        user = g.column("user_id")[0].as_py()
+        g = _sorted_shard(g)
+        n = g.num_rows
+        if n == 0:
+            return g
+        _, run_start = _uid_runs(g.column("user_id"))
+        ts_s = g.column("ts").cast(pa.int64()).to_numpy()
+        key = _run_local_key(ts_s, run_start, US_PER_5MIN)
+        lo = np.searchsorted(key, key - US_PER_5MIN, side="left")
+        hi = np.searchsorted(key, key + US_PER_5MIN, side="right")
         return pa.table(
             {
-                "event_id": pa.array(eid_s, pa.int64()),
-                "user_id": pa.array(np.full(len(ts_s), user), pa.int64()),
+                "event_id": g.column("event_id"),
+                "user_id": g.column("user_id"),
                 "n_near": pa.array(hi - lo - 1, pa.int64()),
             }
         )
 
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
     ds = _events(sf_dir, ["event_id", "user_id", "ts"])
-    return ds.groupby("user_id").map_groups(band, batch_format="pyarrow")
+    return shard_map_groups(ds, ["user_id"], band)
 
 
 RANGE_JOIN_COUNTS_SQL = """
@@ -471,28 +587,48 @@ def events_ranked(sf_dir: str, n_tiles: int = 4) -> "ray.data.Dataset":
     module."""
 
     def rank_group(g: pa.Table) -> pa.Table:
-        order, ts_s, eid_s = _sorted_group(g)
-        n = len(ts_s)
-        new = np.concatenate(([True], ts_s[1:] != ts_s[:-1]))
-        rnk = np.maximum.accumulate(np.where(new, np.arange(n) + 1, 0))
-        drnk = np.cumsum(new)
-        k = min(n_tiles, n) if n else 0
-        sizes = np.full(k, n // n_tiles, dtype=np.int64) + (np.arange(k) < n % n_tiles)
-        tile = np.searchsorted(np.cumsum(sizes), np.arange(n), side="right") + 1
-        user = g.column("user_id")[0].as_py()
+        g = _sorted_shard(g)
+        n = g.num_rows
+        if n == 0:
+            return g
+        first_u, run_start = _uid_runs(g.column("user_id"))
+        ts_s = g.column("ts").cast(pa.int64()).to_numpy()
+        new = first_u.copy()
+        new[1:] |= ts_s[1:] != ts_s[:-1]
+        pos = np.arange(n)
+        # global 1-based position of the last peer-group start at-or-
+        # before each row; minus the user's offset = SQL rank. The
+        # accumulated value is globally increasing, so it can never
+        # leak a previous user's rank across a boundary.
+        gmax = np.maximum.accumulate(np.where(new, pos + 1, 0))
+        rnk = gmax - run_start
+        c = np.cumsum(new)
+        drnk = c - (c - new)[run_start]
+        # ntile over the pinned (ts, event_id) row order: first n%k
+        # tiles get the extra row
+        ends = np.append(np.flatnonzero(first_u)[1:], n)
+        n_user = (ends - np.flatnonzero(first_u))[np.cumsum(first_u) - 1]
+        p = pos - run_start
+        cut = n_user % n_tiles
+        big = n_user // n_tiles + 1
+        small = np.maximum(n_user // n_tiles, 1)
+        in_big = p < cut * big
+        tile = np.where(in_big, p // big, cut + (p - cut * big) // small) + 1
         return pa.table(
             {
-                "event_id": pa.array(eid_s, pa.int64()),
-                "user_id": pa.array(np.full(n, user), pa.int64()),
-                "ts": pa.array(ts_s, pa.int64()).cast(pa.timestamp("us")),
+                "event_id": g.column("event_id"),
+                "user_id": g.column("user_id"),
+                "ts": g.column("ts"),
                 "rnk": pa.array(rnk, pa.int64()),
                 "drnk": pa.array(drnk, pa.int64()),
-                "tile": pa.array(tile, pa.int64()),
+                "tile": pa.array(tile.astype(np.int64), pa.int64()),
             }
         )
 
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
     ds = _events(sf_dir, ["event_id", "user_id", "ts"])
-    return ds.groupby("user_id").map_groups(rank_group, batch_format="pyarrow")
+    return shard_map_groups(ds, ["user_id"], rank_group)
 
 
 EVENTS_RANKED_SQL = """
@@ -520,28 +656,41 @@ def events_percent_rank(sf_dir: str) -> "ray.data.Dataset":
     bound as the rest of this module."""
 
     def pr_group(g: pa.Table) -> pa.Table:
-        order, ts_s, eid_s = _sorted_group(g)
-        n = len(ts_s)
-        new = np.concatenate(([True], ts_s[1:] != ts_s[:-1]))
-        rnk = np.maximum.accumulate(np.where(new, np.arange(n) + 1, 0))
-        run_id = np.cumsum(new) - 1
-        starts = np.flatnonzero(new)
-        ends = np.append(starts[1:], n)  # one past each run's last row
-        pr = (rnk - 1) / (n - 1) if n > 1 else np.zeros(n, dtype=np.float64)
-        cume = ends[run_id] / n
-        user = g.column("user_id")[0].as_py()
+        g = _sorted_shard(g)
+        n = g.num_rows
+        if n == 0:
+            return g
+        first_u, run_start = _uid_runs(g.column("user_id"))
+        ts_s = g.column("ts").cast(pa.int64()).to_numpy()
+        new = first_u.copy()
+        new[1:] |= ts_s[1:] != ts_s[:-1]
+        pos = np.arange(n)
+        gmax = np.maximum.accumulate(np.where(new, pos + 1, 0))
+        rnk = gmax - run_start
+        # per-user row count, broadcast per row
+        u_starts = np.flatnonzero(first_u)
+        u_ends = np.append(u_starts[1:], n)
+        n_user = (u_ends - u_starts)[np.cumsum(first_u) - 1]
+        # global index ONE PAST each row's ts-peer-group (backward fill
+        # of peer-group last positions), then user-localized for cume
+        last_of_run = np.append(new[1:], True)
+        peer_end = np.minimum.accumulate(np.where(last_of_run, pos, n)[::-1])[::-1] + 1
+        pr = np.where(n_user > 1, (rnk - 1) / np.maximum(n_user - 1, 1), 0.0)
+        cume = (peer_end - run_start) / n_user
         return pa.table(
             {
-                "event_id": pa.array(eid_s, pa.int64()),
-                "user_id": pa.array(np.full(n, user), pa.int64()),
-                "ts": pa.array(ts_s, pa.int64()).cast(pa.timestamp("us")),
+                "event_id": g.column("event_id"),
+                "user_id": g.column("user_id"),
+                "ts": g.column("ts"),
                 "pct_rank": pa.array(pr, pa.float64()),
                 "cume": pa.array(cume, pa.float64()),
             }
         )
 
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
     ds = _events(sf_dir, ["event_id", "user_id", "ts"])
-    return ds.groupby("user_id").map_groups(pr_group, batch_format="pyarrow")
+    return shard_map_groups(ds, ["user_id"], pr_group)
 
 
 EVENTS_PERCENT_RANK_SQL = """
@@ -566,22 +715,46 @@ def user_event_paths(sf_dir: str) -> "ray.data.Dataset":
     validity mask before the join."""
 
     def concat_group(g: pa.Table) -> pa.Table:
-        order, ts_s, eid_s = _sorted_group(g)
-        et = g.column("event_type")
-        et_s = et.to_numpy(zero_copy_only=False)[order]
-        valid = pc.is_valid(et).to_numpy(zero_copy_only=False)[order]
-        path = ">".join(et_s[valid]) if valid.any() else None
-        user = g.column("user_id")[0].as_py()
+        g = _sorted_shard(g)
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "path": pa.array([], pa.string()),
+                }
+            )
+        first_u, _ = _uid_runs(g.column("user_id"))
+        starts = np.flatnonzero(first_u)
+        ends = np.append(starts[1:], n)
+        et = g.column("event_type").combine_chunks()
+        valid = pc.is_valid(et).to_numpy(zero_copy_only=False)
+        # users are contiguous and filtering preserves order, so the
+        # non-null tokens of user r occupy one contiguous slice of the
+        # filtered values — a ListArray over those offsets turns the
+        # whole shard's string_agg into ONE pc.binary_join kernel call
+        P = np.concatenate(([0], np.cumsum(valid.astype(np.int64))))
+        n_valid = P[ends] - P[starts]
+        offsets = np.concatenate(([0], np.cumsum(n_valid))).astype(np.int32)
+        vals = et.filter(pa.array(valid))
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), vals),
+            ">",
+        )
+        path = pc.if_else(pa.array(n_valid > 0), joined, pa.scalar(None, pa.string()))
         return pa.table(
             {
-                "user_id": pa.array([user], pa.int64()),
-                "n_events": pa.array([len(ts_s)], pa.int64()),
-                "path": pa.array([path], pa.string()),
+                "user_id": g.column("user_id").take(pa.array(starts)),
+                "n_events": pa.array(ends - starts, pa.int64()),
+                "path": path,
             }
         )
 
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
     ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
-    return ds.groupby("user_id").map_groups(concat_group, batch_format="pyarrow")
+    return shard_map_groups(ds, ["user_id"], concat_group)
 
 
 USER_EVENT_PATHS_SQL = """
