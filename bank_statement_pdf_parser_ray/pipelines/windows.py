@@ -787,38 +787,57 @@ def user_funnel(sf_dir: str) -> "ray.data.Dataset":
 
     def funnel(g: pa.Table) -> pa.Table:
         g = g.filter(pc.is_valid(g.column("ts")))
-        users, t1s, t2s, t3s, stages = [], [], [], [], []
-        if g.num_rows:
-            et = g.column("event_type").to_numpy(zero_copy_only=False)
-            ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-            view_ts = ts[et == "view"]
-            if len(view_ts):
-                user = g.column("user_id")[0].as_py()
-                t1 = int(view_ts.min())
-                t2 = t3 = None
-                if user is not None:  # SQL join-on-NULL matches nothing
-                    c = ts[(et == "click") & (ts > t1)]
-                    if len(c):
-                        t2 = int(c.min())
-                        p = ts[(et == "purchase") & (ts > t2)]
-                        if len(p):
-                            t3 = int(p.min())
-                users.append(user)
-                t1s.append(t1)
-                t2s.append(t2)
-                t3s.append(t3)
-                stages.append(1 + (t2 is not None) + (t3 is not None))
+        g = _sorted_shard(g, keys=(("user_id", "ascending"), ("ts", "ascending")))
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "t1": pa.array([], pa.timestamp("us")),
+                    "t2": pa.array([], pa.timestamp("us")),
+                    "t3": pa.array([], pa.timestamp("us")),
+                    "stage": pa.array([], pa.int64()),
+                }
+            )
+        first, run_start = _uid_runs(g.column("user_id"))
+        starts = np.flatnonzero(first)
+        run_of = np.cumsum(first) - 1
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        uvalid = pc.is_valid(g.column("user_id")).to_numpy(zero_copy_only=False)
+        BIG = np.iinfo(np.int64).max
+
+        def run_min(mask: np.ndarray) -> np.ndarray:
+            # per-run min of ts over masked rows; BIG = no row
+            return np.minimum.reduceat(np.where(mask, ts, BIG), starts)
+
+        t1 = run_min(et == "view")
+        has1 = t1 < BIG
+        # SQL join-on-NULL matches nothing: a NULL user never advances
+        t2 = run_min((et == "click") & (ts > t1[run_of]) & uvalid)
+        has2 = (t2 < BIG) & has1
+        t3 = run_min((et == "purchase") & (ts > np.where(has2, t2, BIG)[run_of]) & uvalid)
+        has3 = (t3 < BIG) & has2
+        keep = has1
         return pa.table(
             {
-                "user_id": pa.array(users, pa.int64()),
-                "t1": pa.array(t1s, pa.int64()).cast(pa.timestamp("us")),
-                "t2": pa.array(t2s, pa.int64()).cast(pa.timestamp("us")),
-                "t3": pa.array(t3s, pa.int64()).cast(pa.timestamp("us")),
-                "stage": pa.array(stages, pa.int64()),
+                "user_id": g.column("user_id").take(pa.array(starts[keep])),
+                "t1": pa.array(t1[keep], pa.int64()).cast(pa.timestamp("us")),
+                "t2": pa.array(np.where(has2, t2, 0)[keep], pa.int64(), mask=~has2[keep]).cast(
+                    pa.timestamp("us")
+                ),
+                "t3": pa.array(np.where(has3, t3, 0)[keep], pa.int64(), mask=~has3[keep]).cast(
+                    pa.timestamp("us")
+                ),
+                "stage": pa.array(
+                    (1 + has2.astype(np.int64) + has3.astype(np.int64))[keep], pa.int64()
+                ),
             }
         )
 
-    return ds.groupby("user_id").map_groups(funnel, batch_format="pyarrow")
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
+    return shard_map_groups(ds, ["user_id"], funnel)
 
 
 USER_FUNNEL_SQL = """
@@ -858,24 +877,49 @@ def events_resampled(sf_dir: str) -> "ray.data.Dataset":
     ds = _events(sf_dir, ["user_id", "ts", "value"], flt=flt)
 
     def regrid(g: pa.Table) -> pa.Table:
+        g = _sorted_shard(g, keys=(("user_id", "ascending"), ("ts", "ascending")))
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "h": pa.array([], pa.int64()),
+                    "total": pa.array([], pa.float64()),
+                }
+            )
+        first, run_start = _uid_runs(g.column("user_id"))
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], n)
         ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
         # float divide BEFORE floor: negative timestamps floor correctly
         h = np.floor(ts / 3.6e9).astype(np.int64)
         v = g.column("value").to_numpy(zero_copy_only=False)
         v = np.where(np.isnan(v), 0.0, v)
-        h0, h1 = int(h.min()), int(h.max())
-        total = np.zeros(h1 - h0 + 1)
-        np.add.at(total, h - h0, v)
-        user = g.column("user_id")[0].as_py()
+        # ts-sorted runs ⇒ h sorted within run: h0/h1 at run bounds
+        h0 = h[starts]
+        h1 = h[ends - 1]
+        lens = h1 - h0 + 1
+        off = np.concatenate(([0], np.cumsum(lens)))  # grid offset per run
+        total = np.zeros(int(off[-1]))
+        run_of = np.cumsum(first) - 1
+        np.add.at(total, off[run_of] + (h - h0[run_of]), v)
+        # dense per-user hour grid, one arange over the whole shard
+        grid_pos = np.arange(int(off[-1]))
+        grid_run = np.searchsorted(off, grid_pos, side="right") - 1
+        h_grid = h0[grid_run] + (grid_pos - off[grid_run])
         return pa.table(
             {
-                "user_id": pa.array(np.full(len(total), user), pa.int64()),
-                "h": pa.array(np.arange(h0, h1 + 1), pa.int64()),
+                "user_id": g.column("user_id")
+                .take(pa.array(starts))
+                .take(pa.array(grid_run)),
+                "h": pa.array(h_grid, pa.int64()),
                 "total": pa.array(np.round(total, 6), pa.float64()),
             }
         )
 
-    return ds.groupby("user_id").map_groups(regrid, batch_format="pyarrow")
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
+    return shard_map_groups(ds, ["user_id"], regrid)
 
 
 EVENTS_RESAMPLED_SQL = """
@@ -925,11 +969,38 @@ def latest_events(sf_dir: str) -> "ray.data.Dataset":
     |key pairs| x blocks rows), then one groupby.map_groups picks the
     global winner. Same plan compacts a 100 TB changelog: the partial
     cut is the combiner, the shuffle carries only per-block winners."""
+    def latest_final(g: pa.Table) -> pa.Table:
+        # Arrow sort (null-safe run grouping: NULL keys sort together)
+        # then run-first selection — one kernel for every key pair in
+        # the shard
+        g = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[
+                    ("user_id", "ascending"),
+                    ("event_type", "ascending"),
+                    ("ts", "descending"),
+                    ("event_id", "descending"),
+                ],
+            )
+        )
+        n = g.num_rows
+        if n == 0:
+            return g
+        first_u, _ = _uid_runs(g.column("user_id"))
+        et = g.column("event_type").combine_chunks()
+        codes = pc.dictionary_encode(et).indices
+        ec = pc.fill_null(codes, -1).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        first = first_u.copy()
+        if n > 1:
+            first[1:] |= ec[1:] != ec[:-1]
+        return g.filter(pa.array(first))
+
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
     ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
     ds = ds.map_batches(_latest_cut, batch_format="pyarrow", zero_copy_batch=True)
-    return ds.groupby(["user_id", "event_type"]).map_groups(
-        _latest_cut, batch_format="pyarrow"
-    )
+    return shard_map_groups(ds, ["user_id"], latest_final)
 
 
 LATEST_EVENTS_SQL = """
@@ -953,20 +1024,40 @@ def user_value_median(sf_dir: str) -> "ray.data.Dataset":
     key set matches SQL GROUP BY)."""
 
     def med(g: pa.Table) -> pa.Table:
-        v = g.column("value").to_numpy(zero_copy_only=False)
-        v = np.sort(v[~np.isnan(v)])  # to_numpy maps NULL -> NaN too
-        if len(v) == 0:
-            m = pa.array([None], pa.float64())
-        else:
-            h = (len(v) - 1) * 0.5
-            l = int(h)
-            lo = float(v[l])
-            hi = float(v[min(l + 1, len(v) - 1)])
-            m = pa.array([lo + (h - l) * (hi - lo)], pa.float64())
-        return pa.table({"user_id": g.column("user_id").slice(0, 1), "med": m})
+        # same run-offset layout as user_value_quantiles: sort by
+        # (user, value) so finite values form each run's prefix, then
+        # interpolate with vectorized index arithmetic
+        g = _sorted_shard(g, keys=(("user_id", "ascending"), ("value", "ascending")))
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()), "med": pa.array([], pa.float64())}
+            )
+        first, _ = _uid_runs(g.column("user_id"))
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], n)
+        val = g.column("value").to_numpy(zero_copy_only=False)
+        finite = ~np.isnan(val)  # to_numpy maps NULL -> NaN too
+        P = np.concatenate(([0], np.cumsum(finite.astype(np.int64))))
+        nv = P[ends] - P[starts]
+        has = nv > 0
+        nv1 = np.maximum(nv, 1)
+        h = (nv1 - 1) * 0.5
+        l = np.floor(h).astype(np.int64)
+        lo = val[starts + l]
+        hi = val[starts + np.minimum(l + 1, nv1 - 1)]
+        m = lo + (h - l) * (hi - lo)
+        return pa.table(
+            {
+                "user_id": g.column("user_id").take(pa.array(starts)),
+                "med": pa.array(m, pa.float64(), mask=~has),
+            }
+        )
+
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
 
     ds = _events(sf_dir, ["user_id", "value"])
-    return ds.groupby("user_id").map_groups(med, batch_format="pyarrow")
+    return shard_map_groups(ds, ["user_id"], med)
 
 
 USER_VALUE_MEDIAN_SQL = """
@@ -1007,17 +1098,25 @@ def event_transitions(sf_dir: str) -> "ray.data.Dataset":
         )
         if g.num_rows < 2:
             return empty
-        order, _ts, _eid = _sorted_group(g)
-        et = g.column("event_type").take(pa.array(order, pa.int64()))
-        pairs = pa.table({"src": et.slice(0, len(et) - 1), "dst": et.slice(1)})
+        g = _sorted_shard(g)
+        first, _ = _uid_runs(g.column("user_id"))
+        et = g.column("event_type").combine_chunks()
+        n = len(et)
+        # adjacent pairs that do not cross a user boundary
+        within = ~first[1:]
+        pairs = pa.table({"src": et.slice(0, n - 1), "dst": et.slice(1)}).filter(
+            pa.array(within)
+        )
         pairs = pairs.filter(pc.is_valid(pairs.column("dst")))
         if pairs.num_rows == 0:
             return empty
         agg = pa.TableGroupBy(pairs, ["src", "dst"]).aggregate([([], "count_all")])
         return agg.rename_columns(["src", "dst", "p_n"])
 
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
     ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
-    partial = ds.groupby("user_id").map_groups(trans, batch_format="pyarrow")
+    partial = shard_map_groups(ds, ["user_id"], trans)
     return partial.groupby(["src", "dst"]).aggregate(Sum("p_n", alias_name="n"))
 
 
@@ -1055,18 +1154,40 @@ def cohort_retention(sf_dir: str) -> "ray.data.Dataset":
     ds = _events(sf_dir, ["user_id", "ts"], flt=flt)
 
     def per_user(g: pa.Table) -> pa.Table:
-        ts = g.column("ts").cast(pa.int64()).to_numpy()
-        weeks = np.unique(np.floor(ts / float(US_PER_WEEK)).astype(np.int64))
-        w0 = int(weeks[0])
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "cohort_week": pa.array([], pa.int64()),
+                    "week_offset": pa.array([], pa.int64()),
+                    "p_n": pa.array([], pa.int64()),
+                }
+            )
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = np.floor(ts / float(US_PER_WEEK)).astype(np.int64)
+        # distinct (user, week), then run boundaries give w0 per user
+        d = pa.TableGroupBy(
+            pa.table({"user_id": g.column("user_id"), "w": pa.array(w, pa.int64())}),
+            ["user_id", "w"],
+        ).aggregate([([], "count_all")])
+        d = d.take(
+            pc.sort_indices(
+                d, sort_keys=[("user_id", "ascending"), ("w", "ascending")]
+            )
+        )
+        first, run_start = _uid_runs(d.column("user_id"))
+        wk = d.column("w").to_numpy(zero_copy_only=False)
+        w0 = wk[run_start]
         return pa.table(
             {
-                "cohort_week": pa.array(np.full(len(weeks), w0), pa.int64()),
-                "week_offset": pa.array(weeks - w0, pa.int64()),
-                "p_n": pa.array(np.ones(len(weeks), dtype=np.int64)),
+                "cohort_week": pa.array(w0, pa.int64()),
+                "week_offset": pa.array(wk - w0, pa.int64()),
+                "p_n": pa.array(np.ones(len(wk), dtype=np.int64)),
             }
         )
 
-    partial = ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
+    partial = shard_map_groups(ds, ["user_id"], per_user)
     return partial.groupby(["cohort_week", "week_offset"]).aggregate(
         Sum("p_n", alias_name="n_users")
     )
@@ -1107,32 +1228,52 @@ def user_value_trend(sf_dir: str) -> "ray.data.Dataset":
     (order-dependent float sums)."""
 
     def trend(g: pa.Table) -> pa.Table:
+        g = _sorted_shard(g, keys=(("user_id", "ascending"),))
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "slope": pa.array([], pa.float64()),
+                    "intercept": pa.array([], pa.float64()),
+                }
+            )
+        first, run_start = _uid_runs(g.column("user_id"))
+        starts = np.flatnonzero(first)
+        run_of = np.cumsum(first) - 1
         ts = g.column("ts")
         v = g.column("value").to_numpy(zero_copy_only=False)
         ok = pc.is_valid(ts).to_numpy(zero_copy_only=False) & ~np.isnan(v)
-        user = g.column("user_id")[0].as_py()
-        slope = intercept = None
-        n = int(ok.sum())
-        if n >= 1:
-            x = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)[ok] / 3.6e9
-            y = v[ok]
-            mx, my = x.mean(), y.mean()
-            sxx = float(((x - mx) ** 2).sum())
-            if sxx > 0.0:
-                slope = float(((x - mx) * (y - my)).sum()) / sxx
-                intercept = my - slope * mx
+        x = np.where(
+            ok, pc.fill_null(ts.cast(pa.int64()), 0).to_numpy(zero_copy_only=False) / 3.6e9, 0.0
+        )
+        y = np.where(ok, v, 0.0)
+        # two reduceat passes: per-run means, then centered co-moments
+        # (centering per run keeps the numerics of the per-group kernel)
+        cnt = np.add.reduceat(ok.astype(np.float64), starts)
+        sx = np.add.reduceat(x, starts)
+        sy = np.add.reduceat(y, starts)
+        safe = np.maximum(cnt, 1.0)
+        mx, my = sx / safe, sy / safe
+        dx = np.where(ok, x - mx[run_of], 0.0)
+        dy = np.where(ok, y - my[run_of], 0.0)
+        sxx = np.add.reduceat(dx * dx, starts)
+        sxy = np.add.reduceat(dx * dy, starts)
+        has = (cnt >= 1.0) & (sxx > 0.0)
+        slope = np.where(has, sxy / np.where(sxx > 0, sxx, 1.0), np.nan)
+        intercept = my - slope * mx
         return pa.table(
             {
-                "user_id": pa.array([user], pa.int64()),
-                "slope": pa.array([None if slope is None else round(slope, 6)], pa.float64()),
-                "intercept": pa.array(
-                    [None if intercept is None else round(intercept, 6)], pa.float64()
-                ),
+                "user_id": g.column("user_id").take(pa.array(starts)),
+                "slope": pa.array(np.round(slope, 6), pa.float64(), mask=~has),
+                "intercept": pa.array(np.round(intercept, 6), pa.float64(), mask=~has),
             }
         )
 
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
     ds = _events(sf_dir, ["user_id", "ts", "value"])
-    return ds.groupby("user_id").map_groups(trend, batch_format="pyarrow")
+    return shard_map_groups(ds, ["user_id"], trend)
 
 
 USER_VALUE_TREND_SQL = """
@@ -1166,21 +1307,37 @@ def user_coverage(sf_dir: str) -> "ray.data.Dataset":
     NULL user rows are excluded on both sides."""
 
     def cover(g: pa.Table) -> pa.Table:
-        s = np.sort(g.column("ts").cast(pa.int64()).to_numpy())
-        e = s + SESSION_US
-        prev_max = np.concatenate(([np.iinfo(np.int64).min], np.maximum.accumulate(e)[:-1]))
-        lo = np.maximum(s, prev_max)
-        covered = int(np.maximum(e - lo, 0).sum())
+        g = _sorted_shard(g, keys=(("user_id", "ascending"), ("ts", "ascending")))
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()), "covered_us": pa.array([], pa.int64())}
+            )
+        first, _ = _uid_runs(g.column("user_id"))
+        s = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # fixed-length intervals sorted by start ⇒ ends are sorted too,
+        # so the running max of prior ends is simply the PREVIOUS end:
+        # each row covers min(s_i − s_{i−1}, L); a run's first covers L
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = SESSION_US
+        gap[1:] = np.minimum(s[1:] - s[:-1], SESSION_US)
+        gap[first] = SESSION_US
+        starts = np.flatnonzero(first)
+        P = np.concatenate(([0], np.cumsum(gap)))
+        ends = np.append(starts[1:], n)
+        covered = P[ends] - P[starts]
         return pa.table(
             {
-                "user_id": g.column("user_id").slice(0, 1),
-                "covered_us": pa.array([covered], pa.int64()),
+                "user_id": g.column("user_id").take(pa.array(starts)),
+                "covered_us": pa.array(covered, pa.int64()),
             }
         )
 
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
     flt = pc.is_valid(pc.field("ts")) & pc.is_valid(pc.field("user_id"))
     ds = _events(sf_dir, ["user_id", "ts"], flt=flt)
-    return ds.groupby("user_id").map_groups(cover, batch_format="pyarrow")
+    return shard_map_groups(ds, ["user_id"], cover)
 
 
 USER_COVERAGE_SQL = """
