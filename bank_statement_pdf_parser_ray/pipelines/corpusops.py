@@ -486,20 +486,56 @@ def build_index(sf_dir: str) -> "ray.data.Dataset":
         return pa.TableGroupBy(local, ["word", "doc_id"]).aggregate([])
 
     def posting(g: pa.Table) -> pa.Table:
-        ids = np.sort(g.column("doc_id").to_numpy(zero_copy_only=False))
-        head = ",".join(str(i) for i in ids[:INDEX_HEAD])
+        # whole-shard kernel (stages/agg.py): word runs via dictionary
+        # codes, head strings via ONE ListArray + binary_join call —
+        # the per-word map_groups it replaces paid one Python call per
+        # vocabulary word
+        g = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("word", "ascending"), ("doc_id", "ascending")]
+            )
+        )
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "word": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "postings_head": pa.array([], pa.string()),
+                }
+            )
+        codes = (
+            pc.fill_null(pc.dictionary_encode(g.column("word").combine_chunks()).indices, -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64, copy=False)
+        )
+        first = np.ones(n, dtype=bool)
+        first[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], n)
+        run_of = np.cumsum(first) - 1
+        pos_in_run = np.arange(n) - starts[run_of]
+        in_head = pos_in_run < INDEX_HEAD
+        head_vals = pc.cast(g.column("doc_id"), pa.string()).combine_chunks().filter(pa.array(in_head))
+        head_lens = np.minimum(ends - starts, INDEX_HEAD)
+        offsets = np.concatenate(([0], np.cumsum(head_lens))).astype(np.int32)
+        heads = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), head_vals), ","
+        )
         return pa.table(
             {
-                "word": g.column("word").slice(0, 1),
-                "df": pa.array([len(ids)], pa.int64()),
-                "postings_head": pa.array([head], pa.string()),
+                "word": g.column("word").take(pa.array(starts)),
+                "df": pa.array(ends - starts, pa.int64()),
+                "postings_head": heads,
             }
         )
+
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         pairs, batch_format="pyarrow", zero_copy_batch=True
     )
-    return ds.groupby("word").map_groups(posting, batch_format="pyarrow")
+    return shard_map_groups(ds, ["word"], posting)
 
 
 BUILD_INDEX_SQL = r"""

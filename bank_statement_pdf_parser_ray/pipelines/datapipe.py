@@ -3557,21 +3557,44 @@ def image_neardup(sf_dir: str) -> "ray.data.Dataset":
     )
 
     def cluster(g: pa.Table) -> pa.Table:
+        # whole-shard kernel: hash runs give rep (first id) and size;
         # total output (singletons keep cluster_size=1): dedup is the
         # caller's filter cluster_rep != media_id, and the result never
         # collapses to a schemaless empty dataset on a clean corpus
-        ids = np.sort(g.column("media_id").to_numpy())
-        n = len(ids)
+        g = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("ahash", "ascending"), ("media_id", "ascending")]
+            )
+        )
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "media_id": pa.array([], pa.int64()),
+                    "ahash": pa.array([], pa.int64()),
+                    "cluster_rep": pa.array([], pa.int64()),
+                    "cluster_size": pa.array([], pa.int64()),
+                }
+            )
+        ah = g.column("ahash").to_numpy(zero_copy_only=False)
+        first = np.ones(n, dtype=bool)
+        first[1:] = ah[1:] != ah[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], n)
+        run_of = np.cumsum(first) - 1
+        ids = g.column("media_id").to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
-                "ahash": g.column("ahash").take(pa.array(np.zeros(n, dtype=np.int64))),
-                "cluster_rep": pa.array(np.full(n, ids[0]), pa.int64()),
-                "cluster_size": pa.array(np.full(n, n), pa.int64()),
+                "ahash": g.column("ahash"),
+                "cluster_rep": pa.array(ids[starts][run_of], pa.int64()),
+                "cluster_size": pa.array((ends - starts)[run_of], pa.int64()),
             }
         )
 
-    return hashed.groupby("ahash").map_groups(cluster, batch_format="pyarrow")
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
+    return shard_map_groups(hashed, ["ahash"], cluster)
 
 
 def compression_ratio(sf_dir: str) -> "ray.data.Dataset":
@@ -3631,22 +3654,46 @@ def leakage_safe_split(sf_dir: str) -> "ray.data.Dataset":
         )
 
     def assign(g: pa.Table) -> pa.Table:
-        ids = np.sort(g.column("doc_id").to_numpy())
-        rep = int(ids[0])
-        split = _split_of(hashlib.md5(str(rep).encode("ascii")).hexdigest())
-        n = len(ids)
+        # whole-shard kernel: hash runs via dictionary codes; one md5
+        # per CLUSTER REP (the oracle's split function) is the only
+        # remaining per-group work, batched in a single comprehension
+        g = g.take(
+            pc.sort_indices(g, sort_keys=[("h", "ascending"), ("doc_id", "ascending")])
+        )
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "cluster_rep": pa.array([], pa.int64()),
+                    "split": pa.array([], pa.string()),
+                }
+            )
+        codes = (
+            pc.fill_null(pc.dictionary_encode(g.column("h").combine_chunks()).indices, -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64, copy=False)
+        )
+        first = np.ones(n, dtype=bool)
+        first[1:] = codes[1:] != codes[:-1]
+        run_of = np.cumsum(first) - 1
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        reps = ids[np.flatnonzero(first)]
+        splits = [_split_of(hashlib.md5(str(int(r)).encode("ascii")).hexdigest()) for r in reps]
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
-                "cluster_rep": pa.array(np.full(n, rep), pa.int64()),
-                "split": pa.array([split] * n, pa.string()),
+                "cluster_rep": pa.array(reps[run_of], pa.int64()),
+                "split": pa.array(np.array(splits, dtype=object)[run_of], pa.string()),
             }
         )
+
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         add_hash, batch_format="pyarrow", zero_copy_batch=True
     )
-    return ds.groupby("h").map_groups(assign, batch_format="pyarrow")
+    return shard_map_groups(ds, ["h"], assign)
 
 
 LEAKAGE_SAFE_SPLIT_SQL = """

@@ -1346,26 +1346,56 @@ def user_first_last(sf_dir: str) -> pd.DataFrame:
         g = df.groupby("user_id", sort=False)
         return pd.concat([g.head(1), g.tail(1)]).drop_duplicates()
 
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"], kind="mergesort")
-        first, last = df.iloc[0], df.iloc[-1]
-        return pd.DataFrame(
+    def fold(g: pa.Table) -> pa.Table:
+        # whole-shard fold: sort by (user, ts, event_id); the run's
+        # first and last rows ARE the extremes (one Arrow pass for all
+        # users in the shard)
+        g = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[
+                    ("user_id", "ascending"),
+                    ("ts", "ascending"),
+                    ("event_id", "ascending"),
+                ],
+            )
+        )
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "first_event": pa.array([], pa.string()),
+                    "first_ts": pa.array([], pa.timestamp("us")),
+                    "last_event": pa.array([], pa.string()),
+                    "last_ts": pa.array([], pa.timestamp("us")),
+                }
+            )
+        uid = g.column("user_id")
+        uv = pc.fill_null(uid, 0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        un = pc.is_valid(uid).to_numpy(zero_copy_only=False)
+        first = np.ones(n, dtype=bool)
+        first[1:] = (uv[1:] != uv[:-1]) | (un[1:] != un[:-1])
+        starts = pa.array(np.flatnonzero(first))
+        lasts = pa.array(np.append(np.flatnonzero(first)[1:], n) - 1)
+        out = pa.table(
             {
-                "user_id": [first["user_id"]],
-                "first_event": [first["event_type"]],
-                "first_ts": [first["ts"]],
-                "last_event": [last["event_type"]],
-                "last_ts": [last["ts"]],
+                "user_id": uid.take(starts),
+                "first_event": g.column("event_type").take(starts),
+                "first_ts": g.column("ts").take(starts),
+                "last_event": g.column("event_type").take(lasts),
+                "last_ts": g.column("ts").take(lasts),
             }
         )
+        # the oracle's self-join USING (user_id) never matches NULL, so
+        # a NULL-user run emits nothing (pandas groupby dropped it too)
+        return out.filter(pc.is_valid(out.column("user_id")))
+
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
 
     ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
-    out = (
-        ds.map_batches(partial, batch_format="pandas", batch_size=8192)
-        .groupby("user_id")
-        .map_groups(fold, batch_format="pandas")
-        .to_pandas()
-    )
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=8192)
+    out = shard_map_groups(parts, ["user_id"], fold).to_pandas()
     out["user_id"] = out["user_id"].astype("int64")
     return out.sort_values("user_id").reset_index(drop=True)
 
