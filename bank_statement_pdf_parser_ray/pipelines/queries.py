@@ -96,20 +96,34 @@ FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.02
 """
 
 
-def topk_users(sf_dir: str) -> pd.DataFrame:
-    """O2 top-k with deterministic tie-break (count desc, user_id asc)."""
-    from ray.data.aggregate import Count
+def topk_users(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """O2 top-k with deterministic tie-break (count desc, user_id asc).
+    Per-batch partial counts pre-combine before ONE coarse-shard
+    exchange; each shard merges its users' counts and cuts to its own
+    top-k, so the driver merges at most n_shards x k rows (no global
+    sort exchange)."""
 
-    out = (
-        _read(sf_dir, "events", ["user_id"])
-        .groupby("user_id")
-        .aggregate(Count(alias_name="n"))
-        .sort(["n", "user_id"], descending=[True, False])
-        .limit(10)
-        .to_pandas()
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["user_id"]), ["user_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "p_n"])
+
+    def top_shard(g: pa.Table) -> pa.Table:
+        m = pa.TableGroupBy(g, ["user_id"]).aggregate([("p_n", "sum")])
+        m = m.rename_columns(["user_id", "n"])
+        nn = m.column("n").to_numpy(zero_copy_only=False)
+        uu = pc.fill_null(m.column("user_id"), 0).to_numpy(zero_copy_only=False)
+        top = np.lexsort((uu, -nn))[:k]
+        return m.take(pa.array(np.sort(top)))
+
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
+    parts = _read(sf_dir, "events", ["user_id"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
     )
+    out = shard_map_groups(parts, ["user_id"], top_shard).to_pandas()
+    out = out.sort_values(["n", "user_id"], ascending=[False, True]).head(k)
     out["n"] = out["n"].astype("int64")
-    return out
+    return out.reset_index(drop=True)
 
 
 TOPK_USERS_SQL = """
@@ -749,7 +763,6 @@ def full_outer_user_activity(sf_dir: str) -> pd.DataFrame:
     to NULL, because a user enters the pipeline only via rows of one of
     the two types. One shuffle moving two int64s per (user, batch)
     replaces SQL's two grouped subqueries plus an outer join."""
-    from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
         et = t.column("event_type")
@@ -765,17 +778,19 @@ def full_outer_user_activity(sf_dir: str) -> pd.DataFrame:
         ).aggregate([("p_clicks", "sum"), ("p_purch", "sum")])
         return g.rename_columns(["user_id", "p_clicks", "p_purch"])
 
+    from bank_statement_pdf_parser_ray.stages.agg import shard_aggregate
+
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["user_id", "event_type"],
         filter=pc.field("event_type").isin(["click", "purchase"]),
     )
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .aggregate(Sum("p_clicks", alias_name="n_clicks"), Sum("p_purch", alias_name="n_purchases"))
-        .to_pandas()
-    )
+    out = shard_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        [("p_clicks", "sum"), ("p_purch", "sum")],
+        ["user_id", "n_clicks", "n_purchases"],
+    ).to_pandas()
     out["n_clicks"] = out["n_clicks"].astype("Int64").replace(0, pd.NA)
     out["n_purchases"] = out["n_purchases"].astype("Int64").replace(0, pd.NA)
     return out
@@ -804,8 +819,6 @@ def events_pivot(sf_dir: str) -> pd.DataFrame:
     BEFORE the shuffle, then one small groupby sums the partials, so
     the exchange moves O(users x blocks) short int rows. Integer sums:
     bit-exact vs the CASE-WHEN SQL oracle."""
-    from ray.data.aggregate import Sum
-
     cols = [f"n_{k}" for k in _EVENT_TYPES]
 
     def partial(t: pa.Table) -> pa.Table:
@@ -819,9 +832,13 @@ def events_pivot(sf_dir: str) -> pd.DataFrame:
         g = pa.TableGroupBy(tbl, ["user_id"]).aggregate([(c, "sum") for c in cols])
         return g.rename_columns(["user_id", *cols])
 
+    from bank_statement_pdf_parser_ray.stages.agg import shard_aggregate
+
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
     ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    out = ds.groupby("user_id").aggregate(*[Sum(c, alias_name=c) for c in cols]).to_pandas()
+    out = shard_aggregate(
+        ds, ["user_id"], [(c, "sum") for c in cols], ["user_id", *cols]
+    ).to_pandas()
     for c in cols:
         out[c] = out[c].astype("int64")
     return out
