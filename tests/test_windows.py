@@ -303,6 +303,26 @@ class TestRandomizedOracleParity:
 
     @pytest.mark.parametrize("seed", [1, 2, 3])
     def test_windows_family_matches_duckdb(self, seed, tmp_path):
+        self._run_family(seed, tmp_path)
+
+    @pytest.mark.parametrize("seed", [4, 5])
+    def test_windows_family_multiuser_shards(self, seed, tmp_path, monkeypatch):
+        """Same engine-vs-DuckDB parity with the shard count FORCED to 2,
+        so every shard holds MANY whole users: exercises the run-boundary
+        logic (run-start re-localization, cross-user leak guards) that a
+        128-shard run over a handful of fuzz users mostly skips — each
+        user would otherwise land alone in its shard."""
+        from bank_statement_pdf_parser_ray.stages import agg
+
+        orig = agg.shard_map_groups
+
+        def forced(ds, keys, fn, n_shards=128, coalesce_rows=65_536):
+            return orig(ds, keys, fn, n_shards=2, coalesce_rows=coalesce_rows)
+
+        monkeypatch.setattr(agg, "shard_map_groups", forced)
+        self._run_family(seed, tmp_path)
+
+    def _run_family(self, seed, tmp_path):
         import duckdb
         import pandas as pd
         import pyarrow.parquet as pq
