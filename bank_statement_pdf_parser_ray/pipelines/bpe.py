@@ -59,7 +59,6 @@ def _word_counts(sf_dir: str, max_vocab: int) -> "ray.data.Dataset":
     """Corpus -> (word, n) vocab Dataset with the repo's pinned
     tokenizer semantics (RE2 \\s+ split, empty tokens dropped), capped
     to the ``max_vocab`` most frequent words (count desc, word asc)."""
-    from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
         words_list = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
@@ -70,11 +69,15 @@ def _word_counts(sf_dir: str, max_vocab: int) -> "ray.data.Dataset":
         g = pa.TableGroupBy(pa.table({"word": words}), ["word"]).aggregate([([], "count_all")])
         return g.rename_columns(["word", "p_n"])
 
-    vocab = (
-        _docs(sf_dir, ["text"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("word")
-        .aggregate(Sum("p_n", alias_name="n"))
+    from bank_statement_pdf_parser_ray.stages.agg import shard_aggregate
+
+    vocab = shard_aggregate(
+        _docs(sf_dir, ["text"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["word"],
+        [("p_n", "sum")],
+        ["word", "n"],
     )
     # top-V cap: distributed sort + limit, deterministic tie-break
     return vocab.sort(["n", "word"], descending=[True, False]).limit(max_vocab)

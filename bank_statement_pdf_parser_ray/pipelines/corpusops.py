@@ -335,17 +335,16 @@ def bm25_search(
         return pa.concat_tables([per_term, stats])
 
     n_total = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    refs = (
-        _docs(sf_dir, ["text"])
-        .map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("word")
-        .aggregate(
-            Sum("p_df", alias_name="df"),
-            Sum("p_tok", alias_name="tok"),
-            Sum("p_docs", alias_name="docs"),
-        )
-        .to_arrow_refs()
-    )
+    from bank_statement_pdf_parser_ray.stages.agg import shard_aggregate
+
+    refs = shard_aggregate(
+        _docs(sf_dir, ["text"]).map_batches(
+            df_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["word"],
+        [("p_df", "sum"), ("p_tok", "sum"), ("p_docs", "sum")],
+        ["word", "df", "tok", "docs"],
+    ).to_arrow_refs()
     blocks = [b for b in ray.get(list(refs)) if b.num_rows > 0]  # ONE batched fetch, not a serial get per shard block
     stats = (
         pa.concat_tables(blocks)

@@ -863,7 +863,7 @@ def dedup_clusters(
     SQL oracle: DuckDB recursive CTE computing the min reachable label
     (transitive closure over the symmetric edge set).
     """
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Sum
 
     if pairs is None:
         pairs = minhash_verified(sf_dir, threshold)
@@ -957,12 +957,11 @@ def dedup_clusters(
         msgs = tagged_labels.union(tagged_edges).groupby("shard").map_groups(
             emit_msgs, batch_format="pyarrow"
         )
-        labels = (
-            labels.union(msgs)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .materialize()
-        )
+        from bank_statement_pdf_parser_ray.stages.agg import shard_aggregate
+
+        labels = shard_aggregate(
+            labels.union(msgs), ["node"], [("label", "min")], ["node", "label"]
+        ).materialize()
         cur = labels.aggregate(Sum("label"))["sum(label)"]
         if cur == prev_sum:
             converged = True
