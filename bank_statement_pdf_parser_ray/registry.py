@@ -286,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_resample": lambda sf: mlprep.dsir_resample(sf, m=100),
         "shuffle_rank": co.shuffle_rank,
         "gopher_quality": co.gopher_quality,
+        "c4_filters": co.c4_filters,
         "bm25_search": co.bm25_search,
         "hybrid_search": co.hybrid_search,
         "source_cap": dp.source_cap,
@@ -393,6 +394,7 @@ def oracle_sql() -> dict[str, str]:
         "leakage_safe_split": dp.LEAKAGE_SAFE_SPLIT_SQL,
         "shuffle_rank": co.SHUFFLE_RANK_SQL,
         "gopher_quality": co.GOPHER_QUALITY_SQL,
+        "c4_filters": co.C4_FILTERS_SQL,
         "bm25_search": co.BM25_SEARCH_SQL,
         "lineitem_corr": q.LINEITEM_CORR_SQL,
         "value_histogram": q.VALUE_HISTOGRAM_SQL,

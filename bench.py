@@ -234,6 +234,7 @@ def run_bench() -> dict:
         "decontaminate",
         "passage_dedup",
         "gopher_quality",
+        "c4_filters",
         "bm25_search",
         "source_cap",
         "chunk_documents",

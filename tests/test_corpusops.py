@@ -8,6 +8,7 @@ answer is known by construction."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -280,3 +281,55 @@ class TestHybridSearch:
             if r["knn_rank"]:
                 s += 1.0 / (60 + r["knn_rank"])
             assert abs(r["rrf_score"] - round(s, 9)) < 1e-12
+
+
+class TestC4Filters:
+    def test_verdicts_by_construction(self, tmp_path):
+        good = "\n".join(
+            [f"This line number {i} has plenty of words and ends well." for i in range(4)]
+        )
+        too_few_kept = "One good line that is long enough to pass here.\nshort line\nno punct at all here"
+        braces = good + "\nfunction f() { return 1; }"
+        lorem = good + "\nSome Lorem Ipsum filler text sits right here."
+        short_lines = "tiny.\nwee!\nhm?\nok."  # end in punct but < 5 words
+        sf = _write_docs(tmp_path, [good, too_few_kept, braces, lorem, short_lines, None])
+        out = co.c4_filters(sf).to_pandas().set_index("doc_id")
+        assert out.loc[0, "keep"] == 1 and out.loc[0, "n_kept"] == 4
+        assert out.loc[1, "keep"] == 0 and out.loc[1, "n_kept"] == 1
+        assert out.loc[2, "keep"] == 0  # '{' page ban
+        assert out.loc[3, "keep"] == 0  # lorem ipsum ban
+        assert out.loc[4, "keep"] == 0 and out.loc[4, "n_kept"] == 0
+        assert 5 not in out.index  # NULL text dropped
+        # cleaned text keeps only retained lines, in order
+        assert out.loc[1, "clean_text"] == "One good line that is long enough to pass here."
+        assert pd.isna(out.loc[4, "clean_text"])  # zero retained -> NULL, like the oracle
+
+    def test_matches_duckdb_on_multiline(self, tmp_path):
+        """The sf documents are single-line, so the line-level semantics
+        pair is pinned here on a messy multi-line fixture instead."""
+        import duckdb
+
+        rng = np.random.default_rng(5)
+        words = ["alpha", "beta", "it", "the", "x", "word", "{brace}", "lorem", "ipsum"]
+        ends = [".", "!", "?", '"', "'", "", " ", ":"]
+        texts = []
+        for _ in range(40):
+            lines = [
+                " ".join(rng.choice(words, rng.integers(0, 9))) + str(rng.choice(ends))
+                for _ in range(rng.integers(1, 8))
+            ]
+            texts.append("\n".join(lines))
+        texts += ["", "   ", None, "one.\n\n\ntwo lines with blanks in between here."]
+        sf = _write_docs(tmp_path, texts)
+        got = co.c4_filters(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+        )
+        exp = con.sql(co.C4_FILTERS_SQL).df().sort_values("doc_id").reset_index(drop=True)
+        con.close()
+        for c in ("n_lines", "n_kept", "keep"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        assert (
+            got["clean_text"].fillna("\0").tolist() == exp["clean_text"].fillna("\0").tolist()
+        )
