@@ -1545,3 +1545,85 @@ FROM (
   FROM events)
 WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 5 SECOND
 """
+
+
+US_PER_10MIN = 600_000_000
+
+
+def interval_join_events(sf_dir: str) -> "ray.data.Dataset":
+    """Interval (stream-stream) join emitting the PAIR LIST: every
+    ``click`` matched to the same user's ``view`` events with
+    ``view.ts`` in ``[click.ts - 10min, click.ts]`` — the
+    attribution-join shape (which impression led to this click).
+    Complements ``range_join_counts``: that op returns band COUNTS
+    (linear output, the safe default at scale); this one returns the
+    pairs themselves, the right tool when the window is an attribution
+    bound and the per-user event density is moderate. Output size is
+    bounded by clicks x views-per-window; a pathological hot window
+    should use the count variant or a tighter bound.
+
+    Same one-exchange shape as the rest of this module: hash shard on
+    user_id, shard sorted once by (user_id, ts, event_id), run-local
+    monotone keys let TWO global ``np.searchsorted`` probes find every
+    click's view band, and the pair list materializes with numpy
+    repeat/arange index algebra — no Python per-row work. NULL user_id
+    or ts rows are dropped up front (SQL inner-join/BETWEEN semantics:
+    they can never match)."""
+
+    def pairs(g: pa.Table) -> pa.Table:
+        g = g.filter(
+            pc.and_(pc.is_valid(g.column("user_id")), pc.is_valid(g.column("ts")))
+        )
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "click_id": pa.array([], pa.int64()),
+                "view_id": pa.array([], pa.int64()),
+                "gap_us": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        g = _sorted_shard(g)
+        first, run_start = _uid_runs(g.column("user_id"))
+        ts_s = g.column("ts").cast(pa.int64()).to_numpy()
+        key = _run_local_key(ts_s, run_start, US_PER_10MIN)
+        et = g.column("event_type")
+        is_click = pc.fill_null(pc.equal(et, "click"), False).to_numpy(zero_copy_only=False)
+        is_view = pc.fill_null(pc.equal(et, "view"), False).to_numpy(zero_copy_only=False)
+        if not is_click.any() or not is_view.any():
+            return empty
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        cpos, vpos = np.flatnonzero(is_click), np.flatnonzero(is_view)
+        ckey, vkey = key[cpos], key[vpos]
+        lo = np.searchsorted(vkey, ckey - US_PER_10MIN, side="left")
+        hi = np.searchsorted(vkey, ckey, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        crep = np.repeat(cpos, cnt)
+        starts = np.cumsum(cnt) - cnt
+        vsel = vpos[np.arange(total) - np.repeat(starts, cnt) + np.repeat(lo, cnt)]
+        return pa.table(
+            {
+                "user_id": pc.take(g.column("user_id"), pa.array(crep, pa.int64())),
+                "click_id": pa.array(eid[crep], pa.int64()),
+                "view_id": pa.array(eid[vsel], pa.int64()),
+                "gap_us": pa.array(ts_s[crep] - ts_s[vsel], pa.int64()),
+            }
+        )
+
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    return shard_map_groups(ds, ["user_id"], pairs)
+
+
+INTERVAL_JOIN_EVENTS_SQL = """
+SELECT a.user_id, a.event_id AS click_id, b.event_id AS view_id,
+       epoch_us(a.ts) - epoch_us(b.ts) AS gap_us
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE a.event_type = 'click' AND b.event_type = 'view'
+  AND b.ts BETWEEN a.ts - INTERVAL 10 MINUTE AND a.ts
+"""

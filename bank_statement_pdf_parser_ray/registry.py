@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk_events": w.grouped_topk_events,
         "user_value_quantiles": w.user_value_quantiles,
         "range_join_counts": w.range_join_counts,
+        "interval_join_events": w.interval_join_events,
         "events_ranked": w.events_ranked,
         "events_percent_rank": w.events_percent_rank,
         "user_event_paths": w.user_event_paths,
@@ -354,6 +355,7 @@ def oracle_sql() -> dict[str, str]:
         "grouped_topk_events": w.GROUPED_TOPK_EVENTS_SQL,
         "user_value_quantiles": w.USER_VALUE_QUANTILES_SQL,
         "range_join_counts": w.RANGE_JOIN_COUNTS_SQL,
+        "interval_join_events": w.INTERVAL_JOIN_EVENTS_SQL,
         "events_ranked": w.EVENTS_RANKED_SQL,
         "events_percent_rank": w.EVENTS_PERCENT_RANK_SQL,
         "user_event_paths": w.USER_EVENT_PATHS_SQL,

@@ -204,6 +204,7 @@ def run_bench() -> dict:
         "grouped_topk_events",
         "user_value_quantiles",
         "range_join_counts",
+        "interval_join_events",
         "events_ranked",
         "events_percent_rank",
         "user_event_paths",

@@ -268,6 +268,7 @@ class TestRandomizedOracleParity:
         "grouped_topk_events",
         "user_value_quantiles",
         "range_join_counts",
+        "interval_join_events",
         "events_ranked",
         "events_percent_rank",
         "user_event_paths",
@@ -1053,3 +1054,36 @@ class TestTimeDecayAgg:
         con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')")
         exp = con.execute(TIME_DECAY_AGG_SQL).fetchdf()
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+class TestIntervalJoin:
+    def test_planted_pairs(self, tmp_path):
+        import pyarrow.parquet as pq
+        from bank_statement_pdf_parser_ray.pipelines.windows import interval_join_events
+
+        S = 1_000_000  # us per second
+        rows = [
+            # (event_id, user_id, ts_s, type)
+            (0, 1, 0, "view"),
+            (1, 1, 300, "view"),
+            (2, 1, 601, "view"),      # AFTER the click: excluded
+            (3, 1, 600, "click"),     # window [0, 600]: views 0 and 1, plus boundary view 4
+            (4, 1, 600, "view"),      # same-ts view: BETWEEN inclusive, gap 0
+            (5, 2, 500, "view"),      # other user: never matches user 1's click
+            (6, 2, 90000, "click"),   # no views within 10 min: no rows
+            (7, 1, None, "view"),     # NULL ts can never satisfy BETWEEN
+        ]
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [None if r[2] is None else r[2] * S for r in rows], pa.int64()
+                ).cast(pa.timestamp("us")),
+                "event_type": pa.array([r[3] for r in rows]),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = interval_join_events(str(tmp_path)).to_pandas()
+        got = sorted(zip(out["click_id"], out["view_id"], out["gap_us"]))
+        assert got == [(3, 0, 600 * S), (3, 1, 300 * S), (3, 4, 0)]
