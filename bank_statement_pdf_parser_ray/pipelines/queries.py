@@ -2776,3 +2776,131 @@ FROM (SELECT o_totalprice FROM orders
 CROSS JOIN (SELECT unnest([500.0, 1000.0, 5000.0, 10000.0, 50000.0]) AS thr) t
 GROUP BY thr
 """
+
+
+def merge_upsert(sf_dir: str) -> "ray.data.Dataset":
+    """MERGE INTO — the lakehouse CDC apply: a delta stream of
+    update / delete / insert ops merged into a base snapshot in ONE
+    key-hash exchange (the row-level companion to the aggregate-level
+    ``incremental_agg``). Base = orders before 1997; the delta is
+    derived deterministically from orders itself (price updates for
+    keys ≡0 mod 7, deletes for keys ≡1 mod 13, inserts under shifted
+    keys for keys ≡3 mod 101), so the job is reproducible and the
+    oracle can state the same delta in SQL.
+
+    Shape: both sides are tagged and unioned lazily (no materialize),
+    then a coarse-shard cogroup on the order key (stages/agg.py) holds
+    every key's base row and delta op in one shard; the MERGE decision
+    table (matched+U -> update, matched+D -> drop, unmatched+I ->
+    insert, anything else -> no-op) is applied with vectorized
+    ``pc.index_in`` probes — no Python per-key work, and the exchange
+    moves exactly one 17-byte row per base/delta record. At 100 TB the
+    delta is normally << base, which is why MERGE-by-shuffle beats a
+    full rewrite: only shards containing delta keys do more than a
+    copy. The update arithmetic is an exact double add (+1000.0), so
+    engine and oracle cannot diverge on rounding."""
+    import numpy as np
+
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "okey": t.column("o_orderkey"),
+                "price": t.column("o_totalprice"),
+                "op": pa.nulls(t.num_rows, pa.string()),
+            }
+        )
+
+    def delta_rows(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey")
+        p = t.column("o_totalprice")
+        # arrow has no modulo kernel: k % m == k - (k // m) * m for non-negative keys
+        mod7 = pc.subtract(k, pc.multiply(pc.divide(k, 7), 7))
+        mod13 = pc.subtract(k, pc.multiply(pc.divide(k, 13), 13))
+        mod101 = pc.subtract(k, pc.multiply(pc.divide(k, 101), 101))
+        is_u = pc.and_(pc.equal(mod7, 0), pc.not_equal(mod13, 1))
+        is_d = pc.equal(mod13, 1)
+        is_i = pc.equal(mod101, 3)
+        u = pa.table(
+            {
+                "okey": k.filter(is_u),
+                "price": pc.add(p.filter(is_u), 1000.0),
+                "op": pa.array(["U"] * pc.sum(pc.cast(is_u, pa.int64())).as_py(), pa.string()),
+            }
+        )
+        d = pa.table(
+            {
+                "okey": k.filter(is_d),
+                "price": pa.nulls(pc.sum(pc.cast(is_d, pa.int64())).as_py(), pa.float64()),
+                "op": pa.array(["D"] * pc.sum(pc.cast(is_d, pa.int64())).as_py(), pa.string()),
+            }
+        )
+        i = pa.table(
+            {
+                "okey": pc.add(k.filter(is_i), 100_000_000),
+                "price": p.filter(is_i),
+                "op": pa.array(["I"] * pc.sum(pc.cast(is_i, pa.int64())).as_py(), pa.string()),
+            }
+        )
+        return pa.concat_tables([u, d, i])
+
+    import pyarrow.dataset as _pads
+
+    base = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice"],
+        # predicate pushdown: the pre-1997 snapshot never leaves storage
+        filter=(_pads.field("o_orderdate") < pa.scalar(np.datetime64("1997-01-01", "us"))),
+    ).map_batches(base_rows, batch_format="pyarrow", zero_copy_batch=True)
+    delta = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        delta_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def apply_merge(g: pa.Table) -> pa.Table:
+        is_delta = pc.is_valid(g.column("op"))
+        b = g.filter(pc.invert(is_delta))
+        d = g.filter(is_delta)
+        if d.num_rows == 0:
+            return pa.table({"o_orderkey": b.column("okey"), "o_totalprice": b.column("price")})
+        dk = d.column("okey").combine_chunks()
+        idx = pc.index_in(b.column("okey"), value_set=dk)
+        op_b = pc.take(d.column("op"), idx)  # null where the key has no delta
+        upd = pc.fill_null(pc.equal(op_b, "U"), False)
+        price = pc.if_else(upd, pc.take(d.column("price"), idx), b.column("price"))
+        keep = pc.fill_null(pc.not_equal(op_b, "D"), True)
+        kept = pa.table({"o_orderkey": b.column("okey"), "o_totalprice": price}).filter(keep)
+        ins_mask = pc.and_(
+            pc.equal(d.column("op"), "I"),
+            pc.is_null(pc.index_in(d.column("okey"), value_set=b.column("okey").combine_chunks())),
+        )
+        ins = pa.table(
+            {
+                "o_orderkey": d.column("okey").filter(ins_mask),
+                "o_totalprice": d.column("price").filter(ins_mask),
+            }
+        )
+        return pa.concat_tables([kept, ins])
+
+    return shard_map_groups(base.union(delta), ["okey"], apply_merge)
+
+
+MERGE_UPSERT_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderdate < DATE '1997-01-01'
+), delta AS (
+  SELECT o_orderkey, 'U' AS op, o_totalprice + 1000.0 AS new_price
+  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 1
+  UNION ALL
+  SELECT o_orderkey, 'D', NULL FROM orders WHERE o_orderkey % 13 = 1
+  UNION ALL
+  SELECT o_orderkey + 100000000, 'I', o_totalprice FROM orders WHERE o_orderkey % 101 = 3
+)
+SELECT b.o_orderkey, coalesce(d.new_price, b.o_totalprice) AS o_totalprice
+FROM base b LEFT JOIN delta d ON b.o_orderkey = d.o_orderkey
+WHERE d.op IS NULL OR d.op = 'U'
+UNION ALL
+SELECT d.o_orderkey, d.new_price AS o_totalprice
+FROM delta d LEFT JOIN base b ON d.o_orderkey = b.o_orderkey
+WHERE d.op = 'I' AND b.o_orderkey IS NULL
+"""

@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_customers": q.anti_join_customers,
         "semi_join_customers": q.semi_join_customers,
         "left_join_big_orders": q.left_join_big_orders,
+        "merge_upsert": q.merge_upsert,
         "full_outer_user_activity": q.full_outer_user_activity,
         "union_event_slices": q.union_event_slices,
         "intersect_users": q.intersect_users,
@@ -342,6 +343,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_nations": gr.PAGERANK_NATIONS_SQL,
         "semi_join_customers": q.SEMI_JOIN_CUSTOMERS_SQL,
         "left_join_big_orders": q.LEFT_JOIN_BIG_ORDERS_SQL,
+        "merge_upsert": q.MERGE_UPSERT_SQL,
         "full_outer_user_activity": q.FULL_OUTER_USER_ACTIVITY_SQL,
         "union_event_slices": q.UNION_EVENT_SLICES_SQL,
         "intersect_users": q.INTERSECT_USERS_SQL,

@@ -193,6 +193,7 @@ def run_bench() -> dict:
         "anti_join_customers",
         "semi_join_customers",
         "left_join_big_orders",
+        "merge_upsert",
         "full_outer_user_activity",
         "asof_join_events",
         "events_hopping",
