@@ -194,3 +194,60 @@ JOIN customer c ON o.o_custkey  = c.c_custkey
 JOIN supplier s ON l.l_suppkey  = s.s_suppkey
 GROUP BY src, dst
 """
+
+
+def triangle_count(sf_dir: str) -> pd.DataFrame:
+    """Per-node triangle counts over the UNDIRECTED nation trade graph
+    (self-loops dropped, direction collapsed) — the standard graph
+    clustering primitive next to PageRank. Splits the same way:
+    the one genuinely wide step is the distributed edge-list build
+    (``pagerank_edges``: lineitem⋈orders coarse-shard cogroup with
+    per-batch (src,dst) pre-aggregation), after which the aggregated
+    edge set is model-sized (≤ nations²) and the triangle enumeration
+    is exact dense linear algebra on the driver: n_tri(v) =
+    (A³)vv / 2 for the boolean adjacency A. At web scale the same
+    two-level shape holds with the driver leg replaced by the standard
+    degree-ordered wedge join over the REDUCED edge table — noted here
+    because the node set of this corpus never exceeds nations.
+    Output: every nation, with 0 for triangle-free nodes (oracle's
+    LEFT JOIN + coalesce)."""
+    nation = _lut(sf_dir, "nation", "n_nationkey", "n_name")
+    nkeys = nation.column("n_nationkey").to_numpy()
+    order = np.argsort(nkeys)
+    nkeys = nkeys[order]
+    nnames = nation.column("n_name").to_numpy(zero_copy_only=False)[order]
+    n = len(nkeys)
+
+    e = pagerank_edges(sf_dir)
+    src = np.searchsorted(nkeys, e["src"].to_numpy())
+    dst = np.searchsorted(nkeys, e["dst"].to_numpy())
+    a = np.zeros((n, n), dtype=np.int64)
+    off = src != dst  # drop self-loops
+    a[src[off], dst[off]] = 1
+    a = np.maximum(a, a.T)  # undirected
+    tri = np.diagonal(a @ a @ a) // 2
+    return pd.DataFrame({"n_name": nnames, "n_tri": tri.astype(np.int64)})
+
+
+TRIANGLE_COUNT_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,
+                  greatest(c.c_nationkey, s.s_nationkey) AS b
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey  = c.c_custkey
+  JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e0 e1
+  JOIN e0 e2 ON e2.a = e1.b
+  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT n.n_name, coalesce(t.c, 0) AS n_tri
+FROM nation n LEFT JOIN (
+  SELECT v, count(*) AS c FROM (
+    SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+  ) GROUP BY v
+) t ON t.v = n.n_nationkey
+"""

@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": dp.heavy_hitters,
         "pagerank_edges": gr.pagerank_edges,
         "pagerank_nations": gr.pagerank_nations,
+        "triangle_count": gr.triangle_count,
         "events_pivot": q.events_pivot,
         "events_stats": q.events_stats,
         "user_top_event": q.user_top_event,
@@ -341,6 +342,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_join_sweep": q.CROSS_JOIN_SWEEP_SQL,
         "pagerank_edges": gr.PAGERANK_EDGES_SQL,
         "pagerank_nations": gr.PAGERANK_NATIONS_SQL,
+        "triangle_count": gr.TRIANGLE_COUNT_SQL,
         "semi_join_customers": q.SEMI_JOIN_CUSTOMERS_SQL,
         "left_join_big_orders": q.LEFT_JOIN_BIG_ORDERS_SQL,
         "merge_upsert": q.MERGE_UPSERT_SQL,

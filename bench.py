@@ -199,6 +199,7 @@ def run_bench() -> dict:
         "events_hopping",
         "cross_join_sweep",
         "pagerank_nations",
+        "triangle_count",
         "events_rolling",
         "events_lag_lead",
         "events_cumsum",

@@ -55,3 +55,44 @@ class TestPowerIteration:
             r_ref = (1 - 0.85) / n + 0.85 * (T.T @ r_ref)
         got = power_iteration(n, src, dst, w, n_iters=10)
         assert np.allclose(got, r_ref, atol=1e-12)
+
+
+class TestTriangleCount:
+    def _count(self, n, edges):
+        """Driver-leg restatement: boolean undirected adjacency, diag(A^3)/2."""
+        a = np.zeros((n, n), dtype=np.int64)
+        for s, d in edges:
+            if s != d:
+                a[s, d] = a[d, s] = 1
+        return np.diagonal(a @ a @ a) // 2
+
+    def test_single_triangle_plus_pendant(self):
+        # 0-1-2 triangle, 3 hangs off node 0, 4 isolated
+        tri = self._count(5, [(0, 1), (1, 2), (0, 2), (0, 3)])
+        assert tri.tolist() == [1, 1, 1, 0, 0]
+
+    def test_k4_every_node_in_three(self):
+        edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        assert self._count(4, edges).tolist() == [3, 3, 3, 3]
+
+    def test_direction_and_self_loops_ignored(self):
+        # same triangle given as mixed directions + a self loop
+        tri = self._count(3, [(1, 0), (1, 2), (0, 2), (2, 2)])
+        assert tri.tolist() == [1, 1, 1]
+
+    def test_matches_brute_force_enumeration(self):
+        rng = np.random.RandomState(11)
+        n = 10
+        edges = [(int(a), int(b)) for a, b in rng.randint(0, n, (25, 2))]
+        got = self._count(n, edges)
+        adj = np.zeros((n, n), dtype=bool)
+        for s, d in edges:
+            if s != d:
+                adj[s, d] = adj[d, s] = True
+        ref = np.zeros(n, dtype=np.int64)
+        from itertools import combinations
+
+        for x, y, z in combinations(range(n), 3):
+            if adj[x, y] and adj[y, z] and adj[x, z]:
+                ref[[x, y, z]] += 1
+        assert got.tolist() == ref.tolist()
