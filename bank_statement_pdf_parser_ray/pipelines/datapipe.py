@@ -30,19 +30,41 @@ def _docs(sf_dir: str, columns: list[str]) -> "ray.data.Dataset":
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
-def _pool() -> tuple[int, int]:
-    """Autoscaling actor-pool bounds sized to the cluster: ceiling N =
-    cluster_cpus - 2 so the pool never starves read/shuffle/write tasks.
-    A fixed (1, 2) cap was the round-1 defect that left 30 of 32 CPUs
-    idle in langid (VERDICT.md round 1, item 4). The floor MUST stay 1:
-    several datapipe pipelines run TWO pools around a shuffle (minhash ->
-    verify), and fixed-floor pools that jointly hold every CPU of a
-    small cluster starve the shuffle tasks — a measured deadlock at
-    num_cpus=4 (the flagship's single pool can afford a full-size floor;
-    these cannot)."""
+def _pool(n_rows: int | None = None, rows_per_actor: int = 2000) -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized to the cluster AND the work:
+    ceiling N = cluster_cpus - 2 so the pool never starves
+    read/shuffle/write tasks. A fixed (1, 2) cap was the round-1 defect
+    that left 30 of 32 CPUs idle in langid (VERDICT.md round 1, item 4).
+    The floor MUST stay 1: several datapipe pipelines run TWO pools
+    around a shuffle (minhash -> verify), and fixed-floor pools that
+    jointly hold every CPU of a small cluster starve the shuffle tasks —
+    a measured deadlock at num_cpus=4 (the flagship's single pool can
+    afford a full-size floor; these cannot).
+
+    ``n_rows`` (when the caller can read it from parquet metadata for
+    free) additionally caps the ceiling at one actor per
+    ``rows_per_actor`` input rows: a 5k-row table must not spin 30
+    actor processes whose combined startup dwarfs the work (measured:
+    ~3 s of pool ramp for a 200 ms probe at sf0.1), while any
+    at-scale input blows straight past the cap and gets the full
+    pool. Sizing to measured work volume, not just cluster width, is
+    the same rule the flagship applies to its shuffle block count."""
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     n = max(1, cpus - 2)
+    if n_rows is not None:
+        n = max(1, min(n, -(-int(n_rows) // rows_per_actor)))
     return (1, n)
+
+
+def _pq_rows(path: str) -> int | None:
+    """Row count from parquet FOOTER metadata only (no data read);
+    None when unreadable so callers fall back to the plain pool."""
+    try:
+        import pyarrow.parquet as _pq
+
+        return _pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
 
 
 # ---------------------------------------------------------------------------
@@ -534,7 +556,7 @@ def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=1024,
-        concurrency=_pool(),
+        concurrency=_pool(_pq_rows(f"{sf_dir}/documents.parquet")),
     )
 
 
@@ -836,7 +858,7 @@ def minhash_verified(sf_dir: str, threshold: float = 0.8) -> "ray.data.Dataset":
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=512,
-        concurrency=_pool(),
+        concurrency=_pool(_pq_rows(f"{sf_dir}/documents.parquet")),
     )
 
 
@@ -1613,7 +1635,11 @@ def media_features(sf_dir: str) -> "ray.data.Dataset":
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
     return ds.map_batches(
-        MediaDecodeActor, batch_format="pyarrow", zero_copy_batch=True, batch_size=64, concurrency=_pool()
+        MediaDecodeActor,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=64,
+        concurrency=_pool(_pq_rows(f"{sf_dir}/documents.parquet"), rows_per_actor=512),
     )
 
 
@@ -1775,7 +1801,7 @@ def embedding_neardup_lsh(
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=1024,
-        concurrency=_pool(),
+        concurrency=_pool(_pq_rows(f"{sf_dir}/embeddings.parquet")),
     )
     # a corpus with no near-dups yields zero blocks, which would drop
     # the output SCHEMA (empty to_pandas loses columns); anchor it with
@@ -2044,7 +2070,7 @@ def prep_corpus(sf_dir: str, per_stratum: int = 10) -> "ray.data.Dataset":
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=2048,
-        concurrency=_pool(),
+        concurrency=_pool(_pq_rows(f"{sf_dir}/documents.parquet")),
     )
     keyed = joined.map_batches(_add_sample_key, batch_format="pyarrow", zero_copy_batch=True)
     return _stratified_select(keyed, per_stratum)
@@ -2175,7 +2201,11 @@ def audio_features(sf_dir: str) -> "ray.data.Dataset":
 
     ds = _docs(sf_dir, ["doc_id"]).map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
     return ds.map_batches(
-        AudioDecodeActor, batch_format="pyarrow", zero_copy_batch=True, batch_size=64, concurrency=_pool()
+        AudioDecodeActor,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=64,
+        concurrency=_pool(_pq_rows(f"{sf_dir}/documents.parquet"), rows_per_actor=512),
     )
 
 
@@ -2340,7 +2370,7 @@ def video_frames(sf_dir: str, n_sample: int = 4) -> "ray.data.Dataset":
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=32,
-        concurrency=_pool(),
+        concurrency=_pool(_pq_rows(f"{sf_dir}/documents.parquet"), rows_per_actor=512),
     )
 
 
@@ -2591,7 +2621,7 @@ def decontaminate(sf_dir: str) -> "ray.data.Dataset":
         fn_constructor_args=(bench_ref,),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=_pool(),
+        concurrency=_pool(_pq_rows(f"{sf_dir}/documents.parquet")),
     )
 
 
@@ -3552,7 +3582,11 @@ def image_neardup(sf_dir: str) -> "ray.data.Dataset":
         to_media, batch_format="pyarrow", zero_copy_batch=True
     )
     hashed = ds.map_batches(
-        _AhashActor, batch_format="pyarrow", zero_copy_batch=True, batch_size=64, concurrency=_pool()
+        _AhashActor,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=64,
+        concurrency=_pool(_pq_rows(f"{sf_dir}/documents.parquet"), rows_per_actor=512),
     )
 
     def cluster(g: pa.Table) -> pa.Table:
