@@ -1627,3 +1627,103 @@ FROM events a JOIN events b ON a.user_id = b.user_id
 WHERE a.event_type = 'click' AND b.event_type = 'view'
   AND b.ts BETWEEN a.ts - INTERVAL 10 MINUTE AND a.ts
 """
+
+
+US_PER_15MIN = 900_000_000
+_LATE_BUCKET = 4096  # arrival-id bucket width (ids are a dense ingestion sequence)
+_TS_NEG_INF = -(1 << 62)
+
+
+def late_events(sf_dir: str) -> "ray.data.Dataset":
+    """Watermark / late-data labeling — the streaming-ingestion
+    primitive Flink calls *allowed lateness*: treating ``event_id`` as
+    the arrival (ingestion) sequence, the watermark when a row arrives
+    is max(event-time of everything that arrived STRICTLY before) minus
+    a 15-minute allowed lateness; a row is LATE iff its own event time
+    is behind that watermark. Emits the running pre-arrival max and the
+    verdict, so downstream can route late rows to a correction path.
+
+    Distributed as global_rank's two-pass monotone-bucket shape (a
+    running max, like a rank, is a prefix scan): pass 1 reduces each
+    batch to per-bucket MAX partials (bucket = arrival_id / 4096 — a
+    monotone function of the scan order), the driver prefix-maxes the
+    tiny histogram and broadcasts exclusive per-bucket watermark bases;
+    pass 2 is ONE bucket shuffle where each group sorts by arrival id,
+    ``np.maximum.accumulate``s its own times, shifts by one row, and
+    folds in the broadcast base. NULL event times never advance the
+    watermark (SQL max semantics) and are themselves never late
+    (NULL < x is NULL -> false on both sides). Assumes arrival ids are
+    unique — a ROWS frame over tied ORDER BY keys is nondeterministic
+    in SQL too."""
+    ds = _events(sf_dir, ["event_id", "ts"])
+
+    def bucket_max(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        ts_i = t.column("ts").cast(pa.int64())
+        valid = pc.is_valid(ts_i).to_numpy(zero_copy_only=False)
+        ts_np = np.where(valid, pc.fill_null(ts_i, _TS_NEG_INF).to_numpy(zero_copy_only=False), _TS_NEG_INF)
+        b = np.floor_divide(eid, _LATE_BUCKET)
+        ub, inv = np.unique(b, return_inverse=True)
+        mx = np.full(len(ub), _TS_NEG_INF, dtype=np.int64)
+        np.maximum.at(mx, inv, ts_np)
+        return pa.table({"bucket": pa.array(ub, pa.int64()), "p_max": pa.array(mx, pa.int64())})
+
+    from ray.data.aggregate import Max
+
+    hist = (
+        ds.map_batches(bucket_max, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Max("p_max", alias_name="mx"))
+        .to_pandas()  # O(buckets) rows — the histogram, never the data
+        .sort_values("bucket")
+    )
+    mx = hist["mx"].to_numpy()
+    # exclusive prefix max: the watermark base a bucket inherits from
+    # every bucket strictly below it
+    base = np.concatenate(([_TS_NEG_INF], np.maximum.accumulate(mx)[:-1]))
+    bases = dict(zip(hist["bucket"].astype(int), base))
+    base_ref = ray.put(bases)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = np.floor_divide(t.column("event_id").to_numpy(zero_copy_only=False), _LATE_BUCKET)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    def label(g: pa.Table) -> pa.Table:
+        bases_l = ray.get(base_ref)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(eid)
+        eid = eid[order]
+        ts_i = g.column("ts").cast(pa.int64())
+        valid = pc.is_valid(ts_i).to_numpy(zero_copy_only=False)[order]
+        ts_np = np.where(
+            valid, pc.fill_null(ts_i, _TS_NEG_INF).to_numpy(zero_copy_only=False)[order], _TS_NEG_INF
+        )
+        run = np.maximum.accumulate(ts_np)
+        prev = np.concatenate(([_TS_NEG_INF], run[:-1]))
+        prevmax = np.maximum(prev, bases_l.get(int(eid[0]) // _LATE_BUCKET, _TS_NEG_INF))
+        has_prev = prevmax != _TS_NEG_INF
+        late = valid & has_prev & (ts_np < prevmax - US_PER_15MIN)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "max_prev_ts": pa.array(prevmax, pa.int64(), mask=~has_prev).cast(
+                    pa.timestamp("us")
+                ),
+                "is_late": pa.array(late.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(label, batch_format="pyarrow")
+    )
+
+
+LATE_EVENTS_SQL = """
+SELECT event_id,
+       max(ts) OVER w AS max_prev_ts,
+       CAST(coalesce(ts < max(ts) OVER w - INTERVAL 15 MINUTE, FALSE) AS BIGINT) AS is_late
+FROM events
+WINDOW w AS (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""

@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_quantiles": w.user_value_quantiles,
         "range_join_counts": w.range_join_counts,
         "interval_join_events": w.interval_join_events,
+        "late_events": w.late_events,
         "events_ranked": w.events_ranked,
         "events_percent_rank": w.events_percent_rank,
         "user_event_paths": w.user_event_paths,
@@ -360,6 +361,7 @@ def oracle_sql() -> dict[str, str]:
         "user_value_quantiles": w.USER_VALUE_QUANTILES_SQL,
         "range_join_counts": w.RANGE_JOIN_COUNTS_SQL,
         "interval_join_events": w.INTERVAL_JOIN_EVENTS_SQL,
+        "late_events": w.LATE_EVENTS_SQL,
         "events_ranked": w.EVENTS_RANKED_SQL,
         "events_percent_rank": w.EVENTS_PERCENT_RANK_SQL,
         "user_event_paths": w.USER_EVENT_PATHS_SQL,

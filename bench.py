@@ -207,6 +207,7 @@ def run_bench() -> dict:
         "user_value_quantiles",
         "range_join_counts",
         "interval_join_events",
+        "late_events",
         "events_ranked",
         "events_percent_rank",
         "user_event_paths",

@@ -269,6 +269,7 @@ class TestRandomizedOracleParity:
         "user_value_quantiles",
         "range_join_counts",
         "interval_join_events",
+        "late_events",
         "events_ranked",
         "events_percent_rank",
         "user_event_paths",
@@ -1087,3 +1088,39 @@ class TestIntervalJoin:
         out = interval_join_events(str(tmp_path)).to_pandas()
         got = sorted(zip(out["click_id"], out["view_id"], out["gap_us"]))
         assert got == [(3, 0, 600 * S), (3, 1, 300 * S), (3, 4, 0)]
+
+
+class TestLateEvents:
+    def test_planted_late_and_bucket_boundary(self, tmp_path, monkeypatch):
+        import pyarrow.parquet as pq
+        from bank_statement_pdf_parser_ray.pipelines import windows as w
+
+        monkeypatch.setattr(w, "_LATE_BUCKET", 4)  # force cross-bucket prefix max
+        S = 1_000_000
+        # arrival order = event_id; times in seconds
+        rows = [
+            (0, 0),        # first arrival: no previous -> never late
+            (1, 10_000),   # advances the watermark far ahead
+            (2, 9_500),    # 500 s behind the max: within 15 min -> on time
+            (3, None),     # NULL event time: never late, never advances
+            (4, 100),      # next bucket; 9_900 s behind -> LATE (prefix from bucket 0)
+            (5, 10_001),
+            (6, 8_000),    # 2001 s behind 10_001 -> LATE
+        ]
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "ts": pa.array(
+                    [None if r[1] is None else r[1] * S for r in rows], pa.int64()
+                ).cast(pa.timestamp("us")),
+                "event_type": pa.array(["view"] * len(rows)),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = w.late_events(str(tmp_path)).to_pandas().set_index("event_id")
+        assert out["is_late"].to_dict() == {0: 0, 1: 0, 2: 0, 3: 0, 4: 1, 5: 0, 6: 1}
+        assert pd.isna(out.loc[0, "max_prev_ts"])
+        # the cross-bucket base: event 4 sees the bucket-0 max (10_000 s)
+        assert out.loc[4, "max_prev_ts"].value == 10_000 * S * 1000  # pandas ns
