@@ -8,6 +8,7 @@ boundary, and the inverted_cdf == quantile_disc convention."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data
