@@ -1727,3 +1727,66 @@ SELECT event_id,
 FROM events
 WINDOW w AS (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 """
+
+
+def events_centered_mean(sf_dir: str) -> "ray.data.Dataset":
+    """Centered positional rolling mean — SQL ``avg(value) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2
+    PRECEDING AND 2 FOLLOWING)``: the smoothing frame (±2 ROWS, not a
+    time RANGE) every trend dashboard uses. Complements
+    ``events_rolling``: that is the trailing time-range frame; this is
+    the centered row-count frame, whose window edges clamp at each
+    user's run boundaries rather than at a time horizon.
+
+    Same one-exchange coarse-shard kernel family: window sums come from
+    the run-aware prefix arrays, and the positional [i-2, i+3) bounds
+    are two clamps against the run extents — no searchsorted needed,
+    the frame is positional by definition. NULL values are ignored
+    (frame-of-only-NULLs -> NULL), a VALID NaN poisons exactly the
+    frames containing it (the fuzz-pinned three-way convention of
+    events_rolling), and the order-dependent float mean is rounded to 6
+    on both sides."""
+
+    def centered(g: pa.Table) -> pa.Table:
+        g = _sorted_shard(g)
+        n = g.num_rows
+        if n == 0:
+            return g
+        first, run_start = _uid_runs(g.column("user_id"))
+        pos = np.arange(n)
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], n)
+        run_id = np.cumsum(first) - 1
+        run_end = ends[run_id]
+        lo = np.maximum(run_start, pos - 2)
+        hi = np.minimum(run_end, pos + 3)
+        val_s = g.column("value").to_numpy(zero_copy_only=False)
+        valid = pc.is_valid(g.column("value")).to_numpy(zero_copy_only=False)
+        is_nan = valid & np.isnan(val_s)
+        csum = np.concatenate(([0.0], np.cumsum(np.where(valid & ~is_nan, val_s, 0.0))))
+        ccnt = np.concatenate(([0], np.cumsum((valid & ~is_nan).astype(np.int64))))
+        cnan = np.concatenate(([0], np.cumsum(is_nan.astype(np.int64))))
+        n_valid = ccnt[hi] - ccnt[lo] + (cnan[hi] - cnan[lo])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            means = np.round((csum[hi] - csum[lo]) / np.maximum(n_valid, 1), 6)
+        means = np.where(cnan[hi] - cnan[lo] > 0, np.nan, means)
+        return pa.table(
+            {
+                "event_id": g.column("event_id"),
+                "user_id": g.column("user_id"),
+                "centered_avg": pa.array(means, pa.float64(), mask=n_valid == 0),
+            }
+        )
+
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    return shard_map_groups(ds, ["user_id"], centered)
+
+
+EVENTS_CENTERED_MEAN_SQL = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS centered_avg
+FROM events
+"""

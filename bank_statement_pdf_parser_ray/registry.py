@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_counts": w.range_join_counts,
         "interval_join_events": w.interval_join_events,
         "late_events": w.late_events,
+        "events_centered_mean": w.events_centered_mean,
         "events_ranked": w.events_ranked,
         "events_percent_rank": w.events_percent_rank,
         "user_event_paths": w.user_event_paths,
@@ -362,6 +363,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join_counts": w.RANGE_JOIN_COUNTS_SQL,
         "interval_join_events": w.INTERVAL_JOIN_EVENTS_SQL,
         "late_events": w.LATE_EVENTS_SQL,
+        "events_centered_mean": w.EVENTS_CENTERED_MEAN_SQL,
         "events_ranked": w.EVENTS_RANKED_SQL,
         "events_percent_rank": w.EVENTS_PERCENT_RANK_SQL,
         "user_event_paths": w.USER_EVENT_PATHS_SQL,

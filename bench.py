@@ -208,6 +208,7 @@ def run_bench() -> dict:
         "range_join_counts",
         "interval_join_events",
         "late_events",
+        "events_centered_mean",
         "events_ranked",
         "events_percent_rank",
         "user_event_paths",
