@@ -258,6 +258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": dp.stratified_sample_documents,
         "prep_corpus": dp.prep_corpus,
         "approx_distinct_users": dp.approx_distinct_users,
+        "approx_distinct_per_type": dp.approx_distinct_per_type,
         "distinct_langs": q.distinct_langs,
         "json_props_sum": q.json_props_sum,
         # text analysis

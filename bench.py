@@ -225,6 +225,7 @@ def run_bench() -> dict:
         "stratified_sample",
         "prep_corpus",
         "approx_distinct_users",
+        "approx_distinct_per_type",
         "json_props_sum",
         "normalize_ws",
         "token_count",

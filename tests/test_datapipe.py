@@ -4,6 +4,7 @@ contain no near-duplicates, so dedup recall is exercised here)."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -1042,3 +1043,37 @@ class TestFuzzyClusters:
         pq.write_table(t, str(tmp_path / "documents.parquet"))
         out = fuzzy_clusters(str(tmp_path)).set_index("doc_id")["cluster_id"]
         assert out.to_dict() == {0: 0, 1: 1, 2: 2}
+
+
+class TestGroupedHLL:
+    def test_per_type_within_5pct_with_nulls(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import approx_distinct_per_type
+
+        rng = np.random.default_rng(9)
+        # skewed per-type cardinalities + NULL type group + NULL users
+        spec = {"view": 3000, "click": 400, "rare": 7, None: 150}
+        types, users = [], []
+        for tv, card in spec.items():
+            n = card * 4
+            types += [tv] * n
+            users += rng.integers(0, card, n).tolist()
+        users[0] = None  # NULL user: excluded from COUNT DISTINCT
+        t = pa.table(
+            {
+                "event_id": pa.array(np.arange(len(types)), pa.int64()),
+                "user_id": pa.array(users, pa.int64()),
+                "event_type": pa.array(types, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = approx_distinct_per_type(str(tmp_path))
+        got = {
+            (None if pd.isna(r.event_type) else r.event_type): r.approx_distinct
+            for r in out.itertuples()
+        }
+        assert set(got) == set(spec)
+        for tv, card in spec.items():
+            exact = len(set(u for u, ty in zip(users, types) if ty == tv and u is not None))
+            assert abs(got[tv] - exact) <= max(1, 0.05 * exact), (tv, got[tv], exact)
