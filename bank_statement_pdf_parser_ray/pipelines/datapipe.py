@@ -3818,3 +3818,67 @@ def approx_distinct_per_type(sf_dir: str) -> pd.DataFrame:
         out_t.append(None if pd.isna(tv) else tv)
         out_n.append(int(round(_hll_estimate(regs))))
     return pd.DataFrame({"event_type": out_t, "approx_distinct": np.array(out_n, dtype=np.int64)})
+
+
+def neardup_clean(sf_dir: str, threshold: float = 0.8) -> "ray.data.Dataset":
+    """The dedup ENDGAME composed end-to-end and oracle-paired: near-dup
+    detection (minhash -> verified Jaccard pairs) -> connected
+    components (``dedup_clusters`` min-label propagation) -> KEEP ONE
+    document per cluster (the min doc_id, matching the cluster label
+    definition) -> survivor re-read. What ``corpus_clean`` is for exact
+    dedup, this is for NEAR dedup — the standard CCNet/RefinedWeb
+    pipeline tail, returned as a streamed Dataset of surviving rows.
+
+    The survivor set is a per-document BOOLEAN derived from the
+    cluster table (doc_id == cluster_id), broadcast once as a sorted id
+    array and probed vectorized; at 10^12 docs the same decision moves
+    into a shard cogroup against the label Dataset instead of a
+    broadcast (exact_dedup's documented fetch trade-off applies
+    unchanged). SQL oracle: the dedup_clusters recursive-CTE closure
+    with a keep-one filter joined back to documents."""
+    lab = dedup_clusters(sf_dir, threshold)
+    keep = lab.loc[lab["doc_id"] == lab["cluster_id"], "doc_id"].to_numpy()
+    keep_ref = ray.put(pa.array(np.sort(keep), pa.int64()))
+
+    def survivors(t: pa.Table) -> pa.Table:
+        ids = ray.get(keep_ref)
+        return t.filter(pc.is_in(t.column("doc_id"), value_set=ids))
+
+    return _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        survivors, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+NEARDUP_CLEAN_SQL = r"""
+WITH RECURSIVE docs2 AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) < 3 THEN [text]
+              ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+         END AS shingles
+  FROM docs2
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / len(list_distinct(a.shingles || b.shingles)) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+cc(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
+),
+lab AS (SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node)
+SELECT d.doc_id, d.n_chars
+FROM documents d JOIN lab l ON d.doc_id = l.doc_id
+WHERE l.doc_id = l.cluster_id
+"""

@@ -309,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": dp.exact_dedup,
         "corpus_clean": dp.corpus_clean,
         "dedup_clusters": dp.dedup_clusters,
+        "neardup_clean": dp.neardup_clean,
         "minhash_candidates": dp.minhash_candidates,
         "minhash_verified": dp.minhash_verified,
         "simhash": dp.simhash,
@@ -462,6 +463,7 @@ def oracle_sql() -> dict[str, str]:
         "session_stats": q.SESSION_STATS_SQL,
         "minhash_verified": dp.MINHASH_VERIFIED_SQL,
         "dedup_clusters": dp.DEDUP_CLUSTERS_SQL,
+        "neardup_clean": dp.NEARDUP_CLEAN_SQL,
         "vocab_topk": dp.VOCAB_TOPK_SQL,
         "tfidf_topterms": dp.TFIDF_TOPTERMS_SQL,
         "unigram_logprob": dp.UNIGRAM_LOGPROB_SQL,

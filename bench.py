@@ -260,6 +260,7 @@ def run_bench() -> dict:
         "exact_dedup",
         "minhash_candidates",
         "minhash_verified",
+        "neardup_clean",
         "simhash",
         "knn_cosine",
         "knn_cosine_filtered",

@@ -120,6 +120,10 @@ class TestDedupClusters:
         # "keep one per cluster" filter keeps exactly the 3 canonicals
         assert sorted(set(out.values)) == [0, 2, 4]
 
+    def test_neardup_clean_keeps_cluster_minima(self, planted_dir):
+        kept = sorted(dp.neardup_clean(planted_dir, threshold=0.5).to_pandas()["doc_id"])
+        assert kept == [0, 2, 4]
+
 
 class TestSimHash:
     def test_near_dup_small_hamming(self, planted_dir):
