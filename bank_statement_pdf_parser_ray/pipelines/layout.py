@@ -168,3 +168,69 @@ def zorder_benefit(sf_dir: str, rows_per_group: int = 1024) -> pa.Table:
             "rows_scanned": pa.array(scanned, pa.int64()),
         }
     )
+
+
+def compact_files(sf_dir: str, target_rows_per_file: int = 65_536) -> pa.Table:
+    """Small-file compaction — the table-maintenance op every lakehouse
+    runs (Delta OPTIMIZE / Iceberg rewrite_data_files): rewrite a
+    fragmented table into files of a target size WITHOUT changing its
+    rows. Small files are the scale killer on the READ side: per-file
+    open/footer costs dominate once files shrink below a few MB, and a
+    10^6-file table can spend longer listing than scanning.
+
+    Demonstrated by first fragmenting events into ~64-row files (the
+    pathological state a streaming ingester leaves behind), then
+    compacting with a plain streaming read -> write at
+    ``target_rows_per_file`` — no shuffle: compaction only needs to
+    coalesce, not re-order (combine with the Z-order rewrite when
+    re-clustering is also wanted). Returns the before/after file
+    inventory plus row-count/checksum equality so the rewrite is
+    auditable; the XOR-of-row-hashes identity is order-insensitive
+    because compaction preserves multiset, not order."""
+    base = "/tmp/bspp_compact"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+
+    src = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+    src.write_parquet(f"{base}/fragmented", min_rows_per_file=64, max_rows_per_file=64)
+    frag = ray.data.read_parquet(f"{base}/fragmented")
+    frag.write_parquet(
+        f"{base}/compacted",
+        min_rows_per_file=target_rows_per_file,
+        max_rows_per_file=target_rows_per_file,
+    )
+
+    def inventory(path: str) -> tuple[int, int, int, int]:
+        n_files, n_bytes, n_rows, h = 0, 0, 0, 0
+        for name in sorted(os.listdir(path)):
+            if not name.endswith(".parquet"):
+                continue
+            fp = os.path.join(path, name)
+            n_files += 1
+            n_bytes += os.path.getsize(fp)
+            pf = pq.ParquetFile(fp)
+            n_rows += pf.metadata.num_rows
+            t = pf.read(columns=["event_id"])
+            ids = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            # order-insensitive multiset checksum: XOR of avalanched ids
+            x = ids.astype(np.uint64)
+            x ^= x >> np.uint64(33)
+            x *= np.uint64(0xFF51AFD7ED558CCD)
+            x ^= x >> np.uint64(33)
+            h ^= int(np.bitwise_xor.reduce(x)) if len(x) else 0
+        return n_files, n_bytes, n_rows, h
+
+    f_files, f_bytes, f_rows, f_hash = inventory(f"{base}/fragmented")
+    c_files, c_bytes, c_rows, c_hash = inventory(f"{base}/compacted")
+    assert f_rows == c_rows and f_hash == c_hash, "compaction changed the row multiset"
+    return pa.table(
+        {
+            "stage": pa.array(["fragmented", "compacted"], pa.string()),
+            "n_files": pa.array([f_files, c_files], pa.int64()),
+            "n_bytes": pa.array([f_bytes, c_bytes], pa.int64()),
+            "n_rows": pa.array([f_rows, c_rows], pa.int64()),
+            "rows_per_file": pa.array(
+                [f_rows // max(f_files, 1), c_rows // max(c_files, 1)], pa.int64()
+            ),
+        }
+    )

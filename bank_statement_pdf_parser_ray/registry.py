@@ -288,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_neardup": dp.image_neardup,
         "compression_ratio": dp.compression_ratio,
         "zorder_benefit": ly.zorder_benefit,
+        "compact_files": ly.compact_files,
         "quality_classifier": lambda sf: mlprep.quality_classifier(sf, epochs=10),
         "dsir_resample": lambda sf: mlprep.dsir_resample(sf, m=100),
         "shuffle_rank": co.shuffle_rank,

@@ -309,6 +309,7 @@ def run_bench() -> dict:
         "q3_shipping",
         "compression_ratio",
         "zorder_benefit",
+        "compact_files",
         "leakage_safe_split",
         "hybrid_search",
     ]

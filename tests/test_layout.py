@@ -66,3 +66,23 @@ class TestZorderBenefit:
         assert s[("zorder", "time_range")] < 0.7 * s[("sorted_user", "time_range")]
         assert s[("sorted_user", "time_range")] > 0.9 * n  # single key can't prune time
         assert s[("sorted_user", "user_range")] < 0.5 * n  # ... but wins its own dim
+
+
+class TestCompactFiles:
+    def test_rows_preserved_files_reduced(self, tmp_path):
+        import pyarrow.parquet as pq
+        from bank_statement_pdf_parser_ray.pipelines.layout import compact_files
+
+        n = 2000
+        t = pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "user_id": pa.array(np.arange(n) % 17, pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = compact_files(str(tmp_path), target_rows_per_file=1000).to_pandas().set_index("stage")
+        assert out.loc["fragmented", "n_rows"] == out.loc["compacted", "n_rows"] == n
+        assert out.loc["fragmented", "n_files"] > out.loc["compacted", "n_files"]
+        assert out.loc["compacted", "n_files"] <= 3
+        assert out.loc["compacted", "rows_per_file"] >= 500
