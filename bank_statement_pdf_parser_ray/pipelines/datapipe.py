@@ -3882,3 +3882,81 @@ SELECT d.doc_id, d.n_chars
 FROM documents d JOIN lab l ON d.doc_id = l.doc_id
 WHERE l.doc_id = l.cluster_id
 """
+
+
+def label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-LABEL embedding centroids in long form (label, dim, n,
+    centroid) — the grouped companion to ``embedding_dim_stats`` and
+    the primitive behind class prototypes / nearest-class-mean
+    classification over a vector column. Each batch sorts its rows by
+    label once and reduces the stacked (rows x d) matrix with ONE
+    ``np.add.reduceat`` per label run — no per-row or per-dim Python —
+    emitting (label, dim, n, Σx) partials, so the exchange moves
+    O(labels x d x blocks) tiny rows regardless of corpus size; the
+    mergeable-partials groupby and a vectorized divide finalize.
+    Oracle: the unnest+generate_subscripts long view + GROUP BY
+    (label, dim) with the same float64-upcast-then-round(6)
+    declaration as the other vector aggregates."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column("embedding")
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = int(lens[0]) if len(lens) else 0
+        if d == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "idx": pa.array([], pa.int64()),
+                    "p_n": pa.array([], pa.int64()),
+                    "p_s": pa.array([], pa.float64()),
+                }
+            )
+        m = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(-1, d)
+        lab = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(lab, kind="stable")
+        lab_s, m_s = lab[order], m[order]
+        first = np.ones(len(lab_s), dtype=bool)
+        first[1:] = lab_s[1:] != lab_s[:-1]
+        starts = np.flatnonzero(first)
+        sums = np.add.reduceat(m_s, starts, axis=0)  # one row per label run
+        counts = np.diff(np.append(starts, len(lab_s)))
+        k = len(starts)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(lab_s[starts], d), pa.int64()),
+                "idx": pa.array(np.tile(np.arange(1, d + 1), k), pa.int64()),
+                "p_n": pa.array(np.repeat(counts, d), pa.int64()),
+                "p_s": pa.array(sums.ravel(), pa.float64()),
+            }
+        )
+
+    agg = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["label", "idx"])
+        .aggregate(Sum("p_n", alias_name="nn"), Sum("p_s", alias_name="s"))
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "label": agg["label"].astype("int64"),
+            "idx": agg["idx"].astype("int64"),
+            "n": agg["nn"].astype("int64"),
+            "centroid": np.round(agg["s"].to_numpy() / agg["nn"].to_numpy(dtype=float), 6),
+        }
+    )
+    return out.sort_values(["label", "idx"]).reset_index(drop=True)
+
+
+LABEL_CENTROIDS_SQL = """
+WITH e AS (
+  SELECT label,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS idx,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+)
+SELECT label, idx, count(*) AS n, round(sum(x) / count(*), 6) AS centroid
+FROM e GROUP BY label, idx
+"""

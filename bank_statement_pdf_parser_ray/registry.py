@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_funcs": dp.vector_funcs,
         "explode_embedding": dp.explode_embedding,
         "embedding_dim_stats": dp.embedding_dim_stats,
+        "label_centroids": dp.label_centroids,
         "bigram_logprob": dp.bigram_logprob,
         "orders_above_cust_avg": q.orders_above_cust_avg,
         "char_entropy": dp.char_entropy,
@@ -397,6 +398,7 @@ def oracle_sql() -> dict[str, str]:
         "vector_funcs": dp.VECTOR_FUNCS_SQL,
         "explode_embedding": dp.EXPLODE_EMBEDDING_SQL,
         "embedding_dim_stats": dp.EMBEDDING_DIM_STATS_SQL,
+        "label_centroids": dp.LABEL_CENTROIDS_SQL,
         "bigram_logprob": dp.BIGRAM_LOGPROB_SQL,
         "orders_above_cust_avg": q.ORDERS_ABOVE_CUST_AVG_SQL,
         "char_entropy": dp.CHAR_ENTROPY_SQL,

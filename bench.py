@@ -287,6 +287,7 @@ def run_bench() -> dict:
         "value_quartiles",
         "explode_embedding",
         "embedding_dim_stats",
+        "label_centroids",
         "orders_above_cust_avg",
         "bigram_logprob",
         "distinct_users_per_type",
