@@ -1790,3 +1790,80 @@ SELECT event_id, user_id,
                               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS centered_avg
 FROM events
 """
+
+
+TOP_PATHS_K = 20
+
+
+def top_paths(sf_dir: str, k: int = TOP_PATHS_K) -> pd.DataFrame:
+    """Frequent behavior sequences — the top-k third-order event paths
+    (e1 -> e2 -> e3 within one user, consecutive in (ts, event_id)
+    order): the sequence-mining rollup behind "what do users do next"
+    dashboards, one order above ``event_transitions``' Markov pairs.
+
+    Same model-sized-partials plan: one user_id hash shuffle; each
+    shard takes its sorted type column three ways (two zero-copy
+    slices), masks trigrams that cross a user run boundary, and
+    pre-counts its own (e1,e2,e3) triples with an Arrow group-by — the
+    second exchange moves at most |types|^3 rows per shard. Rows with
+    any NULL type are dropped (SQL's WHERE over two lead()s), and the
+    final top-k is fully tie-pinned (n desc, then path asc)."""
+    from ray.data.aggregate import Sum
+
+    def tri(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "e1": pa.array([], pa.string()),
+                "e2": pa.array([], pa.string()),
+                "e3": pa.array([], pa.string()),
+                "p_n": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows < 3:
+            return empty
+        g = _sorted_shard(g)
+        first, _ = _uid_runs(g.column("user_id"))
+        et = g.column("event_type").combine_chunks()
+        n = len(et)
+        within = (~first[1:-1]) & (~first[2:])  # i, i+1, i+2 share one user
+        t = pa.table(
+            {"e1": et.slice(0, n - 2), "e2": et.slice(1, n - 2), "e3": et.slice(2)}
+        ).filter(pa.array(within))
+        t = t.filter(
+            pc.and_(
+                pc.is_valid(t.column("e1")),
+                pc.and_(pc.is_valid(t.column("e2")), pc.is_valid(t.column("e3"))),
+            )
+        )
+        if t.num_rows == 0:
+            return empty
+        agg = pa.TableGroupBy(t, ["e1", "e2", "e3"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["e1", "e2", "e3", "p_n"])
+
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    out = (
+        shard_map_groups(ds, ["user_id"], tri)
+        .groupby(["e1", "e2", "e3"])
+        .aggregate(Sum("p_n", alias_name="n"))
+        .to_pandas()  # <= |types|^3 rows — the model, never the events
+    )
+    out["n"] = out["n"].astype("int64")
+    out = out.sort_values(["n", "e1", "e2", "e3"], ascending=[False, True, True, True])
+    return out.head(k).reset_index(drop=True)
+
+
+TOP_PATHS_SQL = """
+WITH w AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+  FROM events
+)
+SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+FROM w WHERE e1 IS NOT NULL AND e2 IS NOT NULL AND e3 IS NOT NULL
+GROUP BY e1, e2, e3
+ORDER BY n DESC, e1, e2, e3
+LIMIT 20
+"""

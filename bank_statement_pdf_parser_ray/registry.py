@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join_events": w.interval_join_events,
         "late_events": w.late_events,
         "events_centered_mean": w.events_centered_mean,
+        "top_paths": w.top_paths,
         "events_ranked": w.events_ranked,
         "events_percent_rank": w.events_percent_rank,
         "user_event_paths": w.user_event_paths,
@@ -368,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_join_events": w.INTERVAL_JOIN_EVENTS_SQL,
         "late_events": w.LATE_EVENTS_SQL,
         "events_centered_mean": w.EVENTS_CENTERED_MEAN_SQL,
+        "top_paths": w.TOP_PATHS_SQL,
         "events_ranked": w.EVENTS_RANKED_SQL,
         "events_percent_rank": w.EVENTS_PERCENT_RANK_SQL,
         "user_event_paths": w.USER_EVENT_PATHS_SQL,

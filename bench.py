@@ -209,6 +209,7 @@ def run_bench() -> dict:
         "interval_join_events",
         "late_events",
         "events_centered_mean",
+        "top_paths",
         "events_ranked",
         "events_percent_rank",
         "user_event_paths",

@@ -272,6 +272,7 @@ class TestRandomizedOracleParity:
         "interval_join_events",
         "late_events",
         "events_centered_mean",
+        "top_paths",
         "events_ranked",
         "events_percent_rank",
         "user_event_paths",
