@@ -1039,24 +1039,44 @@ def simhash(sf_dir: str) -> "ray.data.Dataset":
     63 bits for int64 transport."""
 
     def f(t: pa.Table) -> pa.Table:
-        out = []
-        for text in t.column("text").to_pylist():
-            if text is None:
-                out.append(None)
-                continue
-            words = text.split()
-            if not words:
-                out.append(0)
-                continue
-            hs = np.array([stable_hash64(w) for w in words], dtype=np.uint64)
-            bits = ((hs[:, None] >> np.arange(63, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
-            votes = bits.sum(axis=0) * 2 - len(words)
-            sh = 0
-            for i in range(63):
-                if votes[i] > 0:
-                    sh |= 1 << i
-            out.append(sh)
-        return pa.table({"doc_id": t.column("doc_id"), "simhash": pa.array(out, pa.int64())})
+        # Python str.split() is part of the pinned semantics (unicode
+        # whitespace, unlike RE2 \s) — so the split stays per doc, but
+        # everything downstream is batched: blake2b runs once per
+        # UNIQUE word per batch (not per occurrence), and the 63-bit
+        # vote matrix reduces over ALL docs with one np.add.reduceat.
+        texts = t.column("text").to_pylist()
+        docs_words = [None if tx is None else tx.split() for tx in texts]
+        vocab: dict[str, int] = {}
+        for ws in docs_words:
+            if ws:
+                for w in ws:
+                    if w not in vocab:
+                        vocab[w] = stable_hash64(w)
+        lens = np.array([len(ws) if ws else 0 for ws in docs_words], dtype=np.int64)
+        occ = np.fromiter(
+            (vocab[w] for ws in docs_words if ws for w in ws),
+            dtype=np.uint64,
+            count=int(lens.sum()),
+        )
+        out = np.zeros(len(texts), dtype=np.int64)
+        has = lens > 0
+        if occ.size:
+            bits = ((occ[:, None] >> np.arange(63, dtype=np.uint64)[None, :]) & 1).astype(
+                np.int64
+            )
+            starts = np.concatenate(([0], np.cumsum(lens[has])))[:-1]
+            votes = 2 * np.add.reduceat(bits, starts, axis=0) - lens[has, None]
+            packed = ((votes > 0).astype(np.uint64) << np.arange(63, dtype=np.uint64)).sum(
+                axis=1
+            )
+            out[has] = packed.astype(np.int64)
+        mask = np.array([tx is None for tx in texts])
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "simhash": pa.array(out, pa.int64(), mask=mask),
+            }
+        )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
