@@ -1027,3 +1027,76 @@ SELECT doc_id,
             AND NOT contains(lower(text), 'lorem ipsum') AS BIGINT) AS keep
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# Outlink extraction (link-graph edge build) over HTML payloads
+# ---------------------------------------------------------------------------
+
+
+def extract_links(sf_dir: str) -> pd.DataFrame:
+    """Outlink histogram over the synthetic transcript corpus's HTML
+    payload family — the link-graph edge build a web-scale pipeline
+    runs before PageRank/host-level dedup (the corpus analogue of
+    README.md:2's "extracts all ... data": anchors instead of
+    transaction rows).
+
+    Scale shape: ONE streaming ``map_batches`` pass; each batch pulls
+    every ``href="..."`` attribute with polars' Rust-regex
+    ``str.extract_all`` (vectorized, no Python row loop), strips the
+    attribute syntax with a constant-offset slice, and pre-combines to
+    per-batch (href, n_links, n_docs) partials — a turn never spans
+    batches, so batch-distinct doc counts sum to globally-correct
+    distinct counts. The exchange then moves O(distinct hrefs x blocks)
+    tiny rows into one grouped sum. Rows-only: the input is the
+    generated corpus, not a shared parquet table; pytest pins the
+    extraction against a pure-Python ``re`` reference on HTML with
+    absolute + relative + multi-link payloads (TestExtractLinks)."""
+    import ray.data as rd
+
+    from bank_statement_pdf_parser_ray.sources.corpus import gen_corpus
+
+    n_convs = {"sf0.001": 30, "sf0.01": 120, "sf0.1": 400}.get(sf_dir.rstrip("/").split("/")[-1], 60)
+    src = rd.from_arrow(gen_corpus(n_convs, seed=42, mega_turns=200))
+    return links_histogram(src)
+
+
+def links_histogram(src: "ray.data.Dataset") -> pd.DataFrame:
+    """The reusable stage behind ``extract_links``: Dataset of
+    transcript turns -> (href, n_links, n_docs) pandas frame."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = pl.from_arrow(t.select(["text"]))["text"]
+        matches = texts.str.extract_all(r'href="[^"]*"')
+        frame = pl.DataFrame({"doc": np.arange(len(texts), dtype=np.int64), "m": matches})
+        long = frame.explode("m").drop_nulls("m")
+        if long.height == 0:
+            return pa.table(
+                {
+                    "href": pa.array([], pa.string()),
+                    "p_links": pa.array([], pa.int64()),
+                    "p_docs": pa.array([], pa.int64()),
+                }
+            )
+        # href="X"  ->  X  (6 leading attribute chars, one trailing quote;
+        # the value itself can never contain '"' — the pattern is [^"]*)
+        long = long.with_columns(pl.col("m").str.slice(6).str.strip_chars_end('"').alias("href"))
+        g = long.group_by("href").agg(
+            pl.len().alias("p_links"), pl.col("doc").n_unique().alias("p_docs")
+        )
+        return g.select(["href", "p_links", "p_docs"]).to_arrow().cast(
+            pa.schema([("href", pa.string()), ("p_links", pa.int64()), ("p_docs", pa.int64())])
+        )
+
+    out = (
+        src.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("href")
+        .aggregate(Sum("p_links", alias_name="n_links"), Sum("p_docs", alias_name="n_docs"))
+        .to_pandas()
+    )
+    out["n_links"] = out["n_links"].astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values(["n_links", "href"], ascending=[False, True]).reset_index(drop=True)

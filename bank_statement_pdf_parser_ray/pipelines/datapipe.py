@@ -2857,6 +2857,78 @@ def heavy_hitters(sf_dir: str, k: int = HH_K, counters: int = HH_COUNTERS) -> pd
     return out
 
 
+CM_WIDTH = 2048
+CM_DEPTH = 4
+
+
+def count_min_freq(sf_dir: str, k: int = HH_K, width: int = CM_WIDTH, depth: int = CM_DEPTH) -> pd.DataFrame:
+    """Count-Min point-frequency estimates composed with Misra-Gries:
+    the two sketches bracket every probed word's TRUE count from both
+    sides — MG is a guaranteed UNDERcount (true − 2n/(c+1) ≤ mg ≤
+    true), CM a guaranteed OVERcount (true ≤ cm ≤ true + εn w.h.p.,
+    ε = e/width) — so ``[lower_n, upper_n]`` always contains the exact
+    frequency (asserted against exact counts in pytest). This is the
+    sketch pair a 100 TB corpus profiler actually wants: candidates
+    from MG, point estimates from CM, no exact pass anywhere.
+
+    Scale shape: NO shuffle — each block tokenizes with the pinned
+    vocab_topk tokenizer, counts exactly within the block, hashes its
+    UNIQUE words once per depth row (vectorized polars hash_rows,
+    seed=depth), and emits its depth×width int64 counter matrix
+    (depth·width·8 B ≈ 64 KiB regardless of block size). The driver
+    sums the matrices coordinate-wise (CM is linear — the textbook
+    mergeable summary) and answers probes with the min over depth
+    rows. Probe set = the MG top-k words (itself shuffle-free).
+    Rows-only: the sketch values are hash-function-dependent; pytest
+    pins the over/under-count guarantees and determinism instead."""
+    import polars as pl
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern_regex(t.column("text"), pattern=r"\s+"))
+        words = words.filter(pc.not_equal(words, ""))
+        g = pa.TableGroupBy(pa.table({"word": words}), ["word"]).aggregate([("word", "count")])
+        cnt = g.column("word_count").to_numpy(zero_copy_only=False).astype(np.int64)
+        wcol = pl.from_arrow(g.select(["word"]))
+        mat = np.zeros((depth, width), dtype=np.int64)
+        for j in range(depth):
+            slots = (wcol.hash_rows(seed=j).to_numpy() % width).astype(np.int64)
+            mat[j] = np.bincount(slots, weights=cnt, minlength=width).astype(np.int64)
+        return pa.table(
+            {
+                "depth": pa.array(np.arange(depth, dtype=np.int64)),
+                "slots": pa.array(list(mat), pa.list_(pa.int64())),
+            }
+        )
+
+    sketch = (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # depth rows per block, 64 KiB each — not the corpus
+    )
+    mat = np.zeros((depth, width), dtype=np.int64)
+    for j in range(depth):
+        rows = sketch.loc[sketch["depth"] == j, "slots"]
+        for r in rows:
+            mat[j] += np.asarray(r, dtype=np.int64)
+    n_total = int(mat[0].sum())
+
+    probes = heavy_hitters(sf_dir, k=k)  # word, est_n (MG undercount), err_bound
+    pw = pl.DataFrame({"word": probes["word"].tolist()})
+    ests = np.empty((depth, len(probes)), dtype=np.int64)
+    for j in range(depth):
+        slots = (pw.hash_rows(seed=j).to_numpy() % width).astype(np.int64)
+        ests[j] = mat[j][slots]
+    out = pd.DataFrame(
+        {
+            "word": probes["word"],
+            "lower_n": probes["est_n"].astype("int64"),
+            "upper_n": ests.min(axis=0).astype("int64"),
+        }
+    )
+    out["eps_n"] = np.int64(int(np.e / width * n_total) + 1)
+    return out.sort_values("word").reset_index(drop=True)
+
+
 def char_entropy(sf_dir: str) -> pd.DataFrame:
     """Per-document Shannon character entropy (bits/char) — the classic
     gibberish/binary-blob quality gate: natural language sits ~4 bits,

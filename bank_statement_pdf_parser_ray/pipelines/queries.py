@@ -997,6 +997,49 @@ FROM u GROUP BY event_type
 """
 
 
+def union_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Set op: UNION (distinct) of two independently-filtered user-id
+    slices — completes the §2.7 family next to UNION ALL / INTERSECT /
+    EXCEPT. Each slice is a pruned, predicate-filtered read; the two
+    streams concatenate lazily (`Dataset.union`, no shuffle), each
+    batch pre-combines to its LOCAL distinct ids (`pc.unique` — the
+    combiner that makes the exchange move distinct-per-block ids, not
+    rows), and one `unique()` exchange finishes the global distinct.
+    At 100 TB the shuffle volume is O(distinct_ids × blocks), the same
+    bound as `distinct_langs`."""
+
+    def local_unique(t: pa.Table) -> pa.Table:
+        u = pc.unique(t.column("user_id").combine_chunks())
+        return pa.table({"user_id": u})
+
+    clicks = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type"],
+        filter=pc.field("event_type") == "click",
+    ).map_batches(local_unique, batch_format="pyarrow", zero_copy_batch=True)
+    high = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "value"],
+        filter=pc.field("value") > 90.0,
+    ).map_batches(local_unique, batch_format="pyarrow", zero_copy_batch=True)
+    vals = clicks.union(high).unique("user_id")
+    # SQL UNION keeps NULL as one distinct value; sort NULLS LAST like
+    # the oracle's ORDER BY
+    out = pd.DataFrame({"user_id": pd.array(vals, dtype="Int64")})
+    out = out.sort_values("user_id", na_position="last").reset_index(drop=True)
+    if not out["user_id"].isna().any():
+        out["user_id"] = out["user_id"].astype("int64")
+    return out
+
+
+UNION_DISTINCT_USERS_SQL = """
+SELECT user_id FROM events WHERE event_type = 'click'
+UNION
+SELECT user_id FROM events WHERE value > 90.0
+ORDER BY user_id
+"""
+
+
 def _user_type_flag_sets(sf_dir: str, want_click: int, want_view: int) -> pd.DataFrame:
     """Shared engine for INTERSECT/EXCEPT over event-type membership.
     Scale shape: instead of materializing two distinct sets and
@@ -2788,8 +2831,12 @@ def merge_upsert(sf_dir: str) -> "ray.data.Dataset":
     keys for keys ≡3 mod 101), so the job is reproducible and the
     oracle can state the same delta in SQL.
 
-    Shape: both sides are tagged and unioned lazily (no materialize),
-    then a coarse-shard cogroup on the order key (stages/agg.py) holds
+    Shape: ONE pruned read of orders feeds both legs (in a real CDC
+    job base and delta are distinct streams; here both derive from the
+    same table, so a second scan would just re-read the same bytes) —
+    each batch emits its tagged base slice (pre-1997, one vectorized
+    filter) concatenated with its derived delta ops, then a
+    coarse-shard cogroup on the order key (stages/agg.py) holds
     every key's base row and delta op in one shard; the MERGE decision
     table (matched+U -> update, matched+D -> drop, unmatched+I ->
     insert, anything else -> no-op) is applied with vectorized
@@ -2803,7 +2850,10 @@ def merge_upsert(sf_dir: str) -> "ray.data.Dataset":
 
     from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
 
+    cutoff = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
+
     def base_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("o_orderdate"), cutoff))
         return pa.table(
             {
                 "okey": t.column("o_orderkey"),
@@ -2845,17 +2895,13 @@ def merge_upsert(sf_dir: str) -> "ray.data.Dataset":
         )
         return pa.concat_tables([u, d, i])
 
-    import pyarrow.dataset as _pads
+    def both_legs(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([base_rows(t), delta_rows(t)])
 
-    base = ray.data.read_parquet(
+    tagged = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_totalprice"],
-        # predicate pushdown: the pre-1997 snapshot never leaves storage
-        filter=(_pads.field("o_orderdate") < pa.scalar(np.datetime64("1997-01-01", "us"))),
-    ).map_batches(base_rows, batch_format="pyarrow", zero_copy_batch=True)
-    delta = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
-        delta_rows, batch_format="pyarrow", zero_copy_batch=True
-    )
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    ).map_batches(both_legs, batch_format="pyarrow", zero_copy_batch=True)
 
     def apply_merge(g: pa.Table) -> pa.Table:
         is_delta = pc.is_valid(g.column("op"))
@@ -2882,7 +2928,7 @@ def merge_upsert(sf_dir: str) -> "ray.data.Dataset":
         )
         return pa.concat_tables([kept, ins])
 
-    return shard_map_groups(base.union(delta), ["okey"], apply_merge)
+    return shard_map_groups(tagged, ["okey"], apply_merge)
 
 
 MERGE_UPSERT_SQL = """

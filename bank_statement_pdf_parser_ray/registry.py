@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_upsert": q.merge_upsert,
         "full_outer_user_activity": q.full_outer_user_activity,
         "union_event_slices": q.union_event_slices,
+        "union_distinct_users": q.union_distinct_users,
         "intersect_users": q.intersect_users,
         "except_users": q.except_users,
         "rollup_orders": q.rollup_orders,
@@ -227,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gap_dedup": w.events_gap_dedup,
         "bloom_join_revenue": q.bloom_join_revenue,
         "heavy_hitters": dp.heavy_hitters,
+        "count_min_freq": dp.count_min_freq,
         "pagerank_edges": gr.pagerank_edges,
         "pagerank_nations": gr.pagerank_nations,
         "triangle_count": gr.triangle_count,
@@ -282,6 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": dp.langid,
         "doc_fingerprint": dp.doc_fingerprint,
         "passage_dedup": co.passage_dedup,
+        "extract_links": co.extract_links,
         "dup_char_windows": co.dup_char_windows,
         "fuzzy_pairs": co.fuzzy_pairs,
         "fuzzy_clusters": dp.fuzzy_clusters,
@@ -355,6 +358,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_upsert": q.MERGE_UPSERT_SQL,
         "full_outer_user_activity": q.FULL_OUTER_USER_ACTIVITY_SQL,
         "union_event_slices": q.UNION_EVENT_SLICES_SQL,
+        "union_distinct_users": q.UNION_DISTINCT_USERS_SQL,
         "intersect_users": q.INTERSECT_USERS_SQL,
         "except_users": q.EXCEPT_USERS_SQL,
         "rollup_orders": q.ROLLUP_ORDERS_SQL,

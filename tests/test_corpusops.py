@@ -333,3 +333,54 @@ class TestC4Filters:
         assert (
             got["clean_text"].fillna("\0").tolist() == exp["clean_text"].fillna("\0").tolist()
         )
+
+
+class TestExtractLinks:
+    """links_histogram vs a pure-Python re reference on HTML with
+    absolute/relative/multi-link/duplicate/no-link payloads."""
+
+    PAYLOADS = [
+        '<p><a href="/p/1">one</a> <a href="http://ex.com/a">two</a></p>',
+        '<div><a href="http://ex.com/a">again</a><a href="http://ex.com/a">thrice</a></div>',
+        "plain text, no links at all",
+        '<a href="https://sub.ex.org/x?q=1">q</a> <a href="/p/1">rel</a>',
+        "",
+    ]
+
+    def _src(self):
+        import ray.data
+
+        n = len(self.PAYLOADS)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "conv_id": [f"c{i}" for i in range(n)],
+                    "turn_idx": pa.array(range(n), pa.int32()),
+                    "role": ["user"] * n,
+                    "text": self.PAYLOADS,
+                    "tool": [""] * n,
+                    "ts": pa.array([0] * n, pa.timestamp("us")),
+                }
+            )
+        )
+
+    def test_matches_re_reference(self):
+        import re
+        from collections import defaultdict
+
+        out = co.links_histogram(self._src())
+        ref_links: dict[str, int] = defaultdict(int)
+        ref_docs: dict[str, set] = defaultdict(set)
+        for i, p in enumerate(self.PAYLOADS):
+            for m in re.finditer(r'href="([^"]*)"', p):
+                ref_links[m.group(1)] += 1
+                ref_docs[m.group(1)].add(i)
+        got = {r["href"]: (r["n_links"], r["n_docs"]) for _, r in out.iterrows()}
+        assert got == {h: (n, len(ref_docs[h])) for h, n in ref_links.items()}
+        # deterministic ordering: links desc, href asc
+        assert out["href"].tolist() == sorted(out["href"], key=lambda h: (-got[h][0], h))
+
+    def test_corpus_runs(self):
+        out = co.extract_links("sf0.001")
+        assert len(out) > 0
+        assert (out["n_links"] >= out["n_docs"]).all()

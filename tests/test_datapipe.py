@@ -795,6 +795,29 @@ class TestHeavyHitters:
         assert a["word"].tolist() == ["alpha", "beta", "gamma"]
 
 
+class TestCountMin:
+    """MG+CM bracket: for every probed word the exact count lies in
+    [lower_n (MG undercount), upper_n (CM overcount)], CM never
+    undercounts, and the sketch pair is deterministic."""
+
+    def test_bracket_contains_exact(self, tmp_path):
+        d, hot, n = TestHeavyHitters()._skewed_dir(tmp_path)
+        out = dp.count_min_freq(d, k=3, width=1024, depth=4)
+        assert set(out["word"]) == set(hot)
+        for _, r in out.iterrows():
+            true_n = hot[r["word"]]
+            assert r["lower_n"] <= true_n <= r["upper_n"], (r["word"], true_n, r["lower_n"], r["upper_n"])
+            # CM overshoot within the eps*n bound (w.h.p.; depth=4 on a
+            # 1024-slot table over <5k distinct words is far inside it)
+            assert r["upper_n"] - true_n <= r["eps_n"]
+
+    def test_determinism(self, tmp_path):
+        d, _, _ = TestHeavyHitters()._skewed_dir(tmp_path)
+        a = dp.count_min_freq(d, k=3, width=512, depth=3)
+        b = dp.count_min_freq(d, k=3, width=512, depth=3)
+        assert a.equals(b)
+
+
 class TestSourceCap:
     def test_cap_and_rank(self, tmp_path):
         import pyarrow.parquet as pq
