@@ -219,6 +219,7 @@ def run_bench() -> dict:
         "value_histogram",
         "approx_quantiles_events",
         "union_event_slices",
+        "union_distinct_users",
         "intersect_users",
         "except_users",
         "rollup_orders",
@@ -240,6 +241,7 @@ def run_bench() -> dict:
         "hash_split",
         "decontaminate",
         "passage_dedup",
+        "extract_links",
         "gopher_quality",
         "c4_filters",
         "bm25_search",
@@ -275,6 +277,7 @@ def run_bench() -> dict:
         "user_funnel",
         "bloom_join_revenue",
         "heavy_hitters",
+        "count_min_freq",
         "date_funcs",
         "unpivot_lineitem",
         "char_entropy",
