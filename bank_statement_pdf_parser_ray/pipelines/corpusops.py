@@ -1100,3 +1100,79 @@ def links_histogram(src: "ray.data.Dataset") -> pd.DataFrame:
     out["n_links"] = out["n_links"].astype("int64")
     out["n_docs"] = out["n_docs"].astype("int64")
     return out.sort_values(["n_links", "href"], ascending=[False, True]).reset_index(drop=True)
+
+
+def host_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-host outlink rollup over the same HTML payload family —
+    the host-level aggregation behind blocklist filtering and
+    host-level dedup (RefinedWeb/CCNet curate per registrable host
+    before they ever look at documents). Relative links (no scheme)
+    roll up under the empty-string host so totals reconcile with
+    ``extract_links``.
+
+    Scale shape: the SAME single streaming pass as ``extract_links``
+    (vectorized Rust-regex href pull), plus one more vectorized
+    ``str.extract`` to lift ``scheme://host`` — hosts are a strictly
+    coarser key than hrefs, so the per-batch pre-combine shrinks the
+    exchange further: O(distinct hosts x blocks) rows into one grouped
+    sum. Rows-only (generated corpus input); pytest pins the host
+    lift + rollup against a pure-Python urllib reference
+    (TestHostStats)."""
+    import polars as pl
+
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    from bank_statement_pdf_parser_ray.sources.corpus import gen_corpus
+
+    n_convs = {"sf0.001": 30, "sf0.01": 120, "sf0.1": 400}.get(sf_dir.rstrip("/").split("/")[-1], 60)
+    src = rd.from_arrow(gen_corpus(n_convs, seed=42, mega_turns=200))
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = pl.from_arrow(t.select(["text"]))["text"]
+        matches = texts.str.extract_all(r'href="[^"]*"')
+        frame = pl.DataFrame({"doc": np.arange(len(texts), dtype=np.int64), "m": matches})
+        long = frame.explode("m").drop_nulls("m")
+        schema = pa.schema(
+            [
+                ("host", pa.string()),
+                ("p_links", pa.int64()),
+                ("p_docs", pa.int64()),
+                ("p_paths", pa.int64()),
+            ]
+        )
+        if long.height == 0:
+            return schema.empty_table()
+        long = long.with_columns(
+            pl.col("m").str.slice(6).str.strip_chars_end('"').alias("href")
+        ).with_columns(
+            # scheme://host[/...] -> host; anything without a scheme
+            # (relative link) gets the '' host bucket
+            pl.col("href").str.extract(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+            .fill_null("")
+            .alias("host")
+        )
+        g = long.group_by("host").agg(
+            pl.len().alias("p_links"),
+            pl.col("doc").n_unique().alias("p_docs"),
+            pl.col("href").n_unique().alias("p_paths"),
+        )
+        return g.select(["host", "p_links", "p_docs", "p_paths"]).to_arrow().cast(schema)
+
+    out = (
+        src.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("host")
+        .aggregate(
+            Sum("p_links", alias_name="n_links"),
+            Sum("p_docs", alias_name="n_docs"),
+            # distinct hrefs per batch don't sum exactly across batches;
+            # report the max per-batch distinct as the documented LOWER
+            # BOUND on distinct paths (exact would need a second
+            # href-keyed exchange — extract_links already provides it)
+            Max("p_paths", alias_name="min_paths"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_links", "n_docs", "min_paths"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["n_links", "host"], ascending=[False, True]).reset_index(drop=True)

@@ -285,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": dp.doc_fingerprint,
         "passage_dedup": co.passage_dedup,
         "extract_links": co.extract_links,
+        "host_stats": co.host_stats,
         "dup_char_windows": co.dup_char_windows,
         "fuzzy_pairs": co.fuzzy_pairs,
         "fuzzy_clusters": dp.fuzzy_clusters,

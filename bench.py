@@ -242,6 +242,7 @@ def run_bench() -> dict:
         "decontaminate",
         "passage_dedup",
         "extract_links",
+        "host_stats",
         "gopher_quality",
         "c4_filters",
         "bm25_search",

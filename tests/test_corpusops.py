@@ -384,3 +384,59 @@ class TestExtractLinks:
         out = co.extract_links("sf0.001")
         assert len(out) > 0
         assert (out["n_links"] >= out["n_docs"]).all()
+
+
+class TestHostStats:
+    """host_stats host lift + rollup vs a pure-Python urllib reference
+    over planted absolute/relative/multi-host payloads."""
+
+    def test_matches_urllib_reference(self, monkeypatch):
+        import re
+        from collections import defaultdict
+        from urllib.parse import urlparse
+
+        payloads = [
+            '<a href="http://a.com/x">1</a> <a href="http://a.com/y">2</a>',
+            '<a href="https://b.org/p?q=1#f">3</a> <a href="/rel/1">4</a>',
+            '<a href="http://a.com/x">dup</a> plain tail',
+            '<a href="ftp://c.net">5</a> <a href="/rel/2">6</a> no more',
+        ]
+
+        def fake_gen(n, seed, mega_turns):
+            n = len(payloads)
+            return pa.table(
+                {
+                    "conv_id": [f"c{i}" for i in range(n)],
+                    "turn_idx": pa.array(range(n), pa.int32()),
+                    "role": ["user"] * n,
+                    "text": payloads,
+                    "tool": [""] * n,
+                    "ts": pa.array([0] * n, pa.timestamp("us")),
+                }
+            )
+
+        import bank_statement_pdf_parser_ray.sources.corpus as corpus_mod
+
+        monkeypatch.setattr(corpus_mod, "gen_corpus", fake_gen)
+        out = co.host_stats("sf0.001")
+
+        links = defaultdict(int)
+        docs = defaultdict(set)
+        for i, p in enumerate(payloads):
+            for m in re.finditer(r'href="([^"]*)"', p):
+                href = m.group(1)
+                host = urlparse(href).netloc if "://" in href else ""
+                links[host] += 1
+                docs[host].add(i)
+        got = {r["host"]: (r["n_links"], r["n_docs"]) for _, r in out.iterrows()}
+        assert got == {h: (n, len(docs[h])) for h, n in links.items()}
+        # ordering: links desc, host asc
+        assert out["host"].tolist() == sorted(got, key=lambda h: (-got[h][0], h))
+        # min_paths is a lower bound on distinct hrefs and at least 1
+        assert (out["min_paths"] >= 1).all()
+
+    def test_corpus_reconciles_with_links(self):
+        hosts = co.host_stats("sf0.001")
+        links = co.extract_links("sf0.001")
+        assert hosts["n_links"].sum() == links["n_links"].sum()
+        assert len(hosts) <= len(links)
