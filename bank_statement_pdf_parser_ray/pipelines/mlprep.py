@@ -264,3 +264,191 @@ def dsir_resample(sf_dir: str, target_lang: str = "en", m: int = 100) -> "ray.da
     exact_dedup already uses."""
     w = dsir_weights(sf_dir, target_lang)
     return w.sort(["log_weight", "doc_id"], descending=[True, False]).limit(m)
+
+
+# ---------------------------------------------------------------------------
+# Tabular feature engineering: grouped scaler fit/transform + leave-one-out
+# target encoding (Micci-Barreca 2001) — the fit-then-transform shape every
+# tabular ML prep pipeline runs before training.
+# ---------------------------------------------------------------------------
+
+
+TE_SMOOTH_M = 10.0
+
+
+def _grouped_value_stats(sf_dir: str) -> "pa.Table":
+    """ONE grouped exchange: per-event_type (n, Σv, Σv², min, max)
+    partials pre-combined inside every batch, reduced to a model-sized
+    stat table (≤ |event types| rows) — the 'fit' of the scaler.
+    At 100 TB the exchange moves O(types × blocks) 40-byte rows."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from bank_statement_pdf_parser_ray.pipelines.queries import _read
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value")
+        tbl = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "v": v,
+                "v2": pc.multiply(v, v),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+        g = pa.TableGroupBy(tbl, ["event_type"]).aggregate(
+            [("v", "sum"), ("v2", "sum"), ("one", "sum"), ("v", "min"), ("v", "max")]
+        )
+        return g.rename_columns(["event_type", "p_v", "p_v2", "p_n", "p_mn", "p_mx"])
+
+    return (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("p_v", alias_name="s_v"),
+            Sum("p_v2", alias_name="s_v2"),
+            Sum("p_n", alias_name="n"),
+            Min("p_mn", alias_name="mn"),
+            Max("p_mx", alias_name="mx"),
+        )
+        .take_all()  # ≤ |event types| rows — the model, not the data
+    )
+
+
+def standardize_events(sf_dir: str) -> "pd.DataFrame":
+    """Per-category feature scaling (fit per event_type, transform
+    every row): z-score against the group's sample stddev and min-max
+    position against the group's range — the standard scaler pair
+    fitted GROUPED, the way per-segment tabular features are scaled.
+
+    Scale shape: fit = one grouped-stats exchange
+    (_grouped_value_stats); the tiny stat table is broadcast once via
+    ``ray.put`` and the transform is a single shuffle-free streaming
+    map (vectorized index_in probe + numpy arithmetic). Degenerate
+    groups (stddev 0, or a single value so max == min) yield NULL,
+    matching the oracle's nullif guards."""
+    import pandas as pd
+
+    from bank_statement_pdf_parser_ray.pipelines.queries import _read
+
+    stats = _grouped_value_stats(sf_dir)
+    types = [r["event_type"] for r in stats]
+    n = np.array([r["n"] for r in stats], dtype=np.float64)
+    sv = np.array([r["s_v"] for r in stats], dtype=np.float64)
+    sv2 = np.array([r["s_v2"] for r in stats], dtype=np.float64)
+    mean = sv / n
+    var = np.where(n > 1, np.maximum(sv2 - sv * sv / n, 0.0) / np.maximum(n - 1, 1.0), np.nan)
+    sd = np.sqrt(var)
+    mn = np.array([r["mn"] for r in stats], dtype=np.float64)
+    mx = np.array([r["mx"] for r in stats], dtype=np.float64)
+    model = ray.put(
+        {
+            "types": pa.array(types, pa.string()),
+            "mean": mean,
+            "sd": np.where(sd > 0, sd, np.nan),
+            "mn": mn,
+            "rng": np.where(mx > mn, mx - mn, np.nan),
+        }
+    )
+
+    def transform(t: pa.Table) -> pa.Table:
+        m = ray.get(model)
+        idx = pc.index_in(t.column("event_type"), m["types"]).to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        # UNROUNDED: rounding two independently-summed floats to a
+        # fixed decimal flips at half-way boundaries (a 1e-13 summation
+        # difference becomes exactly 1e-6); raw doubles stay within the
+        # contract's 1e-9 tolerance
+        z = (v - m["mean"][idx]) / m["sd"][idx]
+        mmx = (v - m["mn"][idx]) / m["rng"][idx]
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "z": pa.array(z, pa.float64(), mask=np.isnan(z)),
+                "minmax": pa.array(mmx, pa.float64(), mask=np.isnan(mmx)),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "events", ["event_id", "event_type", "value"])
+        .map_batches(transform, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+STANDARDIZE_EVENTS_SQL = """
+WITH s AS (
+  SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd,
+         min(value) AS mn, max(value) AS mx, count(*) AS n
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       (e.value - s.m) / nullif(s.sd, 0) AS z,
+       (e.value - s.mn) / nullif(s.mx - s.mn, 0) AS minmax
+FROM events e JOIN s USING (event_type)
+ORDER BY e.event_id
+"""
+
+
+def target_encode_events(sf_dir: str) -> "pd.DataFrame":
+    """Leave-one-out target encoding of event_type against ``value``
+    (Micci-Barreca 2001, the categorical encoder tabular pipelines fit
+    before gradient-boosting/linear training): each row's code is the
+    mean target of its OWN category excluding itself — the standard
+    leakage guard — plus a prior-smoothed variant (m=10 pseudo-counts
+    of the global mean) that tames rare categories.
+
+    Scale shape: identical to the scaler — one grouped (Σ, n) exchange
+    fits the encoder, the model-sized table broadcasts once, and the
+    encode is a shuffle-free streaming map; the global mean rides the
+    same stat table (one more driver-side division), so fit is still
+    ONE pass."""
+    import pandas as pd
+
+    from bank_statement_pdf_parser_ray.pipelines.queries import _read
+
+    stats = _grouped_value_stats(sf_dir)
+    types = pa.array([r["event_type"] for r in stats], pa.string())
+    n = np.array([r["n"] for r in stats], dtype=np.float64)
+    sv = np.array([r["s_v"] for r in stats], dtype=np.float64)
+    g_mean = sv.sum() / n.sum()
+    model = ray.put({"types": types, "n": n, "s": sv, "g": g_mean})
+
+    def encode(t: pa.Table) -> pa.Table:
+        m = ray.get(model)
+        idx = pc.index_in(t.column("event_type"), m["types"]).to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        nn, ss = m["n"][idx], m["s"][idx]
+        loo_den = nn - 1.0
+        # unrounded — see standardize_events on half-way boundary flips
+        loo = (ss - v) / np.where(loo_den > 0, loo_den, np.nan)
+        smooth = (ss - v + TE_SMOOTH_M * m["g"]) / (loo_den + TE_SMOOTH_M)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "te_loo": pa.array(loo, pa.float64(), mask=np.isnan(loo)),
+                "te_smooth": pa.array(smooth, pa.float64(), mask=np.isnan(smooth)),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "events", ["event_id", "event_type", "value"])
+        .map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+TARGET_ENCODE_EVENTS_SQL = """
+WITH g AS (SELECT avg(value) AS gm FROM events)
+SELECT event_id,
+       (sum(value) OVER w - value)
+             / nullif(count(*) OVER w - 1, 0) AS te_loo,
+       (sum(value) OVER w - value + 10.0 * (SELECT gm FROM g))
+             / (count(*) OVER w - 1 + 10.0) AS te_smooth
+FROM events
+WINDOW w AS (PARTITION BY event_type)
+ORDER BY event_id
+"""

@@ -296,6 +296,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_benefit": ly.zorder_benefit,
         "compact_files": ly.compact_files,
         "quality_classifier": lambda sf: mlprep.quality_classifier(sf, epochs=10),
+        "standardize_events": mlprep.standardize_events,
+        "target_encode_events": mlprep.target_encode_events,
         "dsir_resample": lambda sf: mlprep.dsir_resample(sf, m=100),
         "shuffle_rank": co.shuffle_rank,
         "gopher_quality": co.gopher_quality,
@@ -344,6 +346,7 @@ def oracle_sql() -> dict[str, str]:
     from bank_statement_pdf_parser_ray.pipelines import corpusops as co
     from bank_statement_pdf_parser_ray.pipelines import datapipe as dp
     from bank_statement_pdf_parser_ray.pipelines import graph as gr
+    from bank_statement_pdf_parser_ray.pipelines import mlprep
     from bank_statement_pdf_parser_ray.pipelines import queries as q
     from bank_statement_pdf_parser_ray.pipelines import windows as w
 
@@ -360,6 +363,8 @@ def oracle_sql() -> dict[str, str]:
         "full_outer_user_activity": q.FULL_OUTER_USER_ACTIVITY_SQL,
         "union_event_slices": q.UNION_EVENT_SLICES_SQL,
         "union_distinct_users": q.UNION_DISTINCT_USERS_SQL,
+        "standardize_events": mlprep.STANDARDIZE_EVENTS_SQL,
+        "target_encode_events": mlprep.TARGET_ENCODE_EVENTS_SQL,
         "intersect_users": q.INTERSECT_USERS_SQL,
         "except_users": q.EXCEPT_USERS_SQL,
         "rollup_orders": q.ROLLUP_ORDERS_SQL,

@@ -305,6 +305,8 @@ def run_bench() -> dict:
         "event_transitions",
         "cohort_retention",
         "dsir_resample",
+        "standardize_events",
+        "target_encode_events",
         "skyline_orders",
         "user_value_trend",
         "user_coverage",
