@@ -2950,3 +2950,182 @@ SELECT d.o_orderkey, d.new_price AS o_totalprice
 FROM delta d LEFT JOIN base b ON d.o_orderkey = b.o_orderkey
 WHERE d.op = 'I' AND b.o_orderkey IS NULL
 """
+
+
+def dq_checks(sf_dir: str) -> pd.DataFrame:
+    """Data-quality assertion suite (the dbt-test / Deequ family): one
+    (rule, n_bad) row per constraint — primary-key uniqueness, both FK
+    shapes (dimension and big-big), value-range, and null/empty rules —
+    so a 100 TB ingest can gate promotion on `n_bad == 0` without a
+    second full read per rule.
+
+    Scale shape, per rule family:
+    - predicate rules: each batch emits ONE (rule, p_bad) partial row —
+      vectorized masks, NULL counted as a violation explicitly (SQL
+      three-valued logic drops NULL from both a predicate and its
+      negation, so the oracle states `OR x IS NULL`);
+    - PK uniqueness: per-batch (key, p_cnt) partials, one coarse-shard
+      exchange, violations = Σ(cnt−1) per shard — duplicates counted
+      without materializing keys on the driver;
+    - FK to a dimension (orders→customer): the dimension keyset is
+      broadcast ONCE via ray.put and probed with `pc.is_in`;
+    - FK big-big (lineitem→orders): neither keyset is broadcastable at
+      scale, so both sides pre-combine to distinct keys (+ probe row
+      counts) per batch and meet in ONE tagged coarse-shard cogroup.
+    All partial streams union lazily into one tiny grouped sum."""
+    import pyarrow.dataset as pads
+
+    from ray.data.aggregate import Sum
+
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
+    PART_SCHEMA = pa.schema([("rule", pa.string()), ("p_bad", pa.int64())])
+
+    def one(rule: str, n: int) -> pa.Table:
+        return pa.table({"rule": [rule], "p_bad": pa.array([n], pa.int64())})
+
+    def pred_partials(t: pa.Table) -> pa.Table:
+        """lineitem predicate rules: one partial row per rule per batch."""
+        q = t.column("l_quantity")
+        bad_q = pc.sum(
+            pc.cast(
+                pc.or_kleene(
+                    pc.is_null(q), pc.or_(pc.less(q, pa.scalar(1.0)), pc.greater(q, pa.scalar(50.0)))
+                ),
+                pa.int64(),
+            )
+        ).as_py() or 0
+        d = t.column("l_discount")
+        bad_d = pc.sum(
+            pc.cast(pc.or_kleene(pc.is_null(d), pc.greater(d, pa.scalar(0.05))), pa.int64())
+        ).as_py() or 0
+        return pa.concat_tables(
+            [one("lineitem_qty_range", bad_q), one("lineitem_discount_le_005", bad_d)]
+        )
+
+    li_pred = _read(sf_dir, "lineitem", ["l_quantity", "l_discount"]).map_batches(
+        pred_partials, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def ev_partials(t: pa.Table) -> pa.Table:
+        v = t.column("value")
+        bad = pc.sum(
+            pc.cast(pc.or_kleene(pc.is_null(v), pc.greater(v, pa.scalar(90.0))), pa.int64())
+        ).as_py() or 0
+        return one("events_value_le_90", bad)
+
+    ev_pred = _read(sf_dir, "events", ["value"]).map_batches(
+        ev_partials, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def doc_partials(t: pa.Table) -> pa.Table:
+        s = t.column("text")
+        bad = pc.sum(
+            pc.cast(pc.or_kleene(pc.is_null(s), pc.equal(pc.utf8_length(s), 0)), pa.int64())
+        ).as_py() or 0
+        return one("documents_text_nonempty", bad)
+
+    doc_pred = _read(sf_dir, "documents", ["text"]).map_batches(
+        doc_partials, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # FK to dimension: customer keyset broadcast once
+    cust_keys = ray.put(
+        pads.dataset(f"{sf_dir}/customer.parquet").to_table(columns=["c_custkey"]).column("c_custkey").combine_chunks()
+    )
+
+    def fk_cust(t: pa.Table) -> pa.Table:
+        k = t.column("o_custkey")
+        ok = pc.is_in(k, value_set=ray.get(cust_keys))
+        bad = pc.sum(pc.cast(pc.or_kleene(pc.is_null(k), pc.invert(ok)), pa.int64())).as_py() or 0
+        return one("orders_fk_customer", bad)
+
+    fk_dim = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        fk_cust, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # PK uniqueness: (key, p_cnt) partials -> shard -> sum(cnt-1)
+    def pk_partials(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["o_orderkey"]), ["o_orderkey"]).aggregate(
+            [("o_orderkey", "count")]
+        )
+        return g.rename_columns(["key", "p_cnt"])
+
+    pk_parts = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        pk_partials, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def pk_shard(g: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(g, ["key"]).aggregate([("p_cnt", "sum")])
+        dups = pc.sum(pc.subtract(agg.column("p_cnt_sum"), pa.scalar(1, pa.int64()))).as_py() or 0
+        return one("orders_pk_unique", int(dups))
+
+    pk = shard_map_groups(pk_parts, ["key"], pk_shard)
+
+    # FK big-big: lineitem keys (+ row counts) vs orders keys, one cogroup
+    def li_keys(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["l_orderkey"]), ["l_orderkey"]).aggregate(
+            [("l_orderkey", "count")]
+        ).rename_columns(["key", "p_rows"])
+        return g.append_column("is_probe", pa.array(np.ones(g.num_rows, dtype=bool)))
+
+    def ord_keys(t: pa.Table) -> pa.Table:
+        keys = pc.unique(t.column("o_orderkey").combine_chunks())
+        return pa.table(
+            {
+                "key": keys,
+                "p_rows": pa.nulls(len(keys), pa.int64()),
+                "is_probe": pa.array(np.zeros(len(keys), dtype=bool)),
+            }
+        )
+
+    li_side = _read(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+        li_keys, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ord_side = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        ord_keys, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fk_shard(g: pa.Table) -> pa.Table:
+        probe = g.filter(g.column("is_probe"))
+        ref = pc.unique(g.filter(pc.invert(g.column("is_probe"))).column("key").combine_chunks())
+        miss = pc.invert(pc.is_in(probe.column("key"), value_set=ref))
+        bad = pc.sum(pc.filter(probe.column("p_rows"), miss)).as_py() or 0
+        return one("lineitem_fk_orders", int(bad))
+
+    fk_big = shard_map_groups(li_side.union(ord_side), ["key"], fk_shard)
+
+    out = (
+        li_pred.union(ev_pred, doc_pred, fk_dim, pk, fk_big)
+        .groupby("rule")
+        .aggregate(Sum("p_bad", alias_name="n_bad"))
+        .to_pandas()
+    )
+    out["n_bad"] = out["n_bad"].astype("int64")
+    return out.sort_values("rule").reset_index(drop=True)
+
+
+DQ_CHECKS_SQL = """
+SELECT 'documents_text_nonempty' AS rule,
+       count(*) FILTER (WHERE text IS NULL OR length(text) = 0) AS n_bad FROM documents
+UNION ALL
+SELECT 'events_value_le_90', count(*) FILTER (WHERE value > 90.0 OR value IS NULL) FROM events
+UNION ALL
+SELECT 'lineitem_discount_le_005',
+       count(*) FILTER (WHERE l_discount > 0.05 OR l_discount IS NULL) FROM lineitem
+UNION ALL
+SELECT 'lineitem_fk_orders',
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'lineitem_qty_range',
+       count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50 OR l_quantity IS NULL) FROM lineitem
+UNION ALL
+SELECT 'orders_fk_customer',
+       (SELECT count(*) FROM orders o
+        WHERE o.o_custkey IS NULL
+           OR NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'orders_pk_unique', count(*) - count(DISTINCT o_orderkey) FROM orders
+ORDER BY rule
+"""

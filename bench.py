@@ -250,6 +250,7 @@ def run_bench() -> dict:
         "chunk_documents",
         "build_index",
         "key_skew_profile",
+        "dq_checks",
         "outlier_filter",
         "latest_events",
         "user_value_median",
