@@ -3129,3 +3129,109 @@ UNION ALL
 SELECT 'orders_pk_unique', count(*) - count(DISTINCT o_orderkey) FROM orders
 ORDER BY rule
 """
+
+
+def table_diff(sf_dir: str) -> "ray.data.Dataset":
+    """Snapshot diff (the Delta-CDF / lakehouse table_changes shape —
+    the INVERSE of `merge_upsert`, which applies a delta this op would
+    derive): compare two deterministic snapshots of orders and emit one
+    (o_orderkey, change, price_a, price_b) row per differing key,
+    change ∈ {added, removed, changed}.
+
+    Snapshot A = orders before 1997-07-01; snapshot B = orders before
+    1998-01-01 with a price restatement (+1.00) for keys ≡ 0 mod 97 —
+    both derived from the same table so the job is reproducible and the
+    oracle states the identical pair of CTEs.
+
+    Scale shape: ONE pruned scan feeds both legs (each batch emits its
+    tagged A-slice and B-slice — in a real diff the snapshots are two
+    manifests of mostly-shared files, so one physical read is the
+    honest shape); a coarse-shard cogroup on the order key holds both
+    versions of a key in one shard; classification is a vectorized
+    null/inequality decision table. Unchanged keys — the overwhelming
+    bulk at 100 TB — are dropped INSIDE the shard kernel, so only the
+    delta leaves the exchange."""
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
+    cut_a = pa.scalar(np.datetime64("1997-07-01", "us"), pa.timestamp("us"))
+    cut_b = pa.scalar(np.datetime64("1998-01-01", "us"), pa.timestamp("us"))
+
+    def both_snaps(t: pa.Table) -> pa.Table:
+        key = t.column("o_orderkey")
+        price = t.column("o_totalprice")
+        in_a = pc.less(t.column("o_orderdate"), cut_a)
+        in_b = pc.less(t.column("o_orderdate"), cut_b)
+        a = pa.table(
+            {
+                "okey": pc.filter(key, in_a),
+                "price": pc.filter(price, in_a),
+                "is_b": pa.array(np.zeros(pc.sum(pc.cast(in_a, pa.int64())).as_py() or 0, dtype=bool)),
+            }
+        )
+        kb = pc.filter(key, in_b)
+        pb = pc.filter(price, in_b)
+        # keys ≡ 0 mod 97 restate by +1.00 (integer divide-multiply mod —
+        # pyarrow.compute has no modulo kernel)
+        bump = pc.equal(
+            pc.subtract(kb, pc.multiply(pc.divide(kb, pa.scalar(97, pa.int64())), pa.scalar(97, pa.int64()))),
+            pa.scalar(0, pa.int64()),
+        )
+        pb = pc.if_else(bump, pc.add(pb, pa.scalar(1.0)), pb)
+        b = pa.table(
+            {
+                "okey": kb,
+                "price": pb,
+                "is_b": pa.array(np.ones(len(kb), dtype=bool)),
+            }
+        )
+        return pa.concat_tables([a, b])
+
+    tagged = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    ).map_batches(both_snaps, batch_format="pyarrow", zero_copy_batch=True)
+
+    def classify(g: pa.Table) -> pa.Table:
+        is_b = g.column("is_b")
+        a = g.filter(pc.invert(is_b)).select(["okey", "price"]).rename_columns(["okey", "price_a"])
+        b = g.filter(is_b).select(["okey", "price"]).rename_columns(["okey", "price_b"])
+        j = a.join(b, keys=["okey"], join_type="full outer")
+        pa_, pb_ = j.column("price_a"), j.column("price_b")
+        change = pc.if_else(
+            pc.is_null(pa_),
+            pa.scalar("added"),
+            pc.if_else(pc.is_null(pb_), pa.scalar("removed"), pa.scalar("changed")),
+        )
+        keep = pc.or_kleene(
+            pc.or_(pc.is_null(pa_), pc.is_null(pb_)), pc.not_equal(pa_, pb_)
+        )
+        out = pa.table(
+            {
+                "o_orderkey": j.column("okey"),
+                "change": change,
+                "price_a": pa_,
+                "price_b": pb_,
+            }
+        )
+        return out.filter(pc.fill_null(keep, False))
+
+    return shard_map_groups(tagged, ["okey"], classify)
+
+
+TABLE_DIFF_SQL = """
+WITH a AS (
+  SELECT o_orderkey, o_totalprice AS price FROM orders WHERE o_orderdate < DATE '1997-07-01'
+),
+b AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderdate < DATE '1998-01-01'
+)
+SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN a.o_orderkey IS NULL THEN 'added'
+            WHEN b.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS change,
+       a.price AS price_a, b.price AS price_b
+FROM a FULL OUTER JOIN b USING (o_orderkey)
+WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL OR a.price <> b.price
+"""

@@ -194,6 +194,7 @@ def run_bench() -> dict:
         "semi_join_customers",
         "left_join_big_orders",
         "merge_upsert",
+        "table_diff",
         "full_outer_user_activity",
         "asof_join_events",
         "events_hopping",
