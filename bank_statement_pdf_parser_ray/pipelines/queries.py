@@ -2319,19 +2319,18 @@ FROM g
 # --- IQR outlier filter --------------------------------------------------------
 
 
-def outlier_filter(sf_dir: str) -> "ray.data.Dataset":
-    """Tukey-fence outlier detection over the global value distribution:
-    rows outside [q1 - 1.5*IQR, q3 + 1.5*IQR] with INTERPOLATED
-    quartiles (percentile_cont semantics, h = (n-1)*q).
+def _percentile_cont_values(sf_dir: str, probs: list[float]) -> tuple[dict[float, float], int]:
+    """Exact INTERPOLATED percentiles (percentile_cont semantics,
+    h = (n-1)*q) of events.value without a global sort — the shared
+    engine behind `outlier_filter` and `winsorize_events`.
 
-    Three streaming passes, no global sort: (1) a floor(value) bucket
-    histogram (O(value-range) rows) locates which unit buckets hold the
-    four order statistics around h1/h3 and gives their exclusive prefix
-    offsets; (2) a predicate-pushdown re-read of ONLY those buckets
-    sorts a tiny slice locally and interpolates q1/q3 with the exact
-    float expression the oracle uses; (3) one vectorized filter streams
-    the outliers out. NULL and NaN values are excluded (NaN-as-missing,
-    declared in the oracle)."""
+    Two streaming passes: (1) a floor(value) unit-bucket histogram
+    (O(value-range) rows) locates which buckets hold the order
+    statistics around each h and gives their exclusive prefix offsets;
+    (2) a predicate-pushdown re-read of ONLY those buckets sorts a tiny
+    slice locally and interpolates with the exact float expression the
+    oracle uses. NULL and NaN excluded (NaN-as-missing). Returns
+    ({prob: value}, n); n == 0 means no valid rows."""
     from ray.data.aggregate import Sum
 
     base_filter = pc.is_valid(pc.field("value"))
@@ -2355,11 +2354,7 @@ def outlier_filter(sf_dir: str) -> "ray.data.Dataset":
     )
     n = int(hist["n"].sum())
     if n == 0:
-        import ray.data as rd
-
-        return rd.from_arrow(
-            pa.table({"event_id": pa.array([], pa.int64()), "value": pa.array([], pa.float64())})
-        )
+        return {}, 0
     cum = np.cumsum(hist["n"].to_numpy())
     starts = cum - hist["n"].to_numpy()  # exclusive prefix per bucket
     buckets = hist["bucket"].to_numpy()
@@ -2394,11 +2389,33 @@ def outlier_filter(sf_dir: str) -> "ray.data.Dataset":
                     out[r] = float(inbucket[r - off])
         return out
 
-    h1, h3 = (n - 1) * 0.25, (n - 1) * 0.75
-    l1, l3 = int(np.floor(h1)), int(np.floor(h3))
-    vals = order_stats([l1, l1 + 1, l3, l3 + 1])
-    q1 = vals[l1] + (h1 - l1) * (vals[min(l1 + 1, n - 1)] - vals[l1])
-    q3 = vals[l3] + (h3 - l3) * (vals[min(l3 + 1, n - 1)] - vals[l3])
+    hs = {p: (n - 1) * p for p in probs}
+    ranks: list[int] = []
+    for h in hs.values():
+        low = int(np.floor(h))
+        ranks += [low, low + 1]
+    vals = order_stats(ranks)
+    out: dict[float, float] = {}
+    for p, h in hs.items():
+        low = int(np.floor(h))
+        out[p] = vals[low] + (h - low) * (vals[min(low + 1, n - 1)] - vals[low])
+    return out, n
+
+
+def outlier_filter(sf_dir: str) -> "ray.data.Dataset":
+    """Tukey-fence outlier detection over the global value distribution:
+    rows outside [q1 - 1.5*IQR, q3 + 1.5*IQR] with INTERPOLATED
+    quartiles via the shared no-global-sort percentile engine
+    (_percentile_cont_values), then ONE vectorized filter pass."""
+    base_filter = pc.is_valid(pc.field("value"))
+    qs, n = _percentile_cont_values(sf_dir, [0.25, 0.75])
+    if n == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"event_id": pa.array([], pa.int64()), "value": pa.array([], pa.float64())})
+        )
+    q1, q3 = qs[0.25], qs[0.75]
     lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
 
     def pick(t: pa.Table) -> pa.Table:
@@ -3234,4 +3251,54 @@ SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
        a.price AS price_a, b.price AS price_b
 FROM a FULL OUTER JOIN b USING (o_orderkey)
 WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL OR a.price <> b.price
+"""
+
+
+def winsorize_events(sf_dir: str) -> pd.DataFrame:
+    """Percentile winsorization (clamp to [p05, p95]) — the robust-ML
+    companion to `standardize_events`: extreme values are capped, not
+    dropped, before scaling/training. Interpolated percentile_cont
+    bounds come from the shared no-global-sort percentile engine
+    (_percentile_cont_values: unit-bucket histogram + pruned re-read of
+    only the bound-holding buckets); the clamp itself is ONE shuffle-free
+    vectorized pass. NULL/NaN values pass through unclamped
+    (NaN-as-missing, stated in the oracle via the NULL-preserving
+    CASE)."""
+    bounds, n = _percentile_cont_values(sf_dir, [0.05, 0.95])
+    if n == 0:
+        return pd.DataFrame(
+            {"event_id": pd.Series(dtype="int64"), "value_w": pd.Series(dtype="float64")}
+        )
+    lo, hi = bounds[0.05], bounds[0.95]
+
+    def clamp(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        w = np.clip(v, lo, hi)  # NaN propagates through clip unchanged
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "value_w": pa.array(w, pa.float64(), mask=np.isnan(w)),
+            }
+        )
+
+    out = (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+        .map_batches(clamp, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+WINSORIZE_EVENTS_SQL = """
+WITH f AS (SELECT value FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+s AS (SELECT percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS lo,
+             percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS hi
+      FROM f)
+SELECT event_id,
+       CASE WHEN value IS NULL OR isnan(value) THEN NULL
+            WHEN value < s.lo THEN s.lo
+            WHEN value > s.hi THEN s.hi
+            ELSE value END AS value_w
+FROM events, s
+ORDER BY event_id
 """

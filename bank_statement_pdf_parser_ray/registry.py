@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_distinct_users": q.union_distinct_users,
         "dq_checks": q.dq_checks,
         "table_diff": q.table_diff,
+        "winsorize_events": q.winsorize_events,
         "intersect_users": q.intersect_users,
         "except_users": q.except_users,
         "rollup_orders": q.rollup_orders,
@@ -367,6 +368,7 @@ def oracle_sql() -> dict[str, str]:
         "union_distinct_users": q.UNION_DISTINCT_USERS_SQL,
         "dq_checks": q.DQ_CHECKS_SQL,
         "table_diff": q.TABLE_DIFF_SQL,
+        "winsorize_events": q.WINSORIZE_EVENTS_SQL,
         "standardize_events": mlprep.STANDARDIZE_EVENTS_SQL,
         "target_encode_events": mlprep.TARGET_ENCODE_EVENTS_SQL,
         "intersect_users": q.INTERSECT_USERS_SQL,

@@ -309,6 +309,7 @@ def run_bench() -> dict:
         "dsir_resample",
         "standardize_events",
         "target_encode_events",
+        "winsorize_events",
         "skyline_orders",
         "user_value_trend",
         "user_coverage",
