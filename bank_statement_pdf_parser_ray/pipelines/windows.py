@@ -1867,3 +1867,83 @@ GROUP BY e1, e2, e3
 ORDER BY n DESC, e1, e2, e3
 LIMIT 20
 """
+
+
+def user_scd2(sf_dir: str) -> "ray.data.Dataset":
+    """SCD Type-2 history build (the Kimball slowly-changing-dimension
+    pattern a warehouse runs to turn a change stream into validity
+    intervals): each user's event stream becomes one row per state
+    change — (user_id, event_type, valid_from, valid_to, is_current) —
+    where consecutive SAME-type events collapse into one interval and
+    the open interval carries valid_to = NULL.
+
+    Scale shape: the same ONE coarse-shard exchange as the other
+    per-user window kernels (stages/agg.py — a user's rows never split
+    across shards); the shard kernel sorts once by (user, ts, event_id)
+    and finds state-change boundaries with one vectorized
+    shift-compare, so intervals are numpy slices, not a Python loop
+    over rows."""
+
+    def intervals(g: pa.Table) -> pa.Table:
+        g = _sorted_shard(g)
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "valid_from": pa.array([], pa.timestamp("us")),
+                    "valid_to": pa.array([], pa.timestamp("us")),
+                    "is_current": pa.array([], pa.int64()),
+                }
+            )
+        first, _ = _uid_runs(g.column("user_id"))
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        # a new interval starts at a user boundary or a type change
+        change = first.copy()
+        change[1:] |= et[1:] != et[:-1]
+        starts = np.flatnonzero(change)
+        # interval end = start of the next interval within the same user,
+        # NULL (open) for each user's last interval
+        last_of_user = np.concatenate((first[1:], [True]))
+        interval_is_last = last_of_user[
+            np.concatenate((starts[1:] - 1, [n - 1]))
+        ]
+        ts = g.column("ts").cast(pa.int64()).to_numpy()
+        nxt = np.concatenate((starts[1:], [n]))
+        valid_to = np.where(interval_is_last, 0, ts[np.minimum(nxt, n - 1)])
+        return pa.table(
+            {
+                "user_id": g.column("user_id").take(pa.array(starts)),
+                "event_type": pa.array(et[starts], pa.string()),
+                "valid_from": pa.array(ts[starts], pa.int64()).cast(pa.timestamp("us")),
+                "valid_to": pa.array(valid_to, pa.int64(), mask=interval_is_last).cast(
+                    pa.timestamp("us")
+                ),
+                "is_current": pa.array(interval_is_last.astype(np.int64), pa.int64()),
+            }
+        )
+
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
+    ds = _events(sf_dir, ["user_id", "event_type", "ts", "event_id"])
+    return shard_map_groups(ds, ["user_id"], intervals)
+
+
+USER_SCD2_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+starts AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type, valid_from, valid_to,
+       CAST(valid_to IS NULL AS BIGINT) AS is_current
+FROM starts
+"""

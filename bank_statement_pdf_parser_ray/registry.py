@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_coverage": w.user_coverage,
         "time_decay_agg": w.time_decay_agg,
         "events_gap_dedup": w.events_gap_dedup,
+        "user_scd2": w.user_scd2,
         "bloom_join_revenue": q.bloom_join_revenue,
         "heavy_hitters": dp.heavy_hitters,
         "count_min_freq": dp.count_min_freq,
@@ -396,6 +397,7 @@ def oracle_sql() -> dict[str, str]:
         "user_coverage": w.USER_COVERAGE_SQL,
         "time_decay_agg": w.TIME_DECAY_AGG_SQL,
         "events_gap_dedup": w.EVENTS_GAP_DEDUP_SQL,
+        "user_scd2": w.USER_SCD2_SQL,
         "bloom_join_revenue": q.BLOOM_JOIN_REVENUE_SQL,
         "events_pivot": q.EVENTS_PIVOT_SQL,
         "events_stats": q.EVENTS_STATS_SQL,

@@ -315,6 +315,7 @@ def run_bench() -> dict:
         "user_coverage",
         "time_decay_agg",
         "events_gap_dedup",
+        "user_scd2",
         "fuzzy_pairs",
         "image_neardup",
         "q3_shipping",
