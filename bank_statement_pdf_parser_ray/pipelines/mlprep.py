@@ -452,3 +452,72 @@ FROM events
 WINDOW w AS (PARTITION BY event_type)
 ORDER BY event_id
 """
+
+
+def ab_welch_ttest(sf_dir: str, control: str = "view") -> "pd.DataFrame":
+    """Welch two-sample t statistics of every event_type against the
+    control type — the A/B experiment readout a metrics pipeline
+    computes over billions of raw observations: per variant
+    (event_type, n, mean_diff, t_stat, df) with Welch–Satterthwaite
+    degrees of freedom, which never assumes equal variances.
+
+    Scale shape: the ENTIRE computation reduces to the same ONE grouped
+    (n, Σv, Σv²) exchange as the scaler fit (_grouped_value_stats) —
+    the t statistic, like every moment-based test, is algebra over
+    model-sized sufficient statistics, so the 100 TB of observations
+    are touched exactly once and only O(types × blocks) partial rows
+    move. Unrounded doubles (see standardize_events on why fixed-
+    decimal rounding is the enemy of cross-engine float compares)."""
+    import pandas as pd
+
+    stats = _grouped_value_stats(sf_dir)
+    rows = {r["event_type"]: r for r in stats}
+    if control not in rows:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+                "mean_diff": pd.Series(dtype="float64"),
+                "t_stat": pd.Series(dtype="float64"),
+                "df": pd.Series(dtype="float64"),
+            }
+        )
+
+    def moments(r) -> tuple[float, float, float]:
+        n = float(r["n"])
+        mean = r["s_v"] / n
+        var = (r["s_v2"] - r["s_v"] * r["s_v"] / n) / (n - 1.0) if n > 1 else float("nan")
+        return n, mean, var
+
+    n_c, m_c, v_c = moments(rows[control])
+    out_rows = []
+    for et in sorted(rows):
+        if et == control:
+            continue
+        n_t, m_t, v_t = moments(rows[et])
+        se2 = v_t / n_t + v_c / n_c
+        t = (m_t - m_c) / np.sqrt(se2)
+        df = se2 * se2 / (
+            (v_t / n_t) ** 2 / (n_t - 1.0) + (v_c / n_c) ** 2 / (n_c - 1.0)
+        )
+        out_rows.append((et, int(n_t), m_t - m_c, t, df))
+    return pd.DataFrame(
+        out_rows, columns=["event_type", "n", "mean_diff", "t_stat", "df"]
+    ).sort_values("event_type").reset_index(drop=True)
+
+
+AB_WELCH_TTEST_SQL = """
+WITH s AS (
+  SELECT event_type, count(*) AS n, avg(value) AS m, var_samp(value) AS v
+  FROM events GROUP BY event_type
+),
+c AS (SELECT n, m, v FROM s WHERE event_type = 'view')
+SELECT s.event_type, s.n,
+       s.m - c.m AS mean_diff,
+       (s.m - c.m) / sqrt(s.v / s.n + c.v / c.n) AS t_stat,
+       pow(s.v / s.n + c.v / c.n, 2)
+         / (pow(s.v / s.n, 2) / (s.n - 1) + pow(c.v / c.n, 2) / (c.n - 1)) AS df
+FROM s, c
+WHERE s.event_type <> 'view'
+ORDER BY s.event_type
+"""

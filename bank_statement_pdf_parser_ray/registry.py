@@ -302,6 +302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": lambda sf: mlprep.quality_classifier(sf, epochs=10),
         "standardize_events": mlprep.standardize_events,
         "target_encode_events": mlprep.target_encode_events,
+        "ab_welch_ttest": mlprep.ab_welch_ttest,
         "dsir_resample": lambda sf: mlprep.dsir_resample(sf, m=100),
         "shuffle_rank": co.shuffle_rank,
         "gopher_quality": co.gopher_quality,
@@ -372,6 +373,7 @@ def oracle_sql() -> dict[str, str]:
         "winsorize_events": q.WINSORIZE_EVENTS_SQL,
         "standardize_events": mlprep.STANDARDIZE_EVENTS_SQL,
         "target_encode_events": mlprep.TARGET_ENCODE_EVENTS_SQL,
+        "ab_welch_ttest": mlprep.AB_WELCH_TTEST_SQL,
         "intersect_users": q.INTERSECT_USERS_SQL,
         "except_users": q.EXCEPT_USERS_SQL,
         "rollup_orders": q.ROLLUP_ORDERS_SQL,

@@ -310,6 +310,7 @@ def run_bench() -> dict:
         "standardize_events",
         "target_encode_events",
         "winsorize_events",
+        "ab_welch_ttest",
         "skyline_orders",
         "user_value_trend",
         "user_coverage",
