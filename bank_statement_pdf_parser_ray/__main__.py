@@ -64,6 +64,11 @@ def main(argv: list[str] | None = None) -> int:
     prepp.add_argument("--out", required=True, help="output root (lang-partitioned parquet)")
     prepp.add_argument("--num-cpus", type=int, default=None)
 
+    delp = sub.add_parser("delete", help="GDPR-style targeted delete of conversations from a committed output")
+    delp.add_argument("--out", required=True, help="committed flagship output root")
+    delp.add_argument("--conv", action="append", required=True, help="conversation id (repeatable)")
+    delp.add_argument("--num-cpus", type=int, default=None)
+
     # run ANY registered pipeline by name over the shared tables —
     # the same names the driver contract checks (registry.py)
     queryp = sub.add_parser("query", help="run a registered pipeline/query by name")
@@ -106,6 +111,19 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     import ray
+
+    if args.cmd == "delete":
+        from bank_statement_pdf_parser_ray.pipelines.flagship import delete_conversations
+
+        owns = not ray.is_initialized()
+        if owns:
+            ray.init(address="local", num_cpus=args.num_cpus, include_dashboard=False)
+        try:
+            print(json.dumps(delete_conversations(args.out, args.conv)))
+        finally:
+            if owns:
+                ray.shutdown()
+        return 0
 
     if args.cmd == "query":
         if not args.name or not args.sf_dir:

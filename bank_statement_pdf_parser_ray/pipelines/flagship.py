@@ -395,3 +395,88 @@ def read_extracted(out_dir: str) -> "ray.data.Dataset":
                 os.path.join(sub, f) for f in sorted(os.listdir(sub)) if f.endswith(".parquet")
             )
     return ray.data.read_parquet(files)
+
+
+@ray.remote
+def _delete_from_part(
+    out_dir: str, manifest_dir: str, part: int, conv_ids: tuple[str, ...], meta_base: dict
+) -> tuple[int, int]:
+    """Rewrite ONE part without the target conversations. Returns
+    (rows_deleted, rewritten 0/1). A part with no matching rows is left
+    byte-identical (checked with a pruned conv_id-only read first)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    part_dir = os.path.join(out_dir, f"part={part}")
+    targets = pa.array(list(conv_ids), pa.string())
+    probe = pads.dataset(part_dir, format="parquet").to_table(columns=["conv_id"])
+    hit = pc.sum(pc.cast(pc.is_in(probe.column("conv_id"), value_set=targets), pa.int64())).as_py() or 0
+    if hit == 0:
+        return 0, 0
+    t = pads.dataset(part_dir, format="parquet").to_table()
+    kept = t.filter(pc.invert(pc.is_in(t.column("conv_id"), value_set=targets)))
+    staging = os.path.join(out_dir, f"_staging-delete-{os.getpid()}")
+    stage_part = os.path.join(staging, f"part={part}")
+    os.makedirs(stage_part, exist_ok=True)
+    pq.write_table(kept, os.path.join(stage_part, "data-0.parquet"))
+    promote_part(staging, out_dir, part)
+    import shutil as _sh
+
+    _sh.rmtree(staging, ignore_errors=True)
+    checksum = 0
+    for chunk in kept.column("row_h").chunks or [kept.column("row_h").combine_chunks()]:
+        s = chunk.to_numpy(zero_copy_only=False)
+        if len(s):
+            checksum = (checksum + int(s.sum() % _CHECKSUM_MOD)) % _CHECKSUM_MOD
+    Manifest(manifest_dir).commit(
+        PartMeta(part=part, rows=kept.num_rows, checksum=checksum, **meta_base)
+    )
+    return int(hit), 1
+
+
+def delete_conversations(out_dir: str, conv_ids: list[str], manifest_dir: str | None = None) -> dict:
+    """Targeted delete (GDPR right-to-be-forgotten / takedown): remove
+    every row of the given conversations from a COMMITTED flagship
+    output, touching only the partitions that can contain them.
+
+    Scale shape: ``part = stable_hash64(conv_id) % n_parts`` is the
+    committed layout's own assignment, so the affected part set is
+    computed driver-side from the keys alone — a delete of k
+    conversations reads k/n_parts of the output on average, never all
+    of it. Each affected part is rewritten by an independent Ray task
+    (probe-first: a part with no matching rows is left byte-identical),
+    promoted with the same atomic staging rename as a normal commit,
+    and its manifest entry is re-committed with the new row count and
+    checksum — so a crash mid-delete leaves every part either fully old
+    or fully new, and resume/read paths never see a half-deleted part.
+    Idempotent: a second call deletes 0 rows and rewrites nothing."""
+    from bank_statement_pdf_parser_ray.core.hashing import stable_hash64
+
+    manifest_dir = manifest_dir or os.path.join(out_dir, "_manifest")
+    manifest = Manifest(manifest_dir)
+    committed = manifest.committed_parts()
+    if not committed:
+        return {"parts_scanned": 0, "parts_rewritten": 0, "rows_deleted": 0}
+    sample = manifest.read(min(committed))
+    n_parts = sample.n_parts
+    meta_base = {
+        "extractor_version": sample.extractor_version,
+        "n_parts": sample.n_parts,
+        "salt_chunk": sample.salt_chunk,
+        "input": sample.input,
+    }
+    by_part: dict[int, list[str]] = {}
+    for c in conv_ids:
+        p = int(stable_hash64(c) % n_parts)
+        if p in committed:
+            by_part.setdefault(p, []).append(c)
+    refs = [
+        _delete_from_part.remote(out_dir, manifest_dir, p, tuple(cs), meta_base)
+        for p, cs in sorted(by_part.items())
+    ]
+    results = ray.get(refs)
+    return {
+        "parts_scanned": len(refs),
+        "parts_rewritten": sum(r[1] for r in results),
+        "rows_deleted": sum(r[0] for r in results),
+    }

@@ -158,3 +158,63 @@ class TestStagingCleanup:
         )
         assert t["parts_written"] == 8
         pd.testing.assert_frame_equal(_read_all(single), _read_all(conc))
+
+
+class TestDelete:
+    """GDPR-style targeted delete over a committed output: only the
+    hash-targeted parts are touched, untouched parts stay byte-identical,
+    manifests re-commit, resume never resurrects, idempotent."""
+
+    def _file_bytes(self, out_dir):
+        out = {}
+        for d in sorted(os.listdir(out_dir)):
+            if d.startswith("part="):
+                sub = os.path.join(out_dir, d)
+                for f in sorted(os.listdir(sub)):
+                    with open(os.path.join(sub, f), "rb") as fh:
+                        out[f"{d}/{f}"] = fh.read()
+        return out
+
+    def test_delete_targets_only_their_parts(self, corpus_path, tmp_path):
+        from bank_statement_pdf_parser_ray.core.hashing import stable_hash64
+        from bank_statement_pdf_parser_ray.pipelines.flagship import delete_conversations
+
+        out_dir = str(tmp_path / "del")
+        run_flagship(corpus_path, out_dir, salt_chunk=25, n_parts=8)
+        before = _read_all(out_dir)
+        convs = sorted(before["conv_id"].unique())[:3]
+        target_parts = {int(stable_hash64(c) % 8) for c in convs}
+        pre_bytes = self._file_bytes(out_dir)
+        n_target_rows = int(before["conv_id"].isin(convs).sum())
+
+        s = delete_conversations(out_dir, list(convs))
+        assert s["rows_deleted"] == n_target_rows
+        assert s["parts_scanned"] == len(target_parts)
+        assert s["parts_rewritten"] <= len(target_parts)
+
+        after = _read_all(out_dir)
+        assert not after["conv_id"].isin(convs).any()
+        assert len(after) == len(before) - n_target_rows
+        # rows of OTHER conversations are untouched, value-identical
+        keep = before[~before["conv_id"].isin(convs)].reset_index(drop=True)
+        pd.testing.assert_frame_equal(after, keep)
+        # parts that cannot contain a target are byte-identical
+        post_bytes = self._file_bytes(out_dir)
+        for name, blob in pre_bytes.items():
+            part = int(name.split("/")[0].split("=")[1])
+            if part not in target_parts:
+                assert post_bytes[name] == blob, name
+
+        # manifest row counts re-committed
+        man = Manifest(os.path.join(out_dir, "_manifest"))
+        total = sum(man.read(p).rows for p in man.committed_parts())
+        assert total == len(after)
+
+        # a resume run skips everything — deletion is never resurrected
+        s2 = run_flagship(corpus_path, out_dir, salt_chunk=25, n_parts=8)
+        assert s2["parts_written"] == 0
+        assert not _read_all(out_dir)["conv_id"].isin(convs).any()
+
+        # idempotent
+        s3 = delete_conversations(out_dir, list(convs))
+        assert s3["rows_deleted"] == 0 and s3["parts_rewritten"] == 0
