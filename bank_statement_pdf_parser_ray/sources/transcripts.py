@@ -14,6 +14,7 @@ from typing import Union
 
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.dataset as pads
 
 import ray.data
 
@@ -81,10 +82,54 @@ def _normalize_batch(t: pa.Table) -> pa.Table:
     return pa.table(cols, schema=INPUT_SCHEMA)
 
 
+def _read_parquet_evolved(path: str) -> "ray.data.Dataset":
+    """Parquet read that tolerates SCHEMA EVOLUTION across shard files —
+    the normal state of a corpus written by producers over months
+    (older shards missing ``tool``/``role``, ``ts`` as epoch int64 vs
+    timestamp). A plain ``read_parquet(columns=INPUT_COLUMNS)`` fails
+    on the first fragment whose footer lacks a projected column, and
+    Arrow cannot unify int64-vs-timestamp footers even permissively.
+
+    Plan (driver-side, METADATA-ONLY — footers, never data): list the
+    fragments, read each footer schema on a thread pool, group files by
+    the tuple of INPUT columns they carry + those columns' types. Each
+    group becomes its own ``read_parquet`` with projection pruned to
+    the columns that group actually has, normalized per batch to
+    INPUT_SCHEMA (missing optionals -> defaults, int/string ts ->
+    timestamp[us]); groups are then lazily ``union``-ed, so execution
+    stays one streaming pipeline with per-group pushdown. Distinct
+    schema groups are few by construction (producers change rarely);
+    the footer scan is the same metadata pass any planner does."""
+    import pyarrow.parquet as pq
+
+    frag_files = pads.dataset(path, format="parquet").files
+    if not frag_files:
+        raise SchemaError(f"no parquet files under {path!r}")
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(32, len(frag_files))) as pool:
+        schemas = list(pool.map(pq.read_schema, frag_files))
+    groups: dict[tuple, list[str]] = {}
+    for f, s in zip(frag_files, schemas):
+        sig = tuple((c, str(s.field(c).type)) for c in INPUT_COLUMNS if c in s.names)
+        groups.setdefault(sig, []).append(f)
+
+    parts = []
+    for sig, files in sorted(groups.items()):
+        cols = [c for c, _ in sig]
+        ds = ray.data.read_parquet(files, columns=cols or None)
+        parts.append(ds.map_batches(_normalize_batch, batch_format="pyarrow", zero_copy_batch=True))
+    return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+
+
 def read_transcripts(source: Union[str, pa.Table, "ray.data.Dataset"], fmt: str = "parquet") -> "ray.data.Dataset":
     """Canonical transcript Dataset from any supported source.
 
-    - ``fmt="parquet"`` (default): projection pushdown to the 6 columns.
+    - ``fmt="parquet"`` (default): projection pushdown to the columns
+      each shard actually carries; schema evolution across shards
+      (missing optional columns, int64/string timestamps) is unified
+      per fragment group (see ``_read_parquet_evolved``).
     - ``fmt="json"``: JSONL files, one turn object per line.
     - ``fmt="csv"``: header row required; empty strings read as nulls
       and normalized like any other source.
@@ -94,7 +139,7 @@ def read_transcripts(source: Union[str, pa.Table, "ray.data.Dataset"], fmt: str 
         ds = ray.data.from_arrow(source)
     elif isinstance(source, str):
         if fmt == "parquet":
-            ds = ray.data.read_parquet(source, columns=INPUT_COLUMNS)
+            return _read_parquet_evolved(source)
         elif fmt == "json":
             ds = ray.data.read_json(source)
         elif fmt == "csv":

@@ -140,3 +140,85 @@ class TestTsCoercion:
         with pytest.raises(Exception) as ei:
             read_transcripts(raw).take_all()
         assert "conv_id" in str(ei.value)
+
+
+class TestSchemaEvolution:
+    """A shard directory written by producers over time: older files
+    missing optional columns, ``ts`` as epoch int64 vs timestamp[us].
+    The parquet path must group fragments by footer schema, prune the
+    projection per group, and union to one canonical Dataset."""
+
+    def _write_mixed(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        d = tmp_path / "shards"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "conv_id": ["a"] * 3,
+                    "turn_idx": pa.array([0, 1, 2], pa.int32()),
+                    "text": ["x", "y", "z"],
+                    "ts": pa.array([1, 2, 3], pa.int64()),  # epoch micros, no role/tool
+                }
+            ),
+            str(d / "old.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "conv_id": ["b"] * 2,
+                    "turn_idx": pa.array([0, 1], pa.int32()),
+                    "role": ["user", "assistant"],
+                    "text": ["p", "q"],
+                    "tool": ["", ""],
+                    "ts": pa.array([4, 5], pa.timestamp("us")),
+                    "extra_col": [1.5, 2.5],  # unknown column: pruned, not fatal
+                }
+            ),
+            str(d / "new.parquet"),
+        )
+        return str(d)
+
+    def test_mixed_schema_dir_unifies(self, tmp_path):
+        d = self._write_mixed(tmp_path)
+        df = read_transcripts(d).to_pandas().sort_values(["conv_id", "turn_idx"])
+        assert len(df) == 5
+        assert list(df.columns) == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        assert df["role"].tolist() == ["", "", "", "user", "assistant"]
+        assert str(df["ts"].dtype) == "datetime64[us]"
+        # int64 epoch micros coerced identically to native timestamps
+        assert df["ts"].astype("int64").tolist() == [1, 2, 3, 4, 5]
+
+    def test_mixed_schema_flagship_end_to_end(self, tmp_path):
+        from bank_statement_pdf_parser_ray.pipelines.flagship import run_flagship
+
+        d = self._write_mixed(tmp_path)
+        ds = run_flagship(read_transcripts(d), salt_chunk=10, n_parts=2)
+        df = ds.to_pandas()
+        assert len(df) == 5
+        assert sorted(df["extracted_text"]) == ["p", "q", "x", "y", "z"]
+
+    def test_uniformly_narrow_dir(self, tmp_path):
+        """ALL files missing an optional column (the old code's
+        columns=INPUT_COLUMNS projection failed here too)."""
+        import pyarrow.parquet as pq
+
+        d = tmp_path / "narrow"
+        d.mkdir()
+        pq.write_table(
+            pa.table({"conv_id": ["c"], "turn_idx": pa.array([0], pa.int32()), "text": ["w"]}),
+            str(d / "only.parquet"),
+        )
+        out = read_transcripts(str(d)).take_all()
+        assert out[0]["tool"] == "" and out[0]["role"] == ""
+
+    def test_missing_required_still_raises(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        d = tmp_path / "bad"
+        d.mkdir()
+        pq.write_table(pa.table({"conv_id": ["a"], "text": ["x"]}), str(d / "f.parquet"))
+        with pytest.raises(Exception) as ei:
+            read_transcripts(str(d)).take_all()
+        assert "turn_idx" in str(ei.value)
