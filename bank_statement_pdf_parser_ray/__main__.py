@@ -69,6 +69,12 @@ def main(argv: list[str] | None = None) -> int:
     delp.add_argument("--conv", action="append", required=True, help="conversation id (repeatable)")
     delp.add_argument("--num-cpus", type=int, default=None)
 
+    ingp = sub.add_parser("ingest", help="incremental ingest: merge a newly-arrived input wave into a committed output")
+    ingp.add_argument("--out", required=True, help="committed flagship output root")
+    ingp.add_argument("--input", required=True, help="parquet path of the new wave")
+    ingp.add_argument("--wave-id", default=None, help="explicit wave id for the consumed-inputs ledger")
+    ingp.add_argument("--num-cpus", type=int, default=None)
+
     # run ANY registered pipeline by name over the shared tables —
     # the same names the driver contract checks (registry.py)
     queryp = sub.add_parser("query", help="run a registered pipeline/query by name")
@@ -120,6 +126,19 @@ def main(argv: list[str] | None = None) -> int:
             ray.init(address="local", num_cpus=args.num_cpus, include_dashboard=False)
         try:
             print(json.dumps(delete_conversations(args.out, args.conv)))
+        finally:
+            if owns:
+                ray.shutdown()
+        return 0
+
+    if args.cmd == "ingest":
+        from bank_statement_pdf_parser_ray.pipelines.flagship import ingest_append
+
+        owns = not ray.is_initialized()
+        if owns:
+            ray.init(address="local", num_cpus=args.num_cpus, include_dashboard=False)
+        try:
+            print(json.dumps(ingest_append(args.input, args.out, wave_id=args.wave_id)))
         finally:
             if owns:
                 ray.shutdown()

@@ -434,6 +434,196 @@ def _delete_from_part(
     return int(hit), 1
 
 
+@ray.remote
+def _ingest_merge_part(
+    out_dir: str, manifest_dir: str, part: int, staged_dir: str, meta_base: dict
+) -> tuple[int, int, int]:
+    """Merge ONE staged wave part into the committed output. Returns
+    (rows_appended, rows_deduped, created 0/1). Cross-wave dedup is
+    first-wins on (conv_id, turn_idx) — identical to D1's resume
+    semantics, so replayed input rows can never duplicate output."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    new = pads.dataset(staged_dir, format="parquet").to_table()
+    part_dir = os.path.join(out_dir, f"part={part}")
+    created = 0
+    if os.path.isdir(part_dir):
+        old = pads.dataset(part_dir, format="parquet").to_table()
+        # key-match against the committed rows: pack (hash(conv), idx)
+        # comparisons as one vectorized is_in over a struct-free packed
+        # string key (conv_id can be arbitrary; a separator no conv_id
+        # may contain keeps the packing injective enough for turn keys)
+        def keys(t: pa.Table) -> pa.Array:
+            return pc.binary_join_element_wise(
+                pc.cast(t.column("conv_id"), pa.string()),
+                pc.cast(t.column("turn_idx"), pa.string()),
+                "\x1f",
+            )
+
+        dup = pc.is_in(keys(new), value_set=keys(old).combine_chunks())
+        fresh = new.filter(pc.invert(dup))
+        n_dup = new.num_rows - fresh.num_rows
+        if fresh.num_rows == 0:
+            # nothing to add — but heal a stale manifest left by a crash
+            # between a previous merge's promote and its commit
+            man = Manifest(manifest_dir)
+            prev = man.read(part)
+            if prev.rows != old.num_rows:
+                checksum = 0
+                s = old.column("row_h").combine_chunks().to_numpy(zero_copy_only=False)
+                if len(s):
+                    checksum = int(s.sum() % _CHECKSUM_MOD)
+                man.commit(PartMeta(part=part, rows=old.num_rows, checksum=checksum, **meta_base))
+            return 0, n_dup, 0
+        merged = pa.concat_tables([old, fresh.select(old.schema.names)]).sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+    else:
+        merged = new.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        n_dup = 0
+        fresh = new
+        created = 1
+    staging = os.path.join(out_dir, f"_staging-{os.getpid()}-ingestmerge-{part}")
+    stage_part = os.path.join(staging, f"part={part}")
+    os.makedirs(stage_part, exist_ok=True)
+    pq.write_table(merged, os.path.join(stage_part, "data-0.parquet"))
+    promote_part(staging, out_dir, part)
+    import shutil as _sh
+
+    _sh.rmtree(staging, ignore_errors=True)
+    checksum = 0
+    s = merged.column("row_h").combine_chunks().to_numpy(zero_copy_only=False)
+    if len(s):
+        checksum = int(s.sum() % _CHECKSUM_MOD)
+    Manifest(manifest_dir).commit(
+        PartMeta(part=part, rows=merged.num_rows, checksum=checksum, **meta_base)
+    )
+    return int(fresh.num_rows), int(n_dup), created
+
+
+def ingest_append(
+    new_source: Union[str, "ray.data.Dataset"],
+    out_dir: str,
+    *,
+    manifest_dir: str | None = None,
+    wave_id: str | None = None,
+    concurrency: int | None = None,
+) -> dict:
+    """Incremental micro-batch ingest (the structured-streaming wave
+    pattern a standing 100 TB pipeline needs): extract a NEWLY-ARRIVED
+    input wave and merge it into an already-committed flagship output,
+    touching only the partitions the wave's conversations hash into.
+
+    Scale shape: the wave runs the normal flagship pipeline (keys ->
+    actor-pool extraction -> ONE salted ordering exchange sized to the
+    WAVE, not the accumulated corpus) into its own staging root; each
+    affected part is then merged by an independent Ray task —
+    copy-on-write: old part + surviving new rows, re-sorted, atomic
+    staging promote, manifest re-commit. Cross-wave replays dedup
+    first-wins on (conv_id, turn_idx) (D1 semantics), so at-least-once
+    upstream delivery is safe. A consumed-inputs ledger
+    (``_manifest/ingested.json``, atomic replace, written only after
+    every part commit succeeds) makes the whole wave idempotent: a
+    crashed wave re-runs and its rows dedup to zero, healing any
+    stale manifest entry along the way.
+
+    COW rewrite cost is proportional to the affected parts' size — the
+    Delta/Iceberg copy-on-write trade; at high wave frequency the
+    merge-on-read variant (delta files per part, order restored at
+    read) is the documented alternative. After the first ingest the
+    output's provenance is the ledger, not run_flagship's single-input
+    manifest field — extend the output only via further ingest_append
+    calls."""
+    manifest_dir = manifest_dir or os.path.join(out_dir, "_manifest")
+    manifest = Manifest(manifest_dir)
+    committed = manifest.committed_parts()
+    if not committed:
+        raise ValueError(
+            f"ingest_append requires a committed flagship output at {out_dir}; "
+            "run run_flagship first"
+        )
+    sample = manifest.read(min(committed))
+    if sample.extractor_version != EXTRACTOR_VERSION:
+        raise ValueError(
+            f"output was extracted with version {sample.extractor_version}, "
+            f"current is {EXTRACTOR_VERSION}; re-extract instead of ingesting"
+        )
+    wave_desc = wave_id or (os.path.abspath(new_source) if isinstance(new_source, str) else None)
+    if wave_desc is None:
+        raise ValueError("pass wave_id= when ingesting from an in-memory Dataset")
+
+    import json as _json
+
+    ledger_path = os.path.join(manifest_dir, "ingested.json")
+    ledger: list[str] = []
+    if os.path.exists(ledger_path):
+        with open(ledger_path) as f:
+            ledger = _json.load(f)
+    if wave_desc in ledger:
+        return {
+            "wave": wave_desc,
+            "already_ingested": True,
+            "parts_updated": 0,
+            "parts_created": 0,
+            "rows_appended": 0,
+            "rows_deduped": 0,
+        }
+
+    ds = build_extracted(
+        new_source,
+        n_parts=sample.n_parts,
+        salt_chunk=sample.salt_chunk,
+        concurrency=concurrency,
+    )
+    import uuid as _uuid
+
+    staging_root = os.path.join(out_dir, f"_staging-{os.getpid()}-{_uuid.uuid4().hex[:8]}")
+    ds.write_parquet(staging_root, partition_cols=["part"])
+    parts_found = (
+        sorted(
+            int(name.split("=", 1)[1])
+            for name in os.listdir(staging_root)
+            if name.startswith("part=")
+        )
+        if os.path.isdir(staging_root)
+        else []
+    )
+    meta_base = {
+        "extractor_version": sample.extractor_version,
+        "n_parts": sample.n_parts,
+        "salt_chunk": sample.salt_chunk,
+        "input": f"{sample.input}+ingest:{wave_desc}",
+    }
+    refs = [
+        _ingest_merge_part.remote(
+            out_dir, manifest_dir, p, os.path.join(staging_root, f"part={p}"), meta_base
+        )
+        for p in parts_found
+    ]
+    results = ray.get(refs)
+    import shutil as _sh
+
+    _sh.rmtree(staging_root, ignore_errors=True)
+
+    # ledger written LAST: a crash anywhere above re-runs the wave and
+    # dedups to zero; once this replace lands the wave is a no-op
+    tmp = ledger_path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(ledger + [wave_desc], f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, ledger_path)
+    return {
+        "wave": wave_desc,
+        "already_ingested": False,
+        "parts_updated": sum(1 for r in results if r[0] > 0 and not r[2]),
+        "parts_created": sum(r[2] for r in results),
+        "rows_appended": sum(r[0] for r in results),
+        "rows_deduped": sum(r[1] for r in results),
+    }
+
+
 def delete_conversations(out_dir: str, conv_ids: list[str], manifest_dir: str | None = None) -> dict:
     """Targeted delete (GDPR right-to-be-forgotten / takedown): remove
     every row of the given conversations from a COMMITTED flagship

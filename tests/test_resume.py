@@ -218,3 +218,116 @@ class TestDelete:
         # idempotent
         s3 = delete_conversations(out_dir, list(convs))
         assert s3["rows_deleted"] == 0 and s3["parts_rewritten"] == 0
+
+
+class TestIngest:
+    """Incremental micro-batch ingest: wave A committed, wave B arrives
+    later (with at-least-once replays of A rows); the merged output must
+    be identical to a from-scratch run over A∪B, untouched parts stay
+    byte-identical, and a wave is idempotent via the consumed ledger."""
+
+    def _split_waves(self, tiny_corpus, tmp_path):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        uniq = sorted(set(tiny_corpus.column("conv_id").to_pylist()))
+        a_set = pa.array(uniq[: len(uniq) // 2])
+        mask = pc.is_in(tiny_corpus.column("conv_id"), value_set=a_set)
+        A, B = tiny_corpus.filter(mask), tiny_corpus.filter(pc.invert(mask))
+        B_replay = pa.concat_tables([B, A.slice(0, 40)])  # at-least-once delivery
+        pa_dir = tmp_path / "waves"
+        pa_dir.mkdir()
+        pq.write_table(A, str(pa_dir / "waveA.parquet"))
+        pq.write_table(B_replay, str(pa_dir / "waveB.parquet"))
+        all_dir = tmp_path / "all"
+        all_dir.mkdir()
+        pq.write_table(tiny_corpus, str(all_dir / "all.parquet"))
+        return str(pa_dir / "waveA.parquet"), str(pa_dir / "waveB.parquet"), str(all_dir)
+
+    def test_ingest_matches_full_run(self, tiny_corpus, tmp_path):
+        from bank_statement_pdf_parser_ray.pipelines.flagship import ingest_append
+
+        waveA, waveB, all_dir = self._split_waves(tiny_corpus, tmp_path)
+        out = str(tmp_path / "out")
+        run_flagship(waveA, out, salt_chunk=25, n_parts=8)
+
+        # bytes of parts before ingest, to prove untouched parts stay put
+        pre = {}
+        for d in os.listdir(out):
+            if d.startswith("part="):
+                sub = os.path.join(out, d)
+                for f in os.listdir(sub):
+                    with open(os.path.join(sub, f), "rb") as fh:
+                        pre[f"{d}/{f}"] = fh.read()
+
+        s = ingest_append(waveB, out)
+        assert not s["already_ingested"]
+        assert s["rows_deduped"] == 40  # the replayed A rows
+        assert s["rows_appended"] > 0
+
+        ref = str(tmp_path / "ref")
+        run_flagship(all_dir, ref, salt_chunk=25, n_parts=8)
+        pd.testing.assert_frame_equal(_read_all(out), _read_all(ref))
+
+        # parts the wave never touched are byte-identical
+        post = {}
+        for d in os.listdir(out):
+            if d.startswith("part="):
+                sub = os.path.join(out, d)
+                for f in os.listdir(sub):
+                    with open(os.path.join(sub, f), "rb") as fh:
+                        post[f"{d}/{f}"] = fh.read()
+        touched = s["parts_updated"] + s["parts_created"]
+        untouched_same = sum(1 for k, v in pre.items() if post.get(k) == v)
+        assert untouched_same >= len(pre) - touched
+
+        # manifest row totals reconcile with the merged output
+        man = Manifest(os.path.join(out, "_manifest"))
+        assert sum(man.read(p).rows for p in man.committed_parts()) == len(_read_all(out))
+
+        # idempotent: the ledger makes the same wave a no-op
+        s2 = ingest_append(waveB, out)
+        assert s2["already_ingested"] and s2["rows_appended"] == 0
+
+        # crash-replay semantics: wave re-runs with the ledger entry
+        # gone (crash before the ledger write) and dedups to zero
+        ledger = os.path.join(out, "_manifest", "ingested.json")
+        os.remove(ledger)
+        s3 = ingest_append(waveB, out)
+        assert not s3["already_ingested"]
+        assert s3["rows_appended"] == 0 and s3["rows_deduped"] > 0
+        pd.testing.assert_frame_equal(_read_all(out), _read_all(ref))
+
+    def test_ingest_creates_missing_parts(self, tiny_corpus, tmp_path):
+        """A wave whose conversations hash into parts the original run
+        never wrote must create those parts (dir + manifest entry)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from bank_statement_pdf_parser_ray.core.hashing import stable_hash64
+        from bank_statement_pdf_parser_ray.pipelines.flagship import ingest_append
+
+        n_parts = 8
+        uniq = sorted(set(tiny_corpus.column("conv_id").to_pylist()))
+        # seed run: ONE conversation -> exactly one committed part
+        seedc = uniq[0]
+        seed_part = int(stable_hash64(seedc) % n_parts)
+        other = next(c for c in uniq if int(stable_hash64(c) % n_parts) != seed_part)
+        A = tiny_corpus.filter(pc.is_in(tiny_corpus.column("conv_id"), value_set=pa.array([seedc])))
+        B = tiny_corpus.filter(pc.is_in(tiny_corpus.column("conv_id"), value_set=pa.array([other])))
+        pq.write_table(A, str(tmp_path / "a.parquet"))
+        pq.write_table(B, str(tmp_path / "b.parquet"))
+        out = str(tmp_path / "out2")
+        run_flagship(str(tmp_path / "a.parquet"), out, salt_chunk=25, n_parts=n_parts)
+        s = ingest_append(str(tmp_path / "b.parquet"), out)
+        assert s["parts_created"] == 1 and s["rows_appended"] == B.num_rows
+        man = Manifest(os.path.join(out, "_manifest"))
+        assert int(stable_hash64(other) % n_parts) in man.committed_parts()
+        got = _read_all(out)
+        assert set(got["conv_id"]) == {seedc, other}
+
+    def test_ingest_requires_committed_output(self, tmp_path):
+        from bank_statement_pdf_parser_ray.pipelines.flagship import ingest_append
+
+        with pytest.raises(ValueError, match="committed flagship output"):
+            ingest_append(str(tmp_path / "nope.parquet"), str(tmp_path / "empty"))
