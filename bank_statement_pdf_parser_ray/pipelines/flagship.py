@@ -198,15 +198,24 @@ def run_flagship(
         # silently corrupts the output (part ids from a different hash
         # layout, a different input, or a different extractor) — refuse
         prev = manifest.read(min(committed))
+        # an ingest-touched part records provenance as
+        # "<base input>+ingest:<wave>…"; the resume contract is against
+        # the BASE input — re-offering it must resume cleanly (no-op or
+        # completing missing parts), while a truly different input
+        # still refuses. Complete the base run before the first ingest:
+        # a part first created BY an ingest wave is committed, so a
+        # later base resume would skip it and its base rows would need
+        # a manifest clear to land (ingest_append docstring).
+        prev_base_input = prev.input.split("+ingest:", 1)[0]
         mismatches = {
-            k: (getattr(prev, k), v)
-            for k, v in {
-                "n_parts": n_parts,
-                "salt_chunk": salt_chunk,
-                "input": input_desc,
-                "extractor_version": EXTRACTOR_VERSION,
+            k: (p, v)
+            for k, (p, v) in {
+                "n_parts": (prev.n_parts, n_parts),
+                "salt_chunk": (prev.salt_chunk, salt_chunk),
+                "input": (prev_base_input, input_desc),
+                "extractor_version": (prev.extractor_version, EXTRACTOR_VERSION),
             }.items()
-            if getattr(prev, k) != v
+            if p != v
         }
         if mismatches:
             raise ValueError(
@@ -534,7 +543,10 @@ def ingest_append(
     read) is the documented alternative. After the first ingest the
     output's provenance is the ledger, not run_flagship's single-input
     manifest field — extend the output only via further ingest_append
-    calls."""
+    calls. Complete the base run before the first ingest: a part whose
+    FIRST commit came from an ingest wave would be skipped by a later
+    base-run resume (committed parts are resume-final), so base rows
+    for it would need a manifest clear to land."""
     manifest_dir = manifest_dir or os.path.join(out_dir, "_manifest")
     manifest = Manifest(manifest_dir)
     committed = manifest.committed_parts()

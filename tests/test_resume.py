@@ -331,3 +331,52 @@ class TestIngest:
 
         with pytest.raises(ValueError, match="committed flagship output"):
             ingest_append(str(tmp_path / "nope.parquet"), str(tmp_path / "empty"))
+
+
+class TestLifecycle:
+    """The full data-management story on ONE output: initial run ->
+    incremental ingest -> GDPR delete -> resume no-op. Every step keeps
+    the manifest reconciled and the survivors value-identical to the
+    obvious reference set."""
+
+    def test_run_ingest_delete_resume(self, tiny_corpus, tmp_path):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from bank_statement_pdf_parser_ray.pipelines.flagship import (
+            delete_conversations,
+            ingest_append,
+        )
+
+        uniq = sorted(set(tiny_corpus.column("conv_id").to_pylist()))
+        a_set = pa.array(uniq[: len(uniq) // 2])
+        mask = pc.is_in(tiny_corpus.column("conv_id"), value_set=a_set)
+        pq.write_table(tiny_corpus.filter(mask), str(tmp_path / "a.parquet"))
+        pq.write_table(tiny_corpus.filter(pc.invert(mask)), str(tmp_path / "b.parquet"))
+        out = str(tmp_path / "life")
+
+        run_flagship(str(tmp_path / "a.parquet"), out, salt_chunk=25, n_parts=8)
+        ingest_append(str(tmp_path / "b.parquet"), out)
+
+        victims = [uniq[0], uniq[-1]]  # one from each wave
+        d = delete_conversations(out, victims)
+        assert d["rows_deleted"] > 0
+
+        got = _read_all(out)
+        assert not got["conv_id"].isin(victims).any()
+        assert set(got["conv_id"]) == set(uniq) - set(victims)
+
+        # manifest totals reconcile after the whole lifecycle
+        man = Manifest(os.path.join(out, "_manifest"))
+        assert sum(man.read(p).rows for p in man.committed_parts()) == len(got)
+
+        # resume is a no-op and resurrects nothing
+        s = run_flagship(str(tmp_path / "a.parquet"), out, salt_chunk=25, n_parts=8)
+        assert s["parts_written"] == 0
+        assert not _read_all(out)["conv_id"].isin(victims).any()
+
+        # re-ingesting wave B is ledger-blocked, so deleted wave-B
+        # conversations stay deleted even on a replayed wave
+        s2 = ingest_append(str(tmp_path / "b.parquet"), out)
+        assert s2["already_ingested"]
+        assert not _read_all(out)["conv_id"].isin(victims).any()
