@@ -73,7 +73,12 @@ def main(argv: list[str] | None = None) -> int:
     ingp.add_argument("--out", required=True, help="committed flagship output root")
     ingp.add_argument("--input", required=True, help="parquet path of the new wave")
     ingp.add_argument("--wave-id", default=None, help="explicit wave id for the consumed-inputs ledger")
+    ingp.add_argument("--mode", choices=("cow", "mor"), default="cow", help="copy-on-write rewrite or merge-on-read delta append")
     ingp.add_argument("--num-cpus", type=int, default=None)
+
+    compp = sub.add_parser("compact", help="fold merge-on-read delta files back to one sorted file per part")
+    compp.add_argument("--out", required=True, help="committed flagship output root")
+    compp.add_argument("--num-cpus", type=int, default=None)
 
     # run ANY registered pipeline by name over the shared tables —
     # the same names the driver contract checks (registry.py)
@@ -138,7 +143,20 @@ def main(argv: list[str] | None = None) -> int:
         if owns:
             ray.init(address="local", num_cpus=args.num_cpus, include_dashboard=False)
         try:
-            print(json.dumps(ingest_append(args.input, args.out, wave_id=args.wave_id)))
+            print(json.dumps(ingest_append(args.input, args.out, wave_id=args.wave_id, mode=args.mode)))
+        finally:
+            if owns:
+                ray.shutdown()
+        return 0
+
+    if args.cmd == "compact":
+        from bank_statement_pdf_parser_ray.pipelines.flagship import compact_output
+
+        owns = not ray.is_initialized()
+        if owns:
+            ray.init(address="local", num_cpus=args.num_cpus, include_dashboard=False)
+        try:
+            print(json.dumps(compact_output(args.out)))
         finally:
             if owns:
                 ray.shutdown()

@@ -408,14 +408,23 @@ def read_extracted(out_dir: str) -> "ray.data.Dataset":
 
 @ray.remote
 def _delete_from_part(
-    out_dir: str, manifest_dir: str, part: int, conv_ids: tuple[str, ...], meta_base: dict
+    out_dir: str, manifest_dir: str, part: int, conv_ids: tuple[str, ...]
 ) -> tuple[int, int]:
     """Rewrite ONE part without the target conversations. Returns
     (rows_deleted, rewritten 0/1). A part with no matching rows is left
-    byte-identical (checked with a pruned conv_id-only read first)."""
+    byte-identical (checked with a pruned conv_id-only read first).
+    The part's OWN manifest entry supplies the re-commit metadata, so
+    per-part ingest provenance survives a delete."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    prev = Manifest(manifest_dir).read(part)
+    meta_base = {
+        "extractor_version": prev.extractor_version,
+        "n_parts": prev.n_parts,
+        "salt_chunk": prev.salt_chunk,
+        "input": prev.input,
+    }
     part_dir = os.path.join(out_dir, f"part={part}")
     targets = pa.array(list(conv_ids), pa.string())
     probe = pads.dataset(part_dir, format="parquet").to_table(columns=["conv_id"])
@@ -443,14 +452,46 @@ def _delete_from_part(
     return int(hit), 1
 
 
+def _turn_keys(t: pa.Table) -> pa.Array:
+    """Packed (conv_id, turn_idx) key for vectorized cross-wave dedup —
+    a separator no conv_id contains keeps the packing injective."""
+    import pyarrow.compute as pc
+
+    return pc.binary_join_element_wise(
+        pc.cast(t.column("conv_id"), pa.string()),
+        pc.cast(t.column("turn_idx"), pa.string()),
+        "\x1f",
+    )
+
+
+def _heal_manifest(manifest_dir: str, part: int, part_dir: str, meta_base: dict) -> None:
+    """Re-commit a part's manifest entry from the dir's actual content
+    if a crash between promote/append and commit left it stale."""
+    t = pads.dataset(part_dir, format="parquet").to_table(columns=["row_h"])
+    man = Manifest(manifest_dir)
+    prev = man.read(part)
+    if prev.rows != t.num_rows:
+        s = t.column("row_h").combine_chunks().to_numpy(zero_copy_only=False)
+        checksum = int(s.sum() % _CHECKSUM_MOD) if len(s) else 0
+        man.commit(PartMeta(part=part, rows=t.num_rows, checksum=checksum, **meta_base))
+
+
 @ray.remote
 def _ingest_merge_part(
-    out_dir: str, manifest_dir: str, part: int, staged_dir: str, meta_base: dict
+    out_dir: str, manifest_dir: str, part: int, staged_dir: str, meta_base: dict, mode: str
 ) -> tuple[int, int, int]:
     """Merge ONE staged wave part into the committed output. Returns
     (rows_appended, rows_deduped, created 0/1). Cross-wave dedup is
     first-wins on (conv_id, turn_idx) — identical to D1's resume
-    semantics, so replayed input rows can never duplicate output."""
+    semantics, so replayed input rows can never duplicate output.
+
+    mode="cow": rewrite the part as old + fresh, re-sorted — one file,
+    read path unchanged. mode="mor": read ONLY the two key columns of
+    the committed part, append a delta file holding just the fresh rows
+    (rename into place is atomic within the dir) — rewrite cost drops
+    from O(part) to O(fresh), at the price of per-conversation rows
+    spanning files (consumers key on (conv_id, turn_idx), never file
+    position)."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -458,33 +499,31 @@ def _ingest_merge_part(
     part_dir = os.path.join(out_dir, f"part={part}")
     created = 0
     if os.path.isdir(part_dir):
-        old = pads.dataset(part_dir, format="parquet").to_table()
-        # key-match against the committed rows: pack (hash(conv), idx)
-        # comparisons as one vectorized is_in over a struct-free packed
-        # string key (conv_id can be arbitrary; a separator no conv_id
-        # may contain keeps the packing injective enough for turn keys)
-        def keys(t: pa.Table) -> pa.Array:
-            return pc.binary_join_element_wise(
-                pc.cast(t.column("conv_id"), pa.string()),
-                pc.cast(t.column("turn_idx"), pa.string()),
-                "\x1f",
-            )
-
-        dup = pc.is_in(keys(new), value_set=keys(old).combine_chunks())
+        key_cols = ["conv_id", "turn_idx"] if mode == "mor" else None
+        old = pads.dataset(part_dir, format="parquet").to_table(columns=key_cols)
+        dup = pc.is_in(_turn_keys(new), value_set=_turn_keys(old).combine_chunks())
         fresh = new.filter(pc.invert(dup))
         n_dup = new.num_rows - fresh.num_rows
         if fresh.num_rows == 0:
             # nothing to add — but heal a stale manifest left by a crash
-            # between a previous merge's promote and its commit
-            man = Manifest(manifest_dir)
-            prev = man.read(part)
-            if prev.rows != old.num_rows:
-                checksum = 0
-                s = old.column("row_h").combine_chunks().to_numpy(zero_copy_only=False)
-                if len(s):
-                    checksum = int(s.sum() % _CHECKSUM_MOD)
-                man.commit(PartMeta(part=part, rows=old.num_rows, checksum=checksum, **meta_base))
+            # between a previous merge's promote/append and its commit
+            _heal_manifest(manifest_dir, part, part_dir, meta_base)
             return 0, n_dup, 0
+        if mode == "mor":
+            import uuid as _uuid
+
+            fresh = fresh.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+            tag = _uuid.uuid4().hex[:8]
+            tmp = os.path.join(part_dir, f".delta-{tag}.parquet.tmp")
+            pq.write_table(fresh, tmp)
+            os.replace(tmp, os.path.join(part_dir, f"delta-{tag}.parquet"))
+            total = pads.dataset(part_dir, format="parquet").to_table(columns=["row_h"])
+            s = total.column("row_h").combine_chunks().to_numpy(zero_copy_only=False)
+            checksum = int(s.sum() % _CHECKSUM_MOD) if len(s) else 0
+            Manifest(manifest_dir).commit(
+                PartMeta(part=part, rows=total.num_rows, checksum=checksum, **meta_base)
+            )
+            return int(fresh.num_rows), int(n_dup), 0
         merged = pa.concat_tables([old, fresh.select(old.schema.names)]).sort_by(
             [("conv_id", "ascending"), ("turn_idx", "ascending")]
         )
@@ -518,6 +557,7 @@ def ingest_append(
     manifest_dir: str | None = None,
     wave_id: str | None = None,
     concurrency: int | None = None,
+    mode: str = "cow",
 ) -> dict:
     """Incremental micro-batch ingest (the structured-streaming wave
     pattern a standing 100 TB pipeline needs): extract a NEWLY-ARRIVED
@@ -537,10 +577,17 @@ def ingest_append(
     crashed wave re-runs and its rows dedup to zero, healing any
     stale manifest entry along the way.
 
-    COW rewrite cost is proportional to the affected parts' size — the
-    Delta/Iceberg copy-on-write trade; at high wave frequency the
-    merge-on-read variant (delta files per part, order restored at
-    read) is the documented alternative. After the first ingest the
+    Two merge strategies, the standard lakehouse trade (Delta/Iceberg):
+    ``mode="cow"`` (default) rewrites each affected part as old + fresh
+    re-sorted — read path unchanged, rewrite cost O(affected parts).
+    ``mode="mor"`` reads only the committed part's (conv_id, turn_idx)
+    keys and appends a delta file of just the fresh rows — write cost
+    O(fresh), for wave frequencies where COW rewrite amplification
+    dominates; per-conversation rows then span files, which is fine for
+    every consumer that keys on (conv_id, turn_idx) (all of ours do;
+    the oracle check and compaction are order-restoring). The modes
+    compose: ``compact`` later folds MOR deltas back into one sorted
+    file per part via delete-style COW. After the first ingest the
     output's provenance is the ledger, not run_flagship's single-input
     manifest field — extend the output only via further ingest_append
     calls. Complete the base run before the first ingest: a part whose
@@ -561,6 +608,8 @@ def ingest_append(
             f"output was extracted with version {sample.extractor_version}, "
             f"current is {EXTRACTOR_VERSION}; re-extract instead of ingesting"
         )
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
     wave_desc = wave_id or (os.path.abspath(new_source) if isinstance(new_source, str) else None)
     if wave_desc is None:
         raise ValueError("pass wave_id= when ingesting from an in-memory Dataset")
@@ -609,7 +658,7 @@ def ingest_append(
     }
     refs = [
         _ingest_merge_part.remote(
-            out_dir, manifest_dir, p, os.path.join(staging_root, f"part={p}"), meta_base
+            out_dir, manifest_dir, p, os.path.join(staging_root, f"part={p}"), meta_base, mode
         )
         for p in parts_found
     ]
@@ -636,6 +685,64 @@ def ingest_append(
     }
 
 
+@ray.remote
+def _compact_part(out_dir: str, manifest_dir: str, part: int) -> tuple[int, int]:
+    """Fold one multi-file part (MOR deltas) back into a single sorted
+    file via the atomic staging promote. Single-file parts untouched.
+    The part's OWN manifest entry supplies the re-commit metadata, so
+    per-part ingest provenance survives compaction."""
+    import pyarrow.parquet as pq
+
+    prev = Manifest(manifest_dir).read(part)
+    meta_base = {
+        "extractor_version": prev.extractor_version,
+        "n_parts": prev.n_parts,
+        "salt_chunk": prev.salt_chunk,
+        "input": prev.input,
+    }
+    part_dir = os.path.join(out_dir, f"part={part}")
+    files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+    if len(files) <= 1:
+        return 0, 0
+    t = pads.dataset(part_dir, format="parquet").to_table().sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    staging = os.path.join(out_dir, f"_staging-{os.getpid()}-compact-{part}")
+    stage_part = os.path.join(staging, f"part={part}")
+    os.makedirs(stage_part, exist_ok=True)
+    pq.write_table(t, os.path.join(stage_part, "data-0.parquet"))
+    promote_part(staging, out_dir, part)
+    import shutil as _sh
+
+    _sh.rmtree(staging, ignore_errors=True)
+    s = t.column("row_h").combine_chunks().to_numpy(zero_copy_only=False)
+    checksum = int(s.sum() % _CHECKSUM_MOD) if len(s) else 0
+    Manifest(manifest_dir).commit(
+        PartMeta(part=part, rows=t.num_rows, checksum=checksum, **meta_base)
+    )
+    return 1, t.num_rows
+
+
+def compact_output(out_dir: str, manifest_dir: str | None = None) -> dict:
+    """Maintenance compaction over a committed flagship output: every
+    part holding more than one parquet file (MOR ingest deltas) is
+    rewritten as ONE sorted file through the same atomic staging
+    promote + manifest re-commit as a normal commit — content
+    unchanged, file count and in-part ordering restored. One Ray task
+    per affected part; single-file parts are never touched."""
+    manifest_dir = manifest_dir or os.path.join(out_dir, "_manifest")
+    manifest = Manifest(manifest_dir)
+    committed = manifest.committed_parts()
+    if not committed:
+        return {"parts_compacted": 0, "rows": 0}
+    refs = [_compact_part.remote(out_dir, manifest_dir, p) for p in sorted(committed)]
+    results = ray.get(refs)
+    return {
+        "parts_compacted": sum(r[0] for r in results),
+        "rows": sum(r[1] for r in results),
+    }
+
+
 def delete_conversations(out_dir: str, conv_ids: list[str], manifest_dir: str | None = None) -> dict:
     """Targeted delete (GDPR right-to-be-forgotten / takedown): remove
     every row of the given conversations from a COMMITTED flagship
@@ -659,21 +766,14 @@ def delete_conversations(out_dir: str, conv_ids: list[str], manifest_dir: str | 
     committed = manifest.committed_parts()
     if not committed:
         return {"parts_scanned": 0, "parts_rewritten": 0, "rows_deleted": 0}
-    sample = manifest.read(min(committed))
-    n_parts = sample.n_parts
-    meta_base = {
-        "extractor_version": sample.extractor_version,
-        "n_parts": sample.n_parts,
-        "salt_chunk": sample.salt_chunk,
-        "input": sample.input,
-    }
+    n_parts = manifest.read(min(committed)).n_parts
     by_part: dict[int, list[str]] = {}
     for c in conv_ids:
         p = int(stable_hash64(c) % n_parts)
         if p in committed:
             by_part.setdefault(p, []).append(c)
     refs = [
-        _delete_from_part.remote(out_dir, manifest_dir, p, tuple(cs), meta_base)
+        _delete_from_part.remote(out_dir, manifest_dir, p, tuple(cs))
         for p, cs in sorted(by_part.items())
     ]
     results = ray.get(refs)

@@ -380,3 +380,95 @@ class TestLifecycle:
         s2 = ingest_append(str(tmp_path / "b.parquet"), out)
         assert s2["already_ingested"]
         assert not _read_all(out)["conv_id"].isin(victims).any()
+
+
+class TestIngestMor:
+    """Merge-on-read ingest: delta file per affected part instead of a
+    rewrite; content identical to COW modulo file layout; compaction
+    folds deltas back to one sorted file per part with content and
+    manifest unchanged."""
+
+    def test_mor_matches_cow_then_compacts(self, tiny_corpus, tmp_path):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from bank_statement_pdf_parser_ray.pipelines.flagship import (
+            compact_output,
+            ingest_append,
+        )
+
+        uniq = sorted(set(tiny_corpus.column("conv_id").to_pylist()))
+        a_set = pa.array(uniq[: len(uniq) // 2])
+        mask = pc.is_in(tiny_corpus.column("conv_id"), value_set=a_set)
+        A, B = tiny_corpus.filter(mask), tiny_corpus.filter(pc.invert(mask))
+        B_replay = pa.concat_tables([B, A.slice(0, 30)])
+        pq.write_table(A, str(tmp_path / "a.parquet"))
+        pq.write_table(B_replay, str(tmp_path / "b.parquet"))
+
+        cow, mor = str(tmp_path / "cow"), str(tmp_path / "mor")
+        for out in (cow, mor):
+            run_flagship(str(tmp_path / "a.parquet"), out, salt_chunk=25, n_parts=8)
+        s_cow = ingest_append(str(tmp_path / "b.parquet"), cow, mode="cow")
+        s_mor = ingest_append(str(tmp_path / "b.parquet"), mor, mode="mor")
+        assert s_mor["rows_appended"] == s_cow["rows_appended"]
+        assert s_mor["rows_deduped"] == s_cow["rows_deduped"] == 30
+
+        # MOR left delta files; COW kept one file per part
+        def files_per_part(out):
+            return {
+                d: sorted(os.listdir(os.path.join(out, d)))
+                for d in os.listdir(out)
+                if d.startswith("part=")
+            }
+
+        assert any(len(v) > 1 for v in files_per_part(mor).values())
+        assert all(len(v) == 1 for v in files_per_part(cow).values())
+
+        # content identical (keyed, not positional)
+        pd.testing.assert_frame_equal(_read_all(cow), _read_all(mor))
+
+        # manifests agree with the data under both modes
+        for out in (cow, mor):
+            man = Manifest(os.path.join(out, "_manifest"))
+            assert sum(man.read(p).rows for p in man.committed_parts()) == len(_read_all(out))
+
+        # compaction folds deltas to one sorted file per part, content
+        # and manifest totals unchanged
+        before = _read_all(mor)
+        n_multi = sum(1 for v in files_per_part(mor).values() if len(v) > 1)
+        c = compact_output(mor)
+        assert c["parts_compacted"] == n_multi
+        assert all(len(v) == 1 for v in files_per_part(mor).values())
+        pd.testing.assert_frame_equal(_read_all(mor), before)
+        man = Manifest(os.path.join(mor, "_manifest"))
+        assert sum(man.read(p).rows for p in man.committed_parts()) == len(before)
+
+        # a second compaction is a no-op
+        assert compact_output(mor)["parts_compacted"] == 0
+
+    def test_mor_then_delete(self, tiny_corpus, tmp_path):
+        """Deleting from a MOR (multi-file) part rewrites it correctly."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from bank_statement_pdf_parser_ray.pipelines.flagship import (
+            delete_conversations,
+            ingest_append,
+        )
+
+        uniq = sorted(set(tiny_corpus.column("conv_id").to_pylist()))
+        a_set = pa.array(uniq[: len(uniq) // 2])
+        mask = pc.is_in(tiny_corpus.column("conv_id"), value_set=a_set)
+        pq.write_table(tiny_corpus.filter(mask), str(tmp_path / "a.parquet"))
+        pq.write_table(tiny_corpus.filter(pc.invert(mask)), str(tmp_path / "b.parquet"))
+        out = str(tmp_path / "md")
+        run_flagship(str(tmp_path / "a.parquet"), out, salt_chunk=25, n_parts=8)
+        ingest_append(str(tmp_path / "b.parquet"), out, mode="mor")
+        victims = [uniq[0], uniq[-1]]
+        d = delete_conversations(out, victims)
+        assert d["rows_deleted"] > 0
+        got = _read_all(out)
+        assert not got["conv_id"].isin(victims).any()
+        assert set(got["conv_id"]) == set(uniq) - set(victims)
+        man = Manifest(os.path.join(out, "_manifest"))
+        assert sum(man.read(p).rows for p in man.committed_parts()) == len(got)
