@@ -43,6 +43,43 @@ def _default_concurrency() -> int:
     return max(1, cpus - 2)
 
 
+def _open_transcript_source(source: str) -> tuple["ray.data.Dataset", int | None]:
+    """Open a parquet transcript source with one driver-side footer
+    probe (metadata only, threaded): if every fragment already carries
+    the 6 canonical columns at canonical types, take the fast path — a
+    single pruned ``read_parquet`` with the row count summed from
+    footers. Otherwise fall back to the schema-evolution reader
+    (``_read_parquet_evolved``: per-footer-group pruned reads +
+    per-batch normalization), so a shard directory written by evolving
+    producers streams through the same pipeline instead of dying at the
+    first narrow footer."""
+    import pyarrow.parquet as pq
+
+    from bank_statement_pdf_parser_ray.schema import INPUT_SCHEMA
+    from bank_statement_pdf_parser_ray.sources.transcripts import _read_parquet_evolved
+
+    try:
+        files = pads.dataset(source, format="parquet").files
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(32, max(1, len(files)))) as pool:
+            metas = list(pool.map(lambda f: pq.ParquetFile(f), files))
+        input_rows = sum(m.metadata.num_rows for m in metas)
+        canonical = all(
+            all(
+                c in m.schema_arrow.names
+                and m.schema_arrow.field(c).type == INPUT_SCHEMA.field(c).type
+                for c in INPUT_COLUMNS
+            )
+            for m in metas
+        )
+    except Exception:
+        return ray.data.read_parquet(source, columns=INPUT_COLUMNS), None
+    if canonical:
+        return ray.data.read_parquet(source, columns=INPUT_COLUMNS), input_rows
+    return _read_parquet_evolved(source), input_rows
+
+
 def _add_row_hash(batch: pa.Table) -> pa.Table:
     h = row_hash_batch(
         batch.column("conv_id"),
@@ -85,11 +122,7 @@ def build_extracted(
     fan-in. None disables the coalesce."""
     input_rows: int | None = None
     if isinstance(source, str):
-        ds = ray.data.read_parquet(source, columns=INPUT_COLUMNS)
-        try:
-            input_rows = ds.count()  # parquet-footer metadata only
-        except Exception:
-            input_rows = None
+        ds, input_rows = _open_transcript_source(source)
     else:
         ds = source.select_columns(INPUT_COLUMNS)
     ds = ds.map_batches(
