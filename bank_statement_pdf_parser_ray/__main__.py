@@ -80,6 +80,9 @@ def main(argv: list[str] | None = None) -> int:
     compp.add_argument("--out", required=True, help="committed flagship output root")
     compp.add_argument("--num-cpus", type=int, default=None)
 
+    descp = sub.add_parser("describe", help="inspect a committed output: per-part manifest, totals, ingest ledger")
+    descp.add_argument("--out", required=True, help="committed flagship output root")
+
     # run ANY registered pipeline by name over the shared tables —
     # the same names the driver contract checks (registry.py)
     queryp = sub.add_parser("query", help="run a registered pipeline/query by name")
@@ -119,6 +122,47 @@ def main(argv: list[str] | None = None) -> int:
         o = oracle_sql()
         for name in sorted(queries()):
             print(f"{name}\t{'sql-oracle' if name in o else 'rows-only'}")
+        return 0
+
+    if args.cmd == "describe":
+        # pure metadata: manifest JSONs + the ingest ledger + file
+        # listing — no Ray session, no data read
+        import os
+
+        from bank_statement_pdf_parser_ray.state.manifest import Manifest
+
+        manifest = Manifest(os.path.join(args.out, "_manifest"))
+        parts = sorted(manifest.committed_parts())
+        infos = []
+        for p in parts:
+            meta = manifest.read(p)
+            pdir = os.path.join(args.out, f"part={p}")
+            n_files = (
+                sum(1 for f in os.listdir(pdir) if f.endswith(".parquet"))
+                if os.path.isdir(pdir)
+                else 0
+            )
+            infos.append({"part": p, "rows": meta.rows, "files": n_files, "input": meta.input})
+        ledger_path = os.path.join(args.out, "_manifest", "ingested.json")
+        ledger = []
+        if os.path.exists(ledger_path):
+            with open(ledger_path) as f:
+                ledger = json.load(f)
+        sample = manifest.read(parts[0]) if parts else None
+        print(
+            json.dumps(
+                {
+                    "parts_committed": len(parts),
+                    "rows_total": sum(i["rows"] for i in infos),
+                    "multi_file_parts": sum(1 for i in infos if i["files"] > 1),
+                    "n_parts": sample.n_parts if sample else None,
+                    "salt_chunk": sample.salt_chunk if sample else None,
+                    "extractor_version": sample.extractor_version if sample else None,
+                    "ingested_waves": ledger,
+                    "parts": infos,
+                }
+            )
+        )
         return 0
 
     import ray

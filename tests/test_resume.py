@@ -472,3 +472,21 @@ class TestIngestMor:
         assert set(got["conv_id"]) == set(uniq) - set(victims)
         man = Manifest(os.path.join(out, "_manifest"))
         assert sum(man.read(p).rows for p in man.committed_parts()) == len(got)
+
+
+class TestDescribeCLI:
+    def test_describe_reports_manifest_and_ledger(self, corpus_path, tmp_path, capsys):
+        import json as _json
+
+        from bank_statement_pdf_parser_ray.__main__ import main
+        from bank_statement_pdf_parser_ray.pipelines.flagship import ingest_append
+
+        out = str(tmp_path / "desc")
+        run_flagship(corpus_path, out, salt_chunk=25, n_parts=8)
+        ingest_append(corpus_path, out, wave_id="wave-1")  # all-dup wave, ledger entry only
+        assert main(["describe", "--out", out]) == 0
+        d = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert d["parts_committed"] == len(d["parts"]) > 0
+        assert d["rows_total"] == sum(p["rows"] for p in d["parts"])
+        assert d["ingested_waves"] == ["wave-1"]
+        assert d["n_parts"] == 8 and d["salt_chunk"] == 25
