@@ -490,3 +490,41 @@ class TestDescribeCLI:
         assert d["rows_total"] == sum(p["rows"] for p in d["parts"])
         assert d["ingested_waves"] == ["wave-1"]
         assert d["n_parts"] == 8 and d["salt_chunk"] == 25
+
+
+class TestMultiWave:
+    def test_three_waves_mixed_modes_equal_full_run(self, tiny_corpus, tmp_path):
+        """Waves arriving in sequence with MIXED merge modes (base run,
+        cow wave, mor wave) must converge to the from-scratch output
+        over the union — split-invariance of the whole ingest path."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from bank_statement_pdf_parser_ray.pipelines.flagship import ingest_append
+
+        uniq = sorted(set(tiny_corpus.column("conv_id").to_pylist()))
+        thirds = [uniq[0::3], uniq[1::3], uniq[2::3]]
+        paths = []
+        for i, convs in enumerate(thirds):
+            w = tiny_corpus.filter(
+                pc.is_in(tiny_corpus.column("conv_id"), value_set=pa.array(convs))
+            )
+            p = str(tmp_path / f"w{i}.parquet")
+            pq.write_table(w, p)
+            paths.append(p)
+        all_dir = tmp_path / "all"
+        all_dir.mkdir()
+        pq.write_table(tiny_corpus, str(all_dir / "all.parquet"))
+
+        out = str(tmp_path / "mw")
+        run_flagship(paths[0], out, salt_chunk=25, n_parts=8)
+        s1 = ingest_append(paths[1], out, mode="cow")
+        s2 = ingest_append(paths[2], out, mode="mor")
+        assert s1["rows_appended"] > 0 and s2["rows_appended"] > 0
+
+        ref = str(tmp_path / "mwref")
+        run_flagship(str(all_dir), ref, salt_chunk=25, n_parts=8)
+        pd.testing.assert_frame_equal(_read_all(out), _read_all(ref))
+
+        man = Manifest(os.path.join(out, "_manifest"))
+        assert sum(man.read(p).rows for p in man.committed_parts()) == len(_read_all(out))
