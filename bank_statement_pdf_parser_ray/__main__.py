@@ -148,6 +148,11 @@ def main(argv: list[str] | None = None) -> int:
         if os.path.exists(ledger_path):
             with open(ledger_path) as f:
                 ledger = json.load(f)
+        tomb_path = os.path.join(args.out, "_manifest", "tombstones.json")
+        tombstones = []
+        if os.path.exists(tomb_path):
+            with open(tomb_path) as f:
+                tombstones = json.load(f)
         sample = manifest.read(parts[0]) if parts else None
         print(
             json.dumps(
@@ -159,6 +164,7 @@ def main(argv: list[str] | None = None) -> int:
                     "salt_chunk": sample.salt_chunk if sample else None,
                     "extractor_version": sample.extractor_version if sample else None,
                     "ingested_waves": ledger,
+                    "tombstoned_convs": tombstones,
                     "parts": infos,
                 }
             )

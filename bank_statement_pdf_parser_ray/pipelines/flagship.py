@@ -509,14 +509,38 @@ def _heal_manifest(manifest_dir: str, part: int, part_dir: str, meta_base: dict)
         man.commit(PartMeta(part=part, rows=t.num_rows, checksum=checksum, **meta_base))
 
 
+def _tombstones_path(manifest_dir: str) -> str:
+    return os.path.join(manifest_dir, "tombstones.json")
+
+
+def _read_tombstones(manifest_dir: str) -> list[str]:
+    import json as _json
+
+    p = _tombstones_path(manifest_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            return _json.load(f)
+    return []
+
+
 @ray.remote
 def _ingest_merge_part(
-    out_dir: str, manifest_dir: str, part: int, staged_dir: str, meta_base: dict, mode: str
-) -> tuple[int, int, int]:
+    out_dir: str,
+    manifest_dir: str,
+    part: int,
+    staged_dir: str,
+    meta_base: dict,
+    mode: str,
+    tombstones: tuple[str, ...] = (),
+) -> tuple[int, int, int, int]:
     """Merge ONE staged wave part into the committed output. Returns
-    (rows_appended, rows_deduped, created 0/1). Cross-wave dedup is
-    first-wins on (conv_id, turn_idx) — identical to D1's resume
-    semantics, so replayed input rows can never duplicate output.
+    (rows_appended, rows_deduped, created 0/1, rows_tombstoned).
+    Cross-wave dedup is first-wins on (conv_id, turn_idx) — identical
+    to D1's resume semantics, so replayed input rows can never
+    duplicate output. ``tombstones`` is this part's slice of the
+    delete ledger (hash-pruned driver-side): rows of conversations the
+    user asked to forget are dropped BEFORE the merge, so a takedown
+    survives later waves that re-deliver the content.
 
     mode="cow": rewrite the part as old + fresh, re-sorted — one file,
     read path unchanged. mode="mor": read ONLY the two key columns of
@@ -529,6 +553,16 @@ def _ingest_merge_part(
     import pyarrow.parquet as pq
 
     new = pads.dataset(staged_dir, format="parquet").to_table()
+    n_tomb = 0
+    if tombstones:
+        alive = pc.invert(
+            pc.is_in(new.column("conv_id"), value_set=pa.array(list(tombstones), pa.string()))
+        )
+        kept = new.filter(alive)
+        n_tomb = new.num_rows - kept.num_rows
+        new = kept
+        if new.num_rows == 0:
+            return 0, 0, 0, n_tomb
     part_dir = os.path.join(out_dir, f"part={part}")
     created = 0
     if os.path.isdir(part_dir):
@@ -541,7 +575,7 @@ def _ingest_merge_part(
             # nothing to add — but heal a stale manifest left by a crash
             # between a previous merge's promote/append and its commit
             _heal_manifest(manifest_dir, part, part_dir, meta_base)
-            return 0, n_dup, 0
+            return 0, n_dup, 0, n_tomb
         if mode == "mor":
             import uuid as _uuid
 
@@ -556,7 +590,7 @@ def _ingest_merge_part(
             Manifest(manifest_dir).commit(
                 PartMeta(part=part, rows=total.num_rows, checksum=checksum, **meta_base)
             )
-            return int(fresh.num_rows), int(n_dup), 0
+            return int(fresh.num_rows), int(n_dup), 0, n_tomb
         merged = pa.concat_tables([old, fresh.select(old.schema.names)]).sort_by(
             [("conv_id", "ascending"), ("turn_idx", "ascending")]
         )
@@ -580,7 +614,7 @@ def _ingest_merge_part(
     Manifest(manifest_dir).commit(
         PartMeta(part=part, rows=merged.num_rows, checksum=checksum, **meta_base)
     )
-    return int(fresh.num_rows), int(n_dup), created
+    return int(fresh.num_rows), int(n_dup), created, n_tomb
 
 
 def ingest_append(
@@ -689,9 +723,24 @@ def ingest_append(
         "salt_chunk": sample.salt_chunk,
         "input": f"{sample.input}+ingest:{wave_desc}",
     }
+    # tombstones: conversations deleted via delete_conversations must
+    # stay deleted even when a later wave re-delivers their content —
+    # hash-prune the ledger to each part's own slice (k tombstones ship
+    # to at most k merge tasks, never all of them)
+    from bank_statement_pdf_parser_ray.core.hashing import stable_hash64
+
+    tomb_by_part: dict[int, list[str]] = {}
+    for c in _read_tombstones(manifest_dir):
+        tomb_by_part.setdefault(int(stable_hash64(c) % sample.n_parts), []).append(c)
     refs = [
         _ingest_merge_part.remote(
-            out_dir, manifest_dir, p, os.path.join(staging_root, f"part={p}"), meta_base, mode
+            out_dir,
+            manifest_dir,
+            p,
+            os.path.join(staging_root, f"part={p}"),
+            meta_base,
+            mode,
+            tuple(tomb_by_part.get(p, ())),
         )
         for p in parts_found
     ]
@@ -715,6 +764,7 @@ def ingest_append(
         "parts_created": sum(r[2] for r in results),
         "rows_appended": sum(r[0] for r in results),
         "rows_deduped": sum(r[1] for r in results),
+        "rows_tombstoned": sum(r[3] for r in results),
     }
 
 
@@ -791,7 +841,12 @@ def delete_conversations(out_dir: str, conv_ids: list[str], manifest_dir: str | 
     and its manifest entry is re-committed with the new row count and
     checksum — so a crash mid-delete leaves every part either fully old
     or fully new, and resume/read paths never see a half-deleted part.
-    Idempotent: a second call deletes 0 rows and rewrites nothing."""
+    Idempotent: a second call deletes 0 rows and rewrites nothing.
+
+    The conversation ids are also recorded in a tombstone ledger
+    (``_manifest/tombstones.json``, written atomically BEFORE any part
+    rewrite): later ingest waves drop tombstoned rows before merging,
+    so a takedown survives upstream re-delivery of the same content."""
     from bank_statement_pdf_parser_ray.core.hashing import stable_hash64
 
     manifest_dir = manifest_dir or os.path.join(out_dir, "_manifest")
@@ -799,6 +854,19 @@ def delete_conversations(out_dir: str, conv_ids: list[str], manifest_dir: str | 
     committed = manifest.committed_parts()
     if not committed:
         return {"parts_scanned": 0, "parts_rewritten": 0, "rows_deleted": 0}
+    # record the takedown FIRST (atomic replace): even if this process
+    # dies mid-delete, future ingest waves must never re-add the
+    # conversation (right-to-be-forgotten outlives reprocessing); the
+    # rerun of delete_conversations finishes the part rewrites
+    import json as _json
+
+    tombs = sorted(set(_read_tombstones(manifest_dir)) | set(conv_ids))
+    tmp = _tombstones_path(manifest_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(tombs, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _tombstones_path(manifest_dir))
     n_parts = manifest.read(min(committed)).n_parts
     by_part: dict[int, list[str]] = {}
     for c in conv_ids:

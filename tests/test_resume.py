@@ -528,3 +528,45 @@ class TestMultiWave:
 
         man = Manifest(os.path.join(out, "_manifest"))
         assert sum(man.read(p).rows for p in man.committed_parts()) == len(_read_all(out))
+
+
+class TestTombstones:
+    def test_delete_survives_redelivery(self, tiny_corpus, tmp_path):
+        """Right-to-be-forgotten outlives reprocessing: after a delete,
+        a later ingest wave that re-delivers the conversation must drop
+        its rows before the merge (both cow and mor modes)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from bank_statement_pdf_parser_ray.pipelines.flagship import (
+            delete_conversations,
+            ingest_append,
+        )
+
+        uniq = sorted(set(tiny_corpus.column("conv_id").to_pylist()))
+        victim = uniq[0]
+        pq.write_table(tiny_corpus, str(tmp_path / "base.parquet"))
+        redeliver = tiny_corpus.filter(
+            pc.is_in(tiny_corpus.column("conv_id"), value_set=pa.array([victim, uniq[1]]))
+        )
+        pq.write_table(redeliver, str(tmp_path / "redeliver.parquet"))
+
+        for mode in ("cow", "mor"):
+            out = str(tmp_path / f"tomb_{mode}")
+            run_flagship(str(tmp_path / "base.parquet"), out, salt_chunk=25, n_parts=8)
+            d = delete_conversations(out, [victim])
+            assert d["rows_deleted"] > 0
+            s = ingest_append(
+                str(tmp_path / "redeliver.parquet"), out, wave_id=f"re-{mode}", mode=mode
+            )
+            assert s["rows_tombstoned"] > 0
+            assert s["rows_appended"] == 0  # uniq[1] rows all dedup, victim rows tombstoned
+            got = _read_all(out)
+            assert not (got["conv_id"] == victim).any()
+            # ledger recorded for future waves
+            import json as _json
+
+            tombs = _json.load(open(os.path.join(out, "_manifest", "tombstones.json")))
+            assert tombs == [victim]
+            man = Manifest(os.path.join(out, "_manifest"))
+            assert sum(man.read(p).rows for p in man.committed_parts()) == len(got)
