@@ -62,16 +62,23 @@ def _open_transcript_source(source: str) -> tuple["ray.data.Dataset", int | None
         files = pads.dataset(source, format="parquet").files
         from concurrent.futures import ThreadPoolExecutor
 
+        # read_metadata holds no file handle open after returning —
+        # a ParquetFile per fragment would pin one fd each until GC,
+        # an fd-exhaustion risk on exactly the many-shard directories
+        # this probe exists for (ADVICE round 2)
+        def _probe(f: str) -> tuple[int, "pa.Schema"]:
+            md = pq.read_metadata(f)
+            return md.num_rows, md.schema.to_arrow_schema()
+
         with ThreadPoolExecutor(max_workers=min(32, max(1, len(files)))) as pool:
-            metas = list(pool.map(lambda f: pq.ParquetFile(f), files))
-        input_rows = sum(m.metadata.num_rows for m in metas)
+            metas = list(pool.map(_probe, files))
+        input_rows = sum(n for n, _ in metas)
         canonical = all(
             all(
-                c in m.schema_arrow.names
-                and m.schema_arrow.field(c).type == INPUT_SCHEMA.field(c).type
+                c in sch.names and sch.field(c).type == INPUT_SCHEMA.field(c).type
                 for c in INPUT_COLUMNS
             )
-            for m in metas
+            for _, sch in metas
         )
     except Exception:
         return ray.data.read_parquet(source, columns=INPUT_COLUMNS), None
@@ -333,6 +340,13 @@ def run_flagship(
     import shutil
 
     shutil.rmtree(staging_root, ignore_errors=True)
+    if only_parts is None:
+        # whole-input run finished every commit -> the base is complete
+        # and ingest waves may extend it (see _mark_base_complete)
+        _mark_base_complete(
+            manifest_dir,
+            {"input": input_desc, "n_parts": n_parts, "salt_chunk": salt_chunk},
+        )
     return {
         "parts_written": len(written),
         "parts_skipped": len(committed),
@@ -423,6 +437,16 @@ def run_flagship_waves(
     for s in results:
         totals["parts_written"] += s["parts_written"]
         totals["rows_written"] += s["rows_written"]
+    # every wave committed -> the base input is fully represented
+    manifest_dir = kwargs.get("manifest_dir") or os.path.join(out_dir, "_manifest")
+    _mark_base_complete(
+        manifest_dir,
+        {
+            "input": source if isinstance(source, str) else "<dataset>",
+            "n_parts": n_parts,
+            "salt_chunk": kwargs.get("salt_chunk", DEFAULT_SALT_CHUNK),
+        },
+    )
     return totals
 
 
@@ -466,7 +490,12 @@ def _delete_from_part(
         return 0, 0
     t = pads.dataset(part_dir, format="parquet").to_table()
     kept = t.filter(pc.invert(pc.is_in(t.column("conv_id"), value_set=targets)))
-    staging = os.path.join(out_dir, f"_staging-delete-{os.getpid()}")
+    # name follows the _staging-<pid>-... convention so run_flagship's
+    # orphan cleanup can parse the owner pid and leave a LIVE delete's
+    # staging alone (ADVICE round 2: the old _staging-delete-<pid> name
+    # made int(name.split('-')[1]) raise and the dir was rmtree'd even
+    # while its owner was mid-rewrite)
+    staging = os.path.join(out_dir, f"_staging-{os.getpid()}-delete-{part}")
     stage_part = os.path.join(staging, f"part={part}")
     os.makedirs(stage_part, exist_ok=True)
     pq.write_table(kept, os.path.join(stage_part, "data-0.parquet"))
@@ -507,6 +536,27 @@ def _heal_manifest(manifest_dir: str, part: int, part_dir: str, meta_base: dict)
         s = t.column("row_h").combine_chunks().to_numpy(zero_copy_only=False)
         checksum = int(s.sum() % _CHECKSUM_MOD) if len(s) else 0
         man.commit(PartMeta(part=part, rows=t.num_rows, checksum=checksum, **meta_base))
+
+
+def _base_complete_path(manifest_dir: str) -> str:
+    return os.path.join(manifest_dir, "base_complete.json")
+
+
+def _mark_base_complete(manifest_dir: str, info: dict) -> None:
+    """Atomic marker written ONLY after a whole-input flagship run (or a
+    full wave sweep) finishes every commit. ingest_append requires it:
+    without the marker, an ingest wave against a partially-committed
+    base could create parts a later base-run resume then skips, silently
+    losing the base rows that hash into them (ADVICE round 2)."""
+    import json as _json
+
+    os.makedirs(manifest_dir, exist_ok=True)
+    tmp = _base_complete_path(manifest_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(info, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _base_complete_path(manifest_dir))
 
 
 def _tombstones_path(manifest_dir: str) -> str:
@@ -660,7 +710,9 @@ def ingest_append(
     calls. Complete the base run before the first ingest: a part whose
     FIRST commit came from an ingest wave would be skipped by a later
     base-run resume (committed parts are resume-final), so base rows
-    for it would need a manifest clear to land."""
+    for it would need a manifest clear to land — ENFORCED: this
+    function refuses unless the base-complete marker written by a
+    finished run_flagship / run_flagship_waves is present."""
     manifest_dir = manifest_dir or os.path.join(out_dir, "_manifest")
     manifest = Manifest(manifest_dir)
     committed = manifest.committed_parts()
@@ -668,6 +720,15 @@ def ingest_append(
         raise ValueError(
             f"ingest_append requires a committed flagship output at {out_dir}; "
             "run run_flagship first"
+        )
+    if not os.path.exists(_base_complete_path(manifest_dir)):
+        # committed parts exist but the base run never FINISHED: an
+        # ingest now could create parts a later base resume then skips,
+        # silently dropping the base rows hashing into them
+        raise ValueError(
+            f"flagship output at {out_dir} has committed parts but no "
+            "base-complete marker (the base run_flagship crashed partway); "
+            "finish the base run (resume run_flagship) before ingesting"
         )
     sample = manifest.read(min(committed))
     if sample.extractor_version != EXTRACTOR_VERSION:

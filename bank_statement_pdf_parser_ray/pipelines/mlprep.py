@@ -292,7 +292,11 @@ def _grouped_value_stats(sf_dir: str) -> "pa.Table":
                 "event_type": t.column("event_type"),
                 "v": v,
                 "v2": pc.multiply(v, v),
-                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                # count only NON-NULL values: avg/stddev_samp/var_samp
+                # divide by the non-NULL count, and pyarrow's sum/min/max
+                # already skip nulls — a raw row count would diverge the
+                # moment events.value carries a NULL (ADVICE round 2)
+                "one": pc.cast(pc.is_valid(v), pa.int64()),
             }
         )
         g = pa.TableGroupBy(tbl, ["event_type"]).aggregate(

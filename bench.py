@@ -446,4 +446,25 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
-        print(json.dumps(run_bench()))
+        result = run_bench()
+        # The driver records only the last ~2000 chars of stdout; the full
+        # per-query JSON line is ~3.5 KB, so round 2's summary was cut
+        # mid-line and parsed to null. Print the full detail FIRST (for
+        # humans and logs), persist it to a sidecar file, and make the
+        # LAST line a short summary guaranteed to fit the tail window.
+        print(json.dumps(result))
+        try:
+            sidecar = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json"
+            )
+            with open(sidecar, "w") as f:
+                json.dump(result, f, indent=1)
+        except OSError:
+            pass
+        qt = result.get("queries") or {}
+        short = {k: v for k, v in result.items() if k != "queries"}
+        short["queries"] = {"flagship": result["value"]}
+        short["queries_n"] = len(qt)
+        short["queries_total_sec"] = round(sum(qt.values()), 2)
+        short["queries_file"] = "BENCH_QUERIES.json"
+        print(json.dumps(short))

@@ -73,8 +73,15 @@ class TestResume:
         out_dir = str(tmp_path / "lineage")
         run_flagship(corpus_path, out_dir, salt_chunk=25, n_parts=8)
         mdir = os.path.join(out_dir, "_manifest")
-        entries = [json.load(open(os.path.join(mdir, f))) for f in sorted(os.listdir(mdir))]
+        entries = [
+            json.load(open(os.path.join(mdir, f)))
+            for f in sorted(os.listdir(mdir))
+            if f.startswith("part-")  # the dir also holds the base-complete marker
+        ]
         assert entries
+        # a FINISHED base run must leave the base-complete marker that
+        # gates ingest_append (ADVICE round 2)
+        assert os.path.exists(os.path.join(mdir, "base_complete.json"))
         for e in entries:
             assert e["rows"] > 0
             assert e["checksum"] > 0
@@ -84,7 +91,11 @@ class TestResume:
         out2 = str(tmp_path / "lineage2")
         run_flagship(corpus_path, out2, salt_chunk=25, n_parts=8)
         m2 = os.path.join(out2, "_manifest")
-        entries2 = [json.load(open(os.path.join(m2, f))) for f in sorted(os.listdir(m2))]
+        entries2 = [
+            json.load(open(os.path.join(m2, f)))
+            for f in sorted(os.listdir(m2))
+            if f.startswith("part-")
+        ]
         assert [e["checksum"] for e in entries] == [e["checksum"] for e in entries2]
 
 
@@ -331,6 +342,31 @@ class TestIngest:
 
         with pytest.raises(ValueError, match="committed flagship output"):
             ingest_append(str(tmp_path / "nope.parquet"), str(tmp_path / "empty"))
+
+    def test_ingest_refuses_incomplete_base(self, tiny_corpus, tmp_path):
+        """A crashed-partway base run (committed parts exist, no
+        base-complete marker) must REFUSE ingest: a wave accepted then
+        would commit parts a later base resume skips, silently losing
+        the base rows hashing into them (ADVICE round 2). Finishing the
+        base run restores ingest eligibility."""
+        from bank_statement_pdf_parser_ray.pipelines.flagship import ingest_append
+
+        waveA, waveB, _ = self._split_waves(tiny_corpus, tmp_path)
+        out = str(tmp_path / "incomplete")
+        run_flagship(waveA, out, salt_chunk=25, n_parts=8)
+        mdir = os.path.join(out, "_manifest")
+        # simulate the crash: marker gone, one part entry gone (so the
+        # base run is genuinely resumable-but-unfinished)
+        os.remove(os.path.join(mdir, "base_complete.json"))
+        victim = sorted(Manifest(mdir).committed_parts())[0]
+        os.remove(os.path.join(mdir, f"part-{victim:05d}.json"))
+        with pytest.raises(ValueError, match="base-complete marker"):
+            ingest_append(waveB, out)
+        # resume the base to completion -> marker restored -> ingest ok
+        run_flagship(waveA, out, salt_chunk=25, n_parts=8)
+        assert os.path.exists(os.path.join(mdir, "base_complete.json"))
+        s = ingest_append(waveB, out)
+        assert s["rows_appended"] > 0
 
 
 class TestLifecycle:
