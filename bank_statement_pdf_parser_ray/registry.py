@@ -476,6 +476,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "ngram_jaccard_pairs": dp.NGRAM_JACCARD_SQL,
+        "doc_fingerprint": dp.DOC_FINGERPRINT_SQL,
+        "simhash": dp.SIMHASH_SQL,
+        "langid": dp.LANGID_SQL,
         "source_cap": dp.SOURCE_CAP_SQL,
         "chunk_documents": dp.CHUNK_DOCUMENTS_SQL,
         "build_index": co.BUILD_INDEX_SQL,
@@ -520,8 +523,8 @@ def oracle_sql() -> dict[str, str]:
             "  FROM s) WHERE rank <= 5"
         ),
         # rows-only (non-SQL-expressible): extract_corpus, extract_documents,
-        # langid, doc_fingerprint, minhash_candidates (candidacy depends on
-        # the LSH banding, not just true Jaccard), simhash, knn_cosine_lsh /
+        # minhash_candidates (candidacy depends on
+        # the LSH banding, not just true Jaccard), knn_cosine_lsh /
         # embedding_neardup_lsh (approximate-by-design; pytest asserts
         # subset-of-exact + recall), media_features
     }
