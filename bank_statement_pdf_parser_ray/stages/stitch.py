@@ -14,24 +14,41 @@ Output: one row per stitched document:
  n_transactions, balance_ok, extracted_text).
 
 Partitioning assumption (documented per the custom-operator rule): all
-turns of a conversation reach one group — guaranteed by grouping on
-conv_id (stitching is rare and the per-group payload is a handful of
-turns' text, so the per-conversation grouping that the ordering shuffle
-avoids for bulk rows is fine here: the input is pre-filtered to
-pdf_layout rows with page markers only, a tiny fraction of the corpus).
+turns of a conversation reach one group — guaranteed by hash-sharding
+on conv_id (stages/agg.py): same-key rows always share a shard, and the
+shard kernel walks each conversation's run inside one vectorized-sorted
+slab. The input is pre-filtered to page-marked pdf_layout rows, a tiny
+fraction of the corpus, so one shard = candidate_rows / n_shards fits a
+worker trivially. (Round-2 VERDICT anti-pattern #2: the previous
+per-conversation pandas ``map_groups`` paid one Python callback + one
+pandas conversion per conversation — exactly the per-key shape
+SCALE.md §13 outlaws; this is the coarse-shard fold.)
 """
 
 from __future__ import annotations
 
 import re
 
-import pandas as pd
+import pyarrow as pa
 
 import ray.data
 
 # own-line marker anywhere in the payload (statements often place legal
 # footer lines BELOW the page number)
 _PAGE_RX = re.compile(r"(?im)^\s*page\s+(\d+)\s+of\s+(\d+)\s*$")
+
+_STITCH_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("first_turn_idx", pa.int64()),
+        ("last_turn_idx", pa.int64()),
+        ("n_turns", pa.int64()),
+        ("dialect", pa.string()),
+        ("n_transactions", pa.int64()),
+        ("balance_ok", pa.bool_()),
+        ("extracted_text", pa.string()),
+    ]
+)
 
 
 def _page_marker(text: str) -> tuple[int, int] | None:
@@ -43,12 +60,12 @@ def _page_marker(text: str) -> tuple[int, int] | None:
     return int(i), int(n)
 
 
-def _stitch_conv(g: pd.DataFrame) -> pd.DataFrame:
+def _stitch_conv_rows(conv_id: str, turns: list[int], texts: list[str], out: list[dict]) -> None:
+    """Walk ONE conversation's page-marked rows (already turn-ordered)
+    and append a row per complete multi-turn document to ``out``."""
     from bank_statement_pdf_parser_ray.core.statement import extract_statement
 
-    g = g.sort_values("turn_idx").reset_index(drop=True)
-    out = []
-    run: list[int] = []  # row indices of the current page run
+    run: list[int] = []  # indices (into turns/texts) of the current page run
     run_complete = False  # last page of the document was seen
     expect_next = None
     total = None
@@ -58,15 +75,14 @@ def _stitch_conv(g: pd.DataFrame) -> pd.DataFrame:
         # only COMPLETE multi-turn documents are stitched — a truncated
         # run (page N never seen) must not pass as a validated document
         if len(run) >= 2 and run_complete:
-            rows = g.iloc[run]
-            payload = "\f".join(rows["text"].tolist())
+            payload = "\f".join(texts[i] for i in run)
             res = extract_statement(payload)
             out.append(
                 {
-                    "conv_id": rows["conv_id"].iloc[0],
-                    "first_turn_idx": int(rows["turn_idx"].iloc[0]),
-                    "last_turn_idx": int(rows["turn_idx"].iloc[-1]),
-                    "n_turns": len(rows),
+                    "conv_id": conv_id,
+                    "first_turn_idx": int(turns[run[0]]),
+                    "last_turn_idx": int(turns[run[-1]]),
+                    "n_turns": len(run),
                     "dialect": res["dialect"],
                     "n_transactions": len(res["transactions"]),
                     "balance_ok": bool(res["balance_ok"]),
@@ -76,8 +92,8 @@ def _stitch_conv(g: pd.DataFrame) -> pd.DataFrame:
         run = []
         run_complete = False
 
-    for i in range(len(g)):
-        marker = _page_marker(g["text"].iloc[i])
+    for i in range(len(turns)):
+        marker = _page_marker(texts[i])
         if marker is None:
             flush()
             expect_next = None
@@ -87,7 +103,7 @@ def _stitch_conv(g: pd.DataFrame) -> pd.DataFrame:
             flush()
             run = [i]
             expect_next, total = 2, n_pages
-        elif run and expect_next == page and total == n_pages and g["turn_idx"].iloc[i] == g["turn_idx"].iloc[run[-1]] + 1:
+        elif run and expect_next == page and total == n_pages and turns[i] == turns[run[-1]] + 1:
             run.append(i)
             if page == n_pages:
                 run_complete = True
@@ -99,19 +115,42 @@ def _stitch_conv(g: pd.DataFrame) -> pd.DataFrame:
             flush()
             expect_next = None
     flush()
-    cols = [
-        "conv_id", "first_turn_idx", "last_turn_idx", "n_turns",
-        "dialect", "n_transactions", "balance_ok", "extracted_text",
-    ]
-    return pd.DataFrame(out, columns=cols)
+
+
+def _stitch_shard(t: pa.Table) -> pa.Table:
+    """Shard kernel: one vectorized (conv_id, turn_idx) sort, then one
+    sequential walk over the whole shard with conversation boundaries
+    detected inline — many complete conversations per Python call."""
+    import pyarrow.compute as pc
+
+    if t.num_rows == 0:
+        return _STITCH_SCHEMA.empty_table()
+    t = t.take(
+        pc.sort_indices(
+            t, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+    )
+    convs = t.column("conv_id").to_pylist()
+    turns = t.column("turn_idx").to_pylist()
+    texts = t.column("text").to_pylist()
+    out: list[dict] = []
+    start = 0
+    for i in range(1, len(convs) + 1):
+        if i == len(convs) or convs[i] != convs[start]:
+            _stitch_conv_rows(convs[start], turns[start:i], texts[start:i], out)
+            start = i
+    if not out:
+        return _STITCH_SCHEMA.empty_table()
+    return pa.Table.from_pylist(out, schema=_STITCH_SCHEMA)
 
 
 def stitch_statements(transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
     """Input: the raw transcript Dataset (conv_id, turn_idx, text, ...).
     Pre-filters to page-marked payloads (vectorized) so the conv_id
-    grouping only sees candidate rows, then stitches per conversation."""
-    import pyarrow as pa
+    sharding only sees candidate rows, then stitches shard-at-a-time."""
     import pyarrow.compute as pc
+
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
 
     def candidates(t: pa.Table) -> pa.Table:
         # total pages >= 2: any count except exactly 1 (handles 10, 100, ...)
@@ -121,4 +160,4 @@ def stitch_statements(transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
         return t.filter(mask).select(["conv_id", "turn_idx", "text"])
 
     ds = transcripts.map_batches(candidates, batch_format="pyarrow", zero_copy_batch=True)
-    return ds.groupby("conv_id").map_groups(_stitch_conv, batch_format="pandas")
+    return shard_map_groups(ds, ["conv_id"], _stitch_shard, n_shards=64)

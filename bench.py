@@ -168,6 +168,9 @@ def run_bench() -> dict:
             "turns": turns,
             "turns_per_sec": round(turns / headline_sec, 1),
             "oracle_pass_rate": pass_rate,
+            # phase split for the scaling residual analysis (BASELINE.md §3)
+            "write_sec": summary.get("write_sec"),
+            "commit_sec": summary.get("commit_sec"),
             "queries": {},
             "sf": SF_DIR,
             "num_cpus": NUM_CPUS,
