@@ -1750,12 +1750,14 @@ def knn_cosine_pq(
 class MediaDecodeActor:
     """Actor-pool stage for opaque binary media columns: schema, batch
     sizing and output layout are real. The decode kernel REALLY decodes
-    the uncompressed raster formats a pure-numpy parser can handle —
-    binary PGM (P5), PPM (P6), and 24-bit uncompressed BMP — and falls
-    back to a deterministic fake for anything else (JPEG/PNG/audio need
-    codec libraries this environment does not ship; a real deployment
-    drops PIL/ffmpeg into `_decode_image`). Reported height/width are
-    the SOURCE dims for real decodes, the target dims for the fake."""
+    binary PGM (P5), PPM (P6), 24-bit uncompressed BMP, and — via the
+    from-scratch ``core.jpeg`` codec — baseline sequential JPEG
+    (grayscale and YCbCr up to 2x2 sampling, restart markers honored;
+    luma plane out). Formats still needing a codec library (PNG, WebP,
+    progressive JPEG) fall back to a deterministic fake so the plumbing
+    stays testable; a real deployment drops PIL/ffmpeg into
+    `_decode_image`. Reported height/width are the SOURCE dims for real
+    decodes, the target dims for the fake."""
 
     def __init__(self, target_size: tuple[int, int] = (32, 32)) -> None:
         self.target = target_size
@@ -1766,6 +1768,13 @@ class MediaDecodeActor:
         needs a codec library. Pure numpy/struct — no external deps."""
         if len(blob) < 16:
             return None
+        if blob[:2] == b"\xff\xd8":
+            from bank_statement_pdf_parser_ray.core.jpeg import decode_jpeg_luma
+
+            try:
+                return decode_jpeg_luma(blob)
+            except ValueError:
+                return None  # non-baseline or corrupt: codec-lib territory
         if blob[:2] in (b"P5", b"P6"):
             # netpbm binary: magic, then whitespace/comment-separated
             # width height maxval, one whitespace byte, raw samples
@@ -3818,18 +3827,37 @@ ORDER BY pmi DESC, w1, w2 LIMIT 20
 """
 
 
-def _synth_pgm(doc_id: int, text: str) -> bytes:
-    """Deterministic binary PGM (P5) raster derived from a document:
-    pixels are the UTF-8 payload tiled over a 48x64 canvas, so equal
-    texts yield byte-identical images and near-equal texts yield
-    near-identical ones — the corpus-side stand-in for a real image
-    column (this env ships no codec libs; the DECODE below is the real
-    pure-numpy P5 parser, not a fake)."""
+def _synth_raster(doc_id: int, text: str) -> bytes:
+    """Deterministic 48x64 grayscale raster derived from a document:
+    pixels are the UTF-8 payload tiled over the canvas, so equal texts
+    yield byte-identical images and near-equal texts yield
+    near-identical ones."""
     h, w = 48, 64
     payload = (text or "").encode("utf-8") or bytes([doc_id % 251])
     reps = -(-(h * w) // len(payload))
-    pix = (payload * reps)[: h * w]
-    return b"P5 %d %d 255\n" % (w, h) + pix
+    return (payload * reps)[: h * w]
+
+
+def _synth_pgm(doc_id: int, text: str) -> bytes:
+    """Binary PGM (P5) encoding of the document raster — the corpus-side
+    stand-in for a real image column; the DECODE side is the real
+    pure-numpy P5 parser, not a fake."""
+    return b"P5 64 48 255\n" + _synth_raster(doc_id, text)
+
+
+def _synth_image_blob(doc_id: int, text: str) -> bytes:
+    """Mixed-format image corpus: ~1/4 of documents arrive as REAL
+    baseline JPEG (the from-scratch ``core.jpeg`` encoder over the same
+    raster), the rest as PGM — modeling a corpus of scans plus
+    compressed uploads. The format is keyed on the text content (not
+    the doc_id) so duplicated texts always land in the same format and
+    still collapse to one perceptual-hash cluster."""
+    raster = _synth_raster(doc_id, text)
+    if hashlib.md5(raster).digest()[0] & 3 == 0:
+        from bank_statement_pdf_parser_ray.core.jpeg import encode_jpeg_gray
+
+        return encode_jpeg_gray(np.frombuffer(raster, np.uint8).reshape(48, 64), quality=35)
+    return b"P5 64 48 255\n" + raster
 
 
 def _ahash_bits(img: "np.ndarray") -> int:
@@ -3861,9 +3889,10 @@ class _AhashActor(MediaDecodeActor):
 
 
 def image_neardup(sf_dir: str) -> "ray.data.Dataset":
-    """Perceptual image dedup: decode each media blob (REAL pure-numpy
-    PGM parse), reduce it to a 64-bit average hash (brightness-shift
-    invariant), then exact-dedup in hash space — near-duplicate images
+    """Perceptual image dedup over a MIXED-format corpus (PGM scans plus
+    real baseline JPEGs from the from-scratch ``core.jpeg`` codec):
+    decode each media blob, reduce it to a 64-bit average hash
+    (brightness-shift invariant), then exact-dedup in hash space — near-duplicate images
     collapse to the same 8-byte key, so the exchange moves 16 B/row
     and the cluster reduce is an ordinary groupby. Output: one row per
     image in a cluster of >= 2, with the cluster representative (min
@@ -3875,7 +3904,7 @@ def image_neardup(sf_dir: str) -> "ray.data.Dataset":
     def to_media(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         texts = t.column("text").to_pylist()
-        blobs = [_synth_pgm(int(i), s) for i, s in zip(ids, texts)]
+        blobs = [_synth_image_blob(int(i), s) for i, s in zip(ids, texts)]
         return pa.table(
             {"media_id": t.column("doc_id").cast(pa.int64()), "media": pa.array(blobs, pa.binary())}
         )
