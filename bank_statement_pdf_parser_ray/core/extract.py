@@ -18,7 +18,14 @@ from typing import Any, Callable
 from bank_statement_pdf_parser_ray import EXTRACTOR_VERSION
 from bank_statement_pdf_parser_ray.core.html_strip import strip_html
 from bank_statement_pdf_parser_ray.core.normalize import normalize_text
-from bank_statement_pdf_parser_ray.core.sniff import KIND_HTML, KIND_PDF, KIND_PLAIN, sniff_kind
+from bank_statement_pdf_parser_ray.core.rasterfont import ocr_page, raster_payload_pgm
+from bank_statement_pdf_parser_ray.core.sniff import (
+    KIND_HTML,
+    KIND_PDF,
+    KIND_PLAIN,
+    KIND_RASTER,
+    sniff_kind,
+)
 from bank_statement_pdf_parser_ray.core.statement import extract_statement
 
 
@@ -36,11 +43,30 @@ def _extract_html(payload: str) -> dict[str, Any]:
     return {"extracted_text": text, "transactions": [], "spans": [(s, e, k) for s, e, k in spans], "dialect": "", "balance_ok": True}
 
 
+def _extract_raster(payload: str) -> dict[str, Any]:
+    """OCR fallback (reference: scanned-statement path): recover the
+    page text from the base64 PGM envelope with the bitmap-font
+    template matcher, then route the RECOVERED text through the normal
+    sniff -> extract dispatch (a scanned statement lands in the
+    statement extractor; a scanned letter in the normalizer). Spans
+    index into the recovered text. Unreadable rasters raise, which
+    ``extract_payload`` turns into a quarantined error row."""
+    pgm = raster_payload_pgm(payload)
+    text = ocr_page(pgm) if pgm is not None else ""
+    if not text:
+        raise ValueError("unreadable raster payload")
+    inner = sniff_kind(text)
+    if inner == KIND_RASTER:  # never recurse on a recovered marker line
+        inner = KIND_PLAIN
+    return EXTRACTORS[inner](text)
+
+
 # X2 extractor registry: content_kind -> extractor
 EXTRACTORS: dict[str, Callable[[str], dict[str, Any]]] = {
     KIND_PDF: extract_statement,
     KIND_HTML: _extract_html,
     KIND_PLAIN: _extract_plain,
+    KIND_RASTER: _extract_raster,
 }
 
 

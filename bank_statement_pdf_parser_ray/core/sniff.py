@@ -16,9 +16,12 @@ from __future__ import annotations
 
 import re
 
+from bank_statement_pdf_parser_ray.core.rasterfont import RASTER_MARKER
+
 KIND_PDF = "pdf_layout"
 KIND_HTML = "html"
 KIND_PLAIN = "plain"
+KIND_RASTER = "raster"
 
 # Lattice ruling line: +----+----+ box-drawing grid (camelot-lattice analogue).
 _LATTICE_RX = re.compile(r"^\s*\+[-=+]{4,}\+\s*$", re.M)
@@ -40,6 +43,8 @@ def sniff_kind(text: str) -> str:
     prose that mentions tags."""
     if not text:
         return KIND_PLAIN
+    if text.startswith(RASTER_MARKER):  # scanned page in the b64 envelope
+        return KIND_RASTER
     if _LATTICE_RX.search(text) or _STMT_HEADER_RX.search(text) or _PAGE_FOOTER_RX.search(text):
         return KIND_PDF
     tags = _HTML_TAG_RX.findall(text)

@@ -315,16 +315,29 @@ _TOOLS = ("pdf_reader", "web_fetch", "ocr", "")
 _LEN_TABLE = [3, 3, 4, 4, 5, 5, 6, 7, 8, 9, 10, 12, 14, 17, 20, 25, 30, 40]
 
 
-def gen_turn_text(rng: random.Random) -> str:
+def gen_turn_text(rng: random.Random, raster_frac: float = 0.0) -> str:
     r = rng.random()
     if r < 0.5:
-        return gen_plain(rng)
-    if r < 0.75:
-        return gen_html(rng)
-    return gen_statement(rng)
+        text = gen_plain(rng)
+    elif r < 0.75:
+        text = gen_html(rng)
+    else:
+        text = gen_statement(rng)
+    if raster_frac > 0.0 and rng.random() < raster_frac:
+        # scanned-page family: the payload arrives as a rasterized
+        # bitmap-font page in the base64 PGM envelope (OCR fixture).
+        # Opt-in only — the extra rng.random() draw above would shift
+        # every downstream draw, so default corpora (and their golden
+        # files) never take this branch.
+        from bank_statement_pdf_parser_ray.core.rasterfont import rasterize_payload
+
+        return rasterize_payload(text)
+    return text
 
 
-def gen_conversation(seed: int, conv_idx: int, mega_turns: int = 0) -> list[dict]:
+def gen_conversation(
+    seed: int, conv_idx: int, mega_turns: int = 0, raster_frac: float = 0.0
+) -> list[dict]:
     """All rows of one conversation — pure function of (seed, conv_idx)."""
     rng = random.Random(f"{seed}:{conv_idx}")
     conv_id = f"conv-{conv_idx:08d}"
@@ -337,7 +350,7 @@ def gen_conversation(seed: int, conv_idx: int, mega_turns: int = 0) -> list[dict
                 "conv_id": conv_id,
                 "turn_idx": t,
                 "role": role,
-                "text": gen_turn_text(rng),
+                "text": gen_turn_text(rng, raster_frac),
                 "tool": rng.choice(_TOOLS[:3]) if role == "tool" else "",
                 "ts": BASE_TS_US + conv_idx * 3_600_000_000 + t * 60_000_000,
             }
@@ -349,15 +362,26 @@ def gen_conversation(seed: int, conv_idx: int, mega_turns: int = 0) -> list[dict
     return rows
 
 
-def gen_corpus(n_convs: int, seed: int = 42, mega_turns: int = 0, shuffle: bool = True) -> pa.Table:
+def gen_corpus(
+    n_convs: int,
+    seed: int = 42,
+    mega_turns: int = 0,
+    shuffle: bool = True,
+    raster_frac: float = 0.0,
+) -> pa.Table:
     """Small-scale corpus as one pyarrow Table (rows shuffled).
 
     ``mega_turns``>0 makes conversation 0 a mega-conversation with that
-    many turns (skew fixture for salting).
+    many turns (skew fixture for salting). ``raster_frac``>0 wraps that
+    fraction of payloads in the scanned-page raster envelope (OCR
+    path); the default 0.0 leaves the rng stream — and the golden
+    files — untouched.
     """
     rows: list[dict] = []
     for i in range(n_convs):
-        rows.extend(gen_conversation(seed, i, mega_turns if i == 0 else 0))
+        rows.extend(
+            gen_conversation(seed, i, mega_turns if i == 0 else 0, raster_frac=raster_frac)
+        )
     if shuffle:
         random.Random(f"{seed}:shuffle").shuffle(rows)
     cols = {

@@ -5,8 +5,9 @@ fallbacks)").
 A callable class passed to ``map_batches(cls, concurrency=N)`` — Ray Data
 instantiates one actor per pool slot; ``__init__`` warms the parser state
 once per actor (importing the core compiles every regex bank; the OCR
-fallback hook is a stub — no OCR library in this environment), ``__call__``
-extracts one zero-copy Arrow batch.
+fallback is the from-scratch bitmap-font template matcher in
+core/rasterfont.py — no OCR library ships in this environment),
+``__call__`` extracts one zero-copy Arrow batch.
 
 The per-payload work (layout parse, table detection, dialect regex bank)
 is inherently per-document, so the batch loop is a Python loop over
@@ -37,8 +38,14 @@ class ExtractorActor:
         self._dialects = DIALECTS
         self._extractors = EXTRACTORS
         # OCR fallback hook (reference: scanned-statement path). No OCR
-        # library ships in this environment; the hook stays a stub.
-        self.ocr_fallback = None
+        # library ships in this environment, so the hook is the
+        # from-scratch bitmap-font template matcher: raster payloads
+        # (core/rasterfont.py envelope) route through it inside
+        # extract_payload, and it's exposed here for direct use on
+        # binary media columns.
+        from bank_statement_pdf_parser_ray.core.rasterfont import ocr_page
+
+        self.ocr_fallback = ocr_page
         # warm the matchers on a tiny probe so first-batch latency is flat
         extract_payload("warmup 01/01/2024")
 
