@@ -905,7 +905,10 @@ def hybrid_search(
 
     Both branches are the existing distributed operators (each returns
     only k rows); fusion is O(k) driver arithmetic by design — the
-    fused list cannot exceed 2k candidates."""
+    fused list cannot exceed 2k candidates. Oracle-paired: both branch
+    rankings AND the fusion arithmetic are restated in SQL
+    (HYBRID_SEARCH_SQL below), so the driver hash-checks the composed
+    result end-to-end."""
     from bank_statement_pdf_parser_ray.pipelines.datapipe import knn_cosine
 
     lex = bm25_search(sf_dir, terms=terms, k=k)
@@ -933,6 +936,62 @@ def hybrid_search(
     out["bm25_rank"] = out["bm25_rank"].astype("int64")
     out["knn_rank"] = out["knn_rank"].astype("int64")
     return out
+
+
+# BM25_SEARCH_SQL's lexical top-k and the knn_cosine oracle's vector
+# top-k (query 0, k=20 here), fused by the same 1/(60+rank) arithmetic
+# — absent ranks contribute 0 and report rank 0, as in the engine.
+HYBRID_SEARCH_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents
+  ) WHERE word <> ''
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+), st AS (
+  SELECT avg(dl) AS avgdl FROM dl
+), nn AS (
+  SELECT count(*) AS n FROM documents
+), df AS (
+  SELECT word, count(*) AS df FROM tf
+  WHERE word IN ('customer', 'spark', 'window') GROUP BY word
+), lex AS (
+  SELECT tf.doc_id,
+         sum(ln((nn.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS score
+  FROM tf
+  JOIN df USING (word)
+  JOIN dl USING (doc_id)
+  CROSS JOIN st CROSS JOIN nn
+  GROUP BY tf.doc_id
+  ORDER BY score DESC, tf.doc_id
+  LIMIT 20
+), lexr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lrank FROM lex
+), vecr AS (
+  SELECT vec_id AS doc_id, rank AS vrank FROM (
+    SELECT e.vec_id,
+           row_number() OVER (
+             ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id
+           ) AS rank
+    FROM (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+    CROSS JOIN embeddings e WHERE e.vec_id <> 0
+  ) WHERE rank <= 20
+), ids AS (
+  SELECT doc_id FROM lexr UNION SELECT doc_id FROM vecr
+)
+SELECT ids.doc_id,
+       round(coalesce(1.0 / (60 + lrank), 0) + coalesce(1.0 / (60 + vrank), 0), 9)
+         AS rrf_score,
+       CAST(coalesce(lrank, 0) AS BIGINT) AS bm25_rank,
+       CAST(coalesce(vrank, 0) AS BIGINT) AS knn_rank
+FROM ids LEFT JOIN lexr USING (doc_id) LEFT JOIN vecr USING (doc_id)
+ORDER BY rrf_score DESC, ids.doc_id
+LIMIT 20
+"""
 
 
 # ---------------------------------------------------------------------------

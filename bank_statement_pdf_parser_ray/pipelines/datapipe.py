@@ -4086,6 +4086,33 @@ def fuzzy_clusters(sf_dir: str) -> pd.DataFrame:
     return dedup_clusters(sf_dir, pairs=fuzzy_pairs(sf_dir))
 
 
+# FUZZY_PAIRS_SQL's blocked-Levenshtein edges fed through
+# DEDUP_CLUSTERS_SQL's recursive min-reachable-label components — the
+# same composition the engine makes (fuzzy_pairs -> dedup_clusters).
+FUZZY_CLUSTERS_SQL = r"""
+WITH RECURSIVE p AS (
+  SELECT doc_id, substr(text, 1, 24) AS pref, substr(text, 1, 4) AS b
+  FROM documents WHERE text IS NOT NULL
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM p a JOIN p c ON a.b = c.b AND a.doc_id < c.doc_id
+  WHERE levenshtein(a.pref, c.pref) <= 3
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+cc(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
+)
+SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node
+"""
+
+
 def approx_distinct_per_type(sf_dir: str) -> pd.DataFrame:
     """Per-GROUP HyperLogLog — approximate COUNT(DISTINCT user_id) per
     event_type: the keyed variant of ``approx_distinct_users``, and the

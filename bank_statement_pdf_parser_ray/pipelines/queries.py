@@ -469,9 +469,30 @@ GROUP BY n_name
 
 
 def sample_documents(sf_dir: str) -> "ray.data.Dataset":
-    """O3 seeded sampling (dev-time subsetting). Deterministic given the
-    seed but not SQL-reproducible -> rows-only check."""
-    return _read(sf_dir, "documents", ["doc_id", "lang"]).random_sample(0.1, seed=42)
+    """O3 deterministic ~10% Bernoulli sample: keep documents whose
+    md5(doc_id) falls in the lowest tenth of the hash space (first 8
+    hex chars < 0x1999999A, string-compared — fixed-width lowercase hex
+    orders like the integer). Unlike RNG sampling this reproduces on
+    ANY engine, so it carries a real SQL oracle (the same trade
+    ``stratified_sample`` makes); shuffle-free streaming filter."""
+    import hashlib as _hl
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        mask = pa.array(
+            [_hl.md5(str(i).encode()).hexdigest()[:8] < "1999999a" for i in ids], pa.bool_()
+        )
+        return t.filter(mask)
+
+    return _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+SAMPLE_DOCUMENTS_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '1999999a'
+"""
 
 
 def q5_region_revenue(sf_dir: str) -> pd.DataFrame:

@@ -428,6 +428,9 @@ def oracle_sql() -> dict[str, str]:
         "passage_dedup": co.PASSAGE_DEDUP_SQL,
         "dup_char_windows": co.DUP_CHAR_WINDOWS_SQL,
         "fuzzy_pairs": co.FUZZY_PAIRS_SQL,
+        "fuzzy_clusters": dp.FUZZY_CLUSTERS_SQL,
+        "hybrid_search": co.HYBRID_SEARCH_SQL,
+        "sample_documents": q.SAMPLE_DOCUMENTS_SQL,
         "leakage_safe_split": dp.LEAKAGE_SAFE_SPLIT_SQL,
         "shuffle_rank": co.SHUFFLE_RANK_SQL,
         "gopher_quality": co.GOPHER_QUALITY_SQL,
