@@ -490,6 +490,7 @@ class TestRandomizedDocumentsParity:
         "tfidf_topterms",
         "unigram_logprob",
         "stratified_sample",
+        "sample_documents",
         "prep_corpus",
         "pii_scrub",
         "repetition_ratio",
@@ -508,6 +509,7 @@ class TestRandomizedDocumentsParity:
         "chunk_documents",
         "build_index",
         "collocations",
+        "fuzzy_clusters",
     ]
 
     @pytest.mark.parametrize("seed", [11, 12])
