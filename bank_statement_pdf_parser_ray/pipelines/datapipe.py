@@ -1929,6 +1929,89 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 """
 
 
+def semantic_decontaminate(
+    sf_dir: str, n_benchmark: int = 16, threshold: float = 0.4
+) -> pd.DataFrame:
+    """Embedding-level benchmark decontamination: the n-gram
+    ``decontaminate`` pass misses paraphrased eval leakage, so this is
+    its semantic sibling — every corpus vector reports the benchmark
+    vector it is most similar to (cosine; ties broken by lowest
+    benchmark id) and a contaminated flag at >= threshold. The first
+    ``n_benchmark`` vec_ids stand in for the held-out eval set.
+
+    Scale shape: eval sets are model-sized, so the normalized benchmark
+    matrix is broadcast ONCE via ray.put and each corpus batch does one
+    blocked matmul + row argmax — no shuffle, no pair materialization;
+    the output is exactly one row per corpus vector. ID-valued columns
+    (argmax, flag) rather than raw similarities cross the compare
+    boundary, so engine/oracle float parity rests on similarity GAPS
+    (measured >= 1e-4 at the threshold on the shared tables), not on
+    bitwise cosine equality."""
+    q, qids = _query_matrix(sf_dir, tuple(range(n_benchmark)))
+    order = np.argsort(np.asarray(qids))
+    bench = q[order]
+    bench_ids = np.asarray(qids, dtype=np.int64)[order]
+    # zero benchmark vectors normalize to NaN rows; DuckDB defines the
+    # zero-vector cosine as -1, so pin that convention (a NaN column
+    # would otherwise win every argmax)
+    bench_zero = ~np.isfinite(bench).all(axis=1)
+    bench[bench_zero] = 0.0
+    ref = ray.put((bench, bench_ids, bench_zero))
+
+    def scan(t: pa.Table) -> pa.Table:
+        b, bids, bzero = ray.get(ref)
+        vec_ids, m = _batch_vectors(t)
+        keep = vec_ids >= n_benchmark
+        vec_ids, m = vec_ids[keep], m[keep]
+        if not len(vec_ids):
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "benchmark_id": pa.array([], pa.int64()),
+                    "contaminated": pa.array([], pa.bool_()),
+                }
+            )
+        sims = m @ b.T  # (batch, n_benchmark)
+        sims[:, bzero] = -1.0  # DuckDB zero-vector cosine convention
+        sims[(m == 0.0).all(axis=1), :] = -1.0  # ... for zero corpus rows too
+        # embeddings are float32 at rest, so two mathematically-parallel
+        # benchmarks tie EXACTLY in a float32 engine but differ by
+        # ~1e-9 in float64 — quantize to float32 before the argmax so
+        # such ties resolve to the lowest benchmark id on any engine
+        sims = sims.astype(np.float32)
+        best = sims.argmax(axis=1)  # first max = lowest benchmark id
+        return pa.table(
+            {
+                "vec_id": pa.array(vec_ids, pa.int64()),
+                "benchmark_id": pa.array(bids[best], pa.int64()),
+                "contaminated": pa.array(sims[np.arange(len(best)), best] >= threshold),
+            }
+        )
+
+    out = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(scan, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096)
+        .to_pandas()
+    )
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+SEMANTIC_DECONTAMINATE_SQL = """
+WITH bench AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16),
+corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 16),
+sims AS (
+  SELECT c.vec_id, b.vec_id AS benchmark_id,
+         list_cosine_similarity(c.embedding, b.embedding) AS sim,
+         row_number() OVER (
+           PARTITION BY c.vec_id ORDER BY list_cosine_similarity(c.embedding, b.embedding) DESC, b.vec_id
+         ) AS rn
+  FROM corpus c CROSS JOIN bench b
+)
+SELECT vec_id, benchmark_id, sim >= 0.4 AS contaminated
+FROM sims WHERE rn = 1 ORDER BY vec_id
+"""
+
+
 class _CosineVerifier:
     """Actor-pool exact-cosine verification of candidate vec pairs: each
     batch selectively reads ONLY the embeddings it references (predicate

@@ -283,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": dp.hash_split,
         "leakage_safe_split": dp.leakage_safe_split,
         "decontaminate": dp.decontaminate,
+        "semantic_decontaminate": dp.semantic_decontaminate,
         "mixture_sample": dp.mixture_sample,
         "pack_sequences": dp.pack_sequences,
         "langid": dp.langid,
@@ -502,6 +503,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_ratio": dp.REPETITION_RATIO_SQL,
         "hash_split": dp.HASH_SPLIT_SQL,
         "decontaminate": dp.DECONTAMINATE_SQL,
+        "semantic_decontaminate": dp.SEMANTIC_DECONTAMINATE_SQL,
         "mixture_sample": dp.MIXTURE_SAMPLE_SQL,
         "corpus_clean": dp.CORPUS_CLEAN_SQL,
         "embedding_neardup": dp.EMBEDDING_NEARDUP_SQL,

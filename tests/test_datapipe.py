@@ -1104,3 +1104,56 @@ class TestGroupedHLL:
         for tv, card in spec.items():
             exact = len(set(u for u, ty in zip(users, types) if ty == tv and u is not None))
             assert abs(got[tv] - exact) <= max(1, 0.05 * exact), (tv, got[tv], exact)
+
+
+class TestSemanticDecontaminate:
+    def test_planted_leak_flags(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import semantic_decontaminate
+
+        rng = np.random.default_rng(5)
+        vecs = rng.normal(size=(24, 16)).astype(np.float32)
+        # corpus vec 20 IS benchmark vec 3 (verbatim eval leak); corpus
+        # vec 21 is a light paraphrase of benchmark 7; the rest random
+        vecs[20] = vecs[3]
+        vecs[21] = (vecs[7] + rng.normal(size=16).astype(np.float32) * 0.1).astype(np.float32)
+        emb = pa.table(
+            {
+                "vec_id": pa.array(range(24), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+                "label": pa.array([0] * 24, pa.int32()),
+            }
+        )
+        pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+        out = semantic_decontaminate(str(tmp_path), n_benchmark=16, threshold=0.9).set_index(
+            "vec_id"
+        )
+        assert sorted(out.index.tolist()) == list(range(16, 24))  # one row per corpus vec
+        assert bool(out.loc[20, "contaminated"]) and out.loc[20, "benchmark_id"] == 3
+        assert bool(out.loc[21, "contaminated"]) and out.loc[21, "benchmark_id"] == 7
+        clean = out.drop([20, 21])
+        assert not clean["contaminated"].any()
+
+    def test_duplicate_benchmarks_tie_break_lowest_id(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import semantic_decontaminate
+
+        rng = np.random.default_rng(9)
+        vecs = rng.normal(size=(18, 8)).astype(np.float32)
+        vecs[11] = vecs[2]          # duplicate benchmark pair (2, 11)
+        vecs[17] = vecs[2] * 2.0    # corpus vec equidistant to both
+        emb = pa.table(
+            {
+                "vec_id": pa.array(range(18), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+                "label": pa.array([0] * 18, pa.int32()),
+            }
+        )
+        pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+        out = semantic_decontaminate(str(tmp_path), n_benchmark=16, threshold=0.99).set_index(
+            "vec_id"
+        )
+        assert out.loc[17, "benchmark_id"] == 2  # exact tie -> lowest id
+        assert bool(out.loc[17, "contaminated"])

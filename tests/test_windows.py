@@ -586,7 +586,7 @@ class TestRandomizedEmbeddingsParity:
     returns -1 for it, the engine treats it as all-zero sims — outputs
     must still agree), tiny norms, duplicate similarity values."""
 
-    OPS = ["knn_cosine", "knn_cosine_filtered", "knn_cosine_ivf_full", "embedding_neardup", "vector_funcs", "explode_embedding", "embedding_dim_stats"]
+    OPS = ["knn_cosine", "knn_cosine_filtered", "knn_cosine_ivf_full", "embedding_neardup", "vector_funcs", "explode_embedding", "embedding_dim_stats", "semantic_decontaminate"]
 
     @pytest.mark.parametrize("seed", [21, 22])
     def test_embeddings_family_matches_duckdb(self, seed, tmp_path):
@@ -634,6 +634,18 @@ class TestRandomizedEmbeddingsParity:
             got = canon(r if isinstance(r, pd.DataFrame) else r.to_pandas())
             exp = canon(con.sql(O[name]).df())
             assert list(got.columns) == list(exp.columns), name
+            if name == "semantic_decontaminate":
+                # the planted parallel benchmarks (m[11] = m[2]*1e-6)
+                # make the argmax MATHEMATICALLY tied; DuckDB's own
+                # float32 summation noise orders the pair differently
+                # per row, so no deterministic engine can match
+                # benchmark_id here. The flag and coverage stay exact;
+                # benchmark_id is hash-checked by the driver on the
+                # shared tables, where the top1-top2 margin is >= 1e-4.
+                got = got.drop(columns=["benchmark_id"])
+                exp = exp.drop(columns=["benchmark_id"])
+                got = got.sort_values(list(got.columns)).reset_index(drop=True)
+                exp = exp.sort_values(list(exp.columns)).reset_index(drop=True)
             assert len(got) == len(exp), (name, len(got), len(exp))
             for c in got.columns:
                 assert got[c].tolist() == exp[c].tolist(), (name, c)
