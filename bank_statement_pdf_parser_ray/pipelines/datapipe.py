@@ -1862,14 +1862,54 @@ class MediaDecodeActor:
         )
 
 
+def _synth_bmp(raster: bytes) -> bytes:
+    """Minimal 24-bit uncompressed BMP (bottom-up rows, 4-byte stride
+    padding) of the 48x64 document raster."""
+    import struct
+
+    h, w = 48, 64
+    stride = (w * 3 + 3) & ~3
+    img = np.frombuffer(raster, np.uint8).reshape(h, w)
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = np.repeat(img[::-1, :, None], 3, axis=2).reshape(h, w * 3)
+    pix = rows.tobytes()
+    return (
+        struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+        + pix
+    )
+
+
 def media_features(sf_dir: str) -> "ray.data.Dataset":
     """Multimodal pipeline demo: synthesize an opaque binary media
-    column from document bytes (deterministic), then run the actor-pool
-    decode/feature stage with small batches (large binary payloads =>
-    small batch_size, SURVEY §4 memory row)."""
+    column holding a MIX of real formats — PGM, 24-bit BMP, baseline
+    JPEG (the from-scratch ``core.jpeg`` encoder), and an unknown
+    codec-format stand-in (raw bytes, the labeled fake path) — then run
+    the actor-pool decode/feature stage with small batches (large
+    binary payloads => small batch_size, SURVEY §4 memory row). The mix
+    keys on doc_id so every real decoder in ``MediaDecodeActor`` is
+    exercised by this driver-run query, not just by unit tests."""
 
     def to_media(t: pa.Table) -> pa.Table:
-        blobs = [s.encode("utf-8")[:4096] for s in t.column("text").to_pylist()]
+        from bank_statement_pdf_parser_ray.core.jpeg import encode_jpeg_gray
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        blobs = []
+        for i, s in zip(ids, texts):
+            k = int(i) & 3
+            if k == 3:  # codec-format stand-in: exercises the fake path
+                blobs.append((s or "").encode("utf-8")[:4096] or b"\x00" * 16)
+                continue
+            raster = _synth_raster(int(i), s)
+            if k == 0:
+                blobs.append(b"P5 64 48 255\n" + raster)
+            elif k == 1:
+                blobs.append(_synth_bmp(raster))
+            else:
+                blobs.append(
+                    encode_jpeg_gray(np.frombuffer(raster, np.uint8).reshape(48, 64), quality=35)
+                )
         return pa.table({"media_id": t.column("doc_id"), "media": pa.array(blobs, pa.binary())})
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)

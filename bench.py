@@ -456,14 +456,17 @@ if __name__ == "__main__":
         # humans and logs), persist it to a sidecar file, and make the
         # LAST line a short summary guaranteed to fit the tail window.
         print(json.dumps(result))
-        try:
-            sidecar = os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json"
-            )
-            with open(sidecar, "w") as f:
-                json.dump(result, f, indent=1)
-        except OSError:
-            pass
+        # Headline-only subprocess legs of --scaling must NOT clobber the
+        # full per-query sweep sidecar (they carry queries == {}).
+        if not os.environ.get("BSPP_SCALING_HEADLINE_ONLY"):
+            try:
+                sidecar = os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json"
+                )
+                with open(sidecar, "w") as f:
+                    json.dump(result, f, indent=1)
+            except OSError:
+                pass
         qt = result.get("queries") or {}
         short = {k: v for k, v in result.items() if k != "queries"}
         short["queries"] = {"flagship": result["value"]}

@@ -223,13 +223,15 @@ class TestExactDedup:
 
 class TestMediaPlumbing:
     def test_features_shape(self, planted_dir):
-        out = dp.media_features(planted_dir).to_pandas()
+        out = dp.media_features(planted_dir).to_pandas().set_index("media_id").sort_index()
         assert len(out) == 5
-        assert (out["height"] == 32).all() and (out["width"] == 32).all()
+        # doc_id & 3 == 3 -> unknown-codec stand-in -> fake path (target
+        # dims); every other id carries a REAL format (PGM/BMP/JPEG) and
+        # reports the 48x64 source raster dims
+        for i in out.index:
+            want = (32, 32) if (int(i) & 3) == 3 else (48, 64)
+            assert (out.loc[i, "height"], out.loc[i, "width"]) == want, i
         assert out["feature"].map(len).eq(32).all()
-        # deterministic fake decode: same text -> same feature
-        f0 = out.set_index("media_id")["feature"]
-        assert list(f0[0]) == list(f0[3])
 
 
 class TestLangId:
@@ -1157,3 +1159,49 @@ class TestSemanticDecontaminate:
         )
         assert out.loc[17, "benchmark_id"] == 2  # exact tie -> lowest id
         assert bool(out.loc[17, "contaminated"])
+
+
+class TestMediaMixedFormats:
+    def test_media_features_exercises_every_decoder(self, tmp_path):
+        """media_features' corpus mixes PGM/BMP/JPEG/unknown by doc_id:
+        real decodes report the 48x64 SOURCE dims, the codec stand-in
+        reports the 32x32 target dims (fake path)."""
+        import pyarrow.parquet as pq
+
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import media_features
+
+        texts = [f"document body number {i} with some words" for i in range(16)]
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(16), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 16),
+                "source": pa.array(["t"] * 16),
+                "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = media_features(str(tmp_path)).to_pandas().set_index("media_id").sort_index()
+        assert len(out) == 16
+        for i in range(16):
+            if i & 3 == 3:  # unknown format -> fake path -> target dims
+                assert (out.loc[i, "height"], out.loc[i, "width"]) == (32, 32)
+            else:  # PGM / BMP / JPEG all really decode -> source dims
+                assert (out.loc[i, "height"], out.loc[i, "width"]) == (48, 64), i
+        # PGM (k=0) and BMP (k=1) of the same raster shape decode losslessly;
+        # spot-check the JPEG rows carry plausible features too
+        assert out.loc[2, "n_bytes"] > 100  # JPEG blob is non-trivial
+        feats = np.array(out.loc[2, "feature"])
+        assert feats.shape == (32,) and 0.0 <= feats.min() and feats.max() <= 1.0
+
+    def test_synth_bmp_decodes_to_raster(self):
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import (
+            MediaDecodeActor,
+            _synth_bmp,
+            _synth_raster,
+        )
+
+        raster = _synth_raster(5, "hello bmp world")
+        img = MediaDecodeActor._decode_image(_synth_bmp(raster))
+        assert img is not None and img.shape == (48, 64)
+        assert np.allclose(img, np.frombuffer(raster, np.uint8).reshape(48, 64) / 255.0)
