@@ -1751,10 +1751,12 @@ class MediaDecodeActor:
     """Actor-pool stage for opaque binary media columns: schema, batch
     sizing and output layout are real. The decode kernel REALLY decodes
     binary PGM (P5), PPM (P6), 24-bit uncompressed BMP, and — via the
-    from-scratch ``core.jpeg`` codec — baseline sequential JPEG
-    (grayscale and YCbCr up to 2x2 sampling, restart markers honored;
-    luma plane out). Formats still needing a codec library (PNG, WebP,
-    progressive JPEG) fall back to a deterministic fake so the plumbing
+    from-scratch ``core.jpeg`` / ``core.png`` codecs — baseline
+    sequential JPEG (grayscale and YCbCr up to 2x2 sampling, restart
+    markers honored; luma plane out) and non-interlaced 8-bit PNG (all
+    five color types, all five scanline filters, chunk CRCs verified).
+    Formats still needing a codec library (WebP, progressive JPEG,
+    Adam7/16-bit PNG) fall back to a deterministic fake so the plumbing
     stays testable; a real deployment drops PIL/ffmpeg into
     `_decode_image`. Reported height/width are the SOURCE dims for real
     decodes, the target dims for the fake."""
@@ -1775,6 +1777,13 @@ class MediaDecodeActor:
                 return decode_jpeg_luma(blob)
             except ValueError:
                 return None  # non-baseline or corrupt: codec-lib territory
+        if blob[:8] == b"\x89PNG\r\n\x1a\n":
+            from bank_statement_pdf_parser_ray.core.png import decode_png_luma
+
+            try:
+                return decode_png_luma(blob)
+            except ValueError:
+                return None  # interlaced/16-bit or corrupt: codec-lib territory
         if blob[:2] in (b"P5", b"P6"):
             # netpbm binary: magic, then whitespace/comment-separated
             # width height maxval, one whitespace byte, raw samples
@@ -1883,7 +1892,9 @@ def _synth_bmp(raster: bytes) -> bytes:
 def media_features(sf_dir: str) -> "ray.data.Dataset":
     """Multimodal pipeline demo: synthesize an opaque binary media
     column holding a MIX of real formats — PGM, 24-bit BMP, baseline
-    JPEG (the from-scratch ``core.jpeg`` encoder), and an unknown
+    JPEG (the from-scratch ``core.jpeg`` encoder), filtered PNG (the
+    from-scratch ``core.png`` encoder: scanline filters cycle 0..4, so
+    this query exercises every unfilter path), and an unknown
     codec-format stand-in (raw bytes, the labeled fake path) — then run
     the actor-pool decode/feature stage with small batches (large
     binary payloads => small batch_size, SURVEY §4 memory row). The mix
@@ -1892,13 +1903,14 @@ def media_features(sf_dir: str) -> "ray.data.Dataset":
 
     def to_media(t: pa.Table) -> pa.Table:
         from bank_statement_pdf_parser_ray.core.jpeg import encode_jpeg_gray
+        from bank_statement_pdf_parser_ray.core.png import encode_png_gray
 
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         texts = t.column("text").to_pylist()
         blobs = []
         for i, s in zip(ids, texts):
-            k = int(i) & 3
-            if k == 3:  # codec-format stand-in: exercises the fake path
+            k = int(i) % 5
+            if k == 4:  # codec-format stand-in: exercises the fake path
                 blobs.append((s or "").encode("utf-8")[:4096] or b"\x00" * 16)
                 continue
             raster = _synth_raster(int(i), s)
@@ -1906,10 +1918,12 @@ def media_features(sf_dir: str) -> "ray.data.Dataset":
                 blobs.append(b"P5 64 48 255\n" + raster)
             elif k == 1:
                 blobs.append(_synth_bmp(raster))
-            else:
+            elif k == 2:
                 blobs.append(
                     encode_jpeg_gray(np.frombuffer(raster, np.uint8).reshape(48, 64), quality=35)
                 )
+            else:
+                blobs.append(encode_png_gray(np.frombuffer(raster, np.uint8).reshape(48, 64)))
         return pa.table({"media_id": t.column("doc_id"), "media": pa.array(blobs, pa.binary())})
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
@@ -3971,15 +3985,23 @@ def _synth_pgm(doc_id: int, text: str) -> bytes:
 def _synth_image_blob(doc_id: int, text: str) -> bytes:
     """Mixed-format image corpus: ~1/4 of documents arrive as REAL
     baseline JPEG (the from-scratch ``core.jpeg`` encoder over the same
-    raster), the rest as PGM — modeling a corpus of scans plus
-    compressed uploads. The format is keyed on the text content (not
-    the doc_id) so duplicated texts always land in the same format and
-    still collapse to one perceptual-hash cluster."""
+    raster), ~1/4 as REAL filtered PNG (``core.png``), the rest as PGM
+    — modeling a corpus of scans plus compressed uploads. The format is
+    keyed on the text content (not the doc_id) so duplicated texts
+    always land in the same format and still collapse to one
+    perceptual-hash cluster (PNG/PGM are lossless and would match
+    across formats anyway; JPEG is lossy and needs the same-format
+    guarantee)."""
     raster = _synth_raster(doc_id, text)
-    if hashlib.md5(raster).digest()[0] & 3 == 0:
+    fmt = hashlib.md5(raster).digest()[0] & 3
+    if fmt == 0:
         from bank_statement_pdf_parser_ray.core.jpeg import encode_jpeg_gray
 
         return encode_jpeg_gray(np.frombuffer(raster, np.uint8).reshape(48, 64), quality=35)
+    if fmt == 1:
+        from bank_statement_pdf_parser_ray.core.png import encode_png_gray
+
+        return encode_png_gray(np.frombuffer(raster, np.uint8).reshape(48, 64))
     return b"P5 64 48 255\n" + raster
 
 

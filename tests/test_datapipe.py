@@ -225,11 +225,11 @@ class TestMediaPlumbing:
     def test_features_shape(self, planted_dir):
         out = dp.media_features(planted_dir).to_pandas().set_index("media_id").sort_index()
         assert len(out) == 5
-        # doc_id & 3 == 3 -> unknown-codec stand-in -> fake path (target
-        # dims); every other id carries a REAL format (PGM/BMP/JPEG) and
-        # reports the 48x64 source raster dims
+        # doc_id % 5 == 4 -> unknown-codec stand-in -> fake path (target
+        # dims); every other id carries a REAL format (PGM/BMP/JPEG/PNG)
+        # and reports the 48x64 source raster dims
         for i in out.index:
-            want = (32, 32) if (int(i) & 3) == 3 else (48, 64)
+            want = (32, 32) if (int(i) % 5) == 4 else (48, 64)
             assert (out.loc[i, "height"], out.loc[i, "width"]) == want, i
         assert out["feature"].map(len).eq(32).all()
 
@@ -1163,36 +1163,51 @@ class TestSemanticDecontaminate:
 
 class TestMediaMixedFormats:
     def test_media_features_exercises_every_decoder(self, tmp_path):
-        """media_features' corpus mixes PGM/BMP/JPEG/unknown by doc_id:
-        real decodes report the 48x64 SOURCE dims, the codec stand-in
-        reports the 32x32 target dims (fake path)."""
+        """media_features' corpus mixes PGM/BMP/JPEG/PNG/unknown by
+        doc_id: real decodes report the 48x64 SOURCE dims, the codec
+        stand-in reports the 32x32 target dims (fake path)."""
         import pyarrow.parquet as pq
 
         from bank_statement_pdf_parser_ray.pipelines.datapipe import media_features
 
-        texts = [f"document body number {i} with some words" for i in range(16)]
+        texts = [f"document body number {i} with some words" for i in range(20)]
         t = pa.table(
             {
-                "doc_id": pa.array(np.arange(16), pa.int64()),
+                "doc_id": pa.array(np.arange(20), pa.int64()),
                 "text": pa.array(texts, pa.string()),
-                "lang": pa.array(["en"] * 16),
-                "source": pa.array(["t"] * 16),
+                "lang": pa.array(["en"] * 20),
+                "source": pa.array(["t"] * 20),
                 "n_chars": pa.array([len(s) for s in texts], pa.int64()),
             }
         )
         pq.write_table(t, str(tmp_path / "documents.parquet"))
         out = media_features(str(tmp_path)).to_pandas().set_index("media_id").sort_index()
-        assert len(out) == 16
-        for i in range(16):
-            if i & 3 == 3:  # unknown format -> fake path -> target dims
+        assert len(out) == 20
+        for i in range(20):
+            if i % 5 == 4:  # unknown format -> fake path -> target dims
                 assert (out.loc[i, "height"], out.loc[i, "width"]) == (32, 32)
-            else:  # PGM / BMP / JPEG all really decode -> source dims
+            else:  # PGM / BMP / JPEG / PNG all really decode -> source dims
                 assert (out.loc[i, "height"], out.loc[i, "width"]) == (48, 64), i
-        # PGM (k=0) and BMP (k=1) of the same raster shape decode losslessly;
-        # spot-check the JPEG rows carry plausible features too
+        # lossless formats of the same raster must agree exactly on the
+        # feature vector: PGM (id 0), BMP (id 1), PNG (id 3) rasters differ
+        # per id, so compare PNG against a direct PGM of id 3's raster
         assert out.loc[2, "n_bytes"] > 100  # JPEG blob is non-trivial
         feats = np.array(out.loc[2, "feature"])
         assert feats.shape == (32,) and 0.0 <= feats.min() and feats.max() <= 1.0
+
+    def test_png_row_matches_lossless_pgm(self):
+        from bank_statement_pdf_parser_ray.core.png import encode_png_gray
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import (
+            MediaDecodeActor,
+            _synth_raster,
+        )
+
+        raster = _synth_raster(3, "png parity with pgm")
+        img = np.frombuffer(raster, np.uint8).reshape(48, 64)
+        via_png = MediaDecodeActor._decode_image(encode_png_gray(img))
+        via_pgm = MediaDecodeActor._decode_image(b"P5 64 48 255\n" + raster)
+        assert via_png is not None and via_pgm is not None
+        assert np.array_equal(via_png, via_pgm)
 
     def test_synth_bmp_decodes_to_raster(self):
         from bank_statement_pdf_parser_ray.pipelines.datapipe import (
