@@ -1526,6 +1526,67 @@ SELECT query_id, vec_id, rank FROM (
 """
 
 
+def hard_negatives(
+    sf_dir: str, anchor_ids: tuple[int, ...] = (0, 1, 2, 3), k: int = 5
+) -> pa.Table:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the k most-similar vectors carrying a DIFFERENT label —
+    the negatives a contrastive loss learns the most from (nearest in
+    embedding space yet wrong class). The label mask is applied INSIDE
+    the batch scan before the matmul (pre-filter semantics, exact top-k
+    of the opposite-label set), then the same broadcast + per-batch
+    partial top-k + distributed ``_knn_merge`` shape as ``knn_cosine``
+    — at 100 TB nothing new crosses the exchange: anchors broadcast
+    once via ``ray.put``, candidates move as (anchor, id, sim) triples
+    bounded by k per batch per anchor."""
+    import pyarrow.dataset as pads
+
+    at = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding", "label"],
+        filter=pc.field("vec_id").isin(list(anchor_ids)),
+    )
+    aids = at.column("vec_id").to_pylist()
+    albl = at.column("label").to_numpy(zero_copy_only=False).astype(np.int32)
+    q = _list_matrix(at.column("embedding"))
+    q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    ref = ray.put((q, albl))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        qm, qlbl = ray.get(ref)
+        labels = t.column("label").to_numpy(zero_copy_only=False)
+        vec_ids, m = _batch_vectors(t)
+        sims = m @ qm.T  # (batch, n_anchors)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sims.shape[1]):
+            mask = labels != qlbl[qi]
+            if not mask.any():
+                continue
+            ids_f, sims_f = vec_ids[mask], sims[mask, qi]
+            idx = _partial_cut(ids_f, sims_f, k)
+            out_q.extend([aids[qi]] * len(idx))
+            out_v.extend(int(i) for i in ids_f[idx])
+            out_s.extend(float(s) for s in sims_f[idx])
+        return _partial_table(out_q, out_v, out_s)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    cand = ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096)
+    return _knn_merge(cand, k)
+
+
+HARD_NEGATIVES_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+           FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
+s AS (SELECT q.qid AS query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS sim
+      FROM q CROSS JOIN embeddings e WHERE e.label <> q.ql)
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+  FROM s) WHERE rank <= 5
+"""
+
+
 def knn_cosine_lsh(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2), k: int = 5, n_planes: int = 8) -> pa.Table:
     """LSH-bucketed ANN variant (the 100TB path): random-hyperplane
     signatures bucket vectors; only buckets within Hamming distance 1 of
@@ -1869,6 +1930,63 @@ class MediaDecodeActor:
                 "feature": pa.array(feats, pa.list_(pa.float32())),
             }
         )
+
+
+def warc_ingest(sf_dir: str) -> "ray.data.Dataset":
+    """Web-archive ingestion demo over REAL WARC files: render every
+    document as an HTML page (boilerplate nav + escaped body), write a
+    sharded record-at-time-gzip WARC corpus under /tmp (one file per
+    input batch, written IN PARALLEL by the tasks themselves — the
+    shard layout Common Crawl uses), then ingest it back with
+    ``sources.warc.read_warc``: gzip-member framing, response-record
+    selection, HTTP split, boilerplate strip. Output is documents-shaped
+    with a stable md5(record-id) doc_id; the original doc_id rides in
+    the URL path for lineage. Synthesis is deterministic and cached by
+    corpus fingerprint, so reruns only pay the read side.
+
+    100 TB shape: no shuffle in either direction — each task writes its
+    own WARC shard, each shard parses independently in one task."""
+    import glob as _glob
+    import html as _htmlmod
+    import os
+    import tempfile
+
+    from bank_statement_pdf_parser_ray.sources.warc import read_warc, write_warc
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(f"{src}:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"bspp_warc_{fp}")
+    done = os.path.join(out_dir, "_done")
+    if not os.path.exists(done):
+        os.makedirs(out_dir, exist_ok=True)
+
+        def write_shard(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_pylist()
+            pages = []
+            for i, s, src in zip(ids, t.column("text").to_pylist(), t.column("source").to_pylist()):
+                body = _htmlmod.escape(s or "")
+                html_doc = (
+                    "<html><head><title>doc</title></head><body>"
+                    '<div><a href="/">home</a> <a href="/about">about</a> <a href="/contact">contact</a></div>'
+                    f"<p>{body}</p>"
+                    '<div><a href="/terms">terms</a> <a href="/privacy">privacy</a></div>'
+                    "</body></html>"
+                )
+                pages.append((f"https://example.org/{src}/{int(i)}", html_doc))
+            shard = os.path.join(out_dir, f"part-{min(ids):012d}.warc.gz")
+            tmp = shard + ".tmp"
+            write_warc(pages, tmp)
+            os.replace(tmp, shard)  # atomic: a killed run leaves no half shard
+            return pa.table({"shard": pa.array([shard]), "n_pages": pa.array([len(pages)], pa.int64())})
+
+        _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+            write_shard, batch_format="pyarrow", zero_copy_batch=True, batch_size=256
+        ).materialize()  # manifest only: one row per shard
+        with open(done, "w") as f:
+            f.write(fp)
+    files = sorted(_glob.glob(os.path.join(out_dir, "*.warc.gz")))
+    return read_warc(files)
 
 
 def _synth_bmp(raster: bytes) -> bytes:

@@ -332,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_cosine": dp.knn_cosine,
         "knn_cosine_filtered": dp.knn_cosine_filtered,
+        "hard_negatives": dp.hard_negatives,
         "embedding_neardup": dp.embedding_neardup,
         "knn_cosine_lsh": dp.knn_cosine_lsh,
         "knn_cosine_ivf": dp.knn_cosine_ivf,
@@ -341,6 +342,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": cl.kmeans_embeddings,
         "semantic_dedup": _semantic_dedup_checked,
         "cluster_sample": cl.cluster_sample,
+        # sources
+        "warc_ingest": dp.warc_ingest,
         # multimodal plumbing (decode stubbed, see MediaDecodeActor)
         "media_features": dp.media_features,
         "audio_features": dp.audio_features,
@@ -508,6 +511,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_clean": dp.CORPUS_CLEAN_SQL,
         "embedding_neardup": dp.EMBEDDING_NEARDUP_SQL,
         "knn_cosine_filtered": dp.KNN_COSINE_FILTERED_SQL,
+        "hard_negatives": dp.HARD_NEGATIVES_SQL,
         # knn_cosine_ivf_full is exact (full probe) -> same oracle as knn_cosine
         "knn_cosine_ivf_full": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)), "

@@ -1161,6 +1161,36 @@ class TestSemanticDecontaminate:
         assert bool(out.loc[17, "contaminated"])
 
 
+class TestHardNegatives:
+    def test_nearest_same_label_excluded(self, tmp_path):
+        """The vector closest to the anchor shares its label and must be
+        excluded; the closest different-label vector ranks first."""
+        import pyarrow.parquet as pq
+
+        rng = np.random.RandomState(3)
+        vecs = rng.randn(10, 16).astype(np.float32)
+        vecs[1] = vecs[0] + rng.randn(16).astype(np.float32) * 0.01  # same-label twin
+        vecs[2] = vecs[0] + rng.randn(16).astype(np.float32) * 0.10  # closest negative
+        labels = [0, 0, 1, 1, 1, 2, 2, 2, 2, 2]
+        emb = pa.table(
+            {
+                "vec_id": pa.array(range(10), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+                "label": pa.array(labels, pa.int32()),
+            }
+        )
+        pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+        out = dp.hard_negatives(str(tmp_path), anchor_ids=(0,), k=3).to_pandas()
+        assert 1 not in out["vec_id"].tolist()  # same-label twin never a negative
+        assert out.loc[out["rank"] == 1, "vec_id"].item() == 2
+        # exact parity with a numpy brute force over the opposite-label set
+        m = vecs.astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m[0]
+        order = [i for i in np.argsort(-sims) if labels[i] != 0][:3]
+        assert out["vec_id"].tolist() == [int(i) for i in order]
+
+
 class TestMediaMixedFormats:
     def test_media_features_exercises_every_decoder(self, tmp_path):
         """media_features' corpus mixes PGM/BMP/JPEG/PNG/unknown by
