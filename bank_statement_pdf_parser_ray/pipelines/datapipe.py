@@ -1812,10 +1812,12 @@ class MediaDecodeActor:
     """Actor-pool stage for opaque binary media columns: schema, batch
     sizing and output layout are real. The decode kernel REALLY decodes
     binary PGM (P5), PPM (P6), 24-bit uncompressed BMP, and — via the
-    from-scratch ``core.jpeg`` / ``core.png`` codecs — baseline
-    sequential JPEG (grayscale and YCbCr up to 2x2 sampling, restart
-    markers honored; luma plane out) and non-interlaced 8-bit PNG (all
-    five color types, all five scanline filters, chunk CRCs verified).
+    from-scratch ``core.jpeg`` / ``core.png`` / ``core.gif`` codecs —
+    baseline sequential JPEG (grayscale and YCbCr up to 2x2 sampling,
+    restart markers honored; luma plane out), non-interlaced 8-bit PNG
+    (all five color types, all five scanline filters, chunk CRCs
+    verified), and GIF87a/89a first frames (from-scratch variable-width
+    LZW, global/local palettes, interlace, extension skipping).
     Formats still needing a codec library (WebP, progressive JPEG,
     Adam7/16-bit PNG) fall back to a deterministic fake so the plumbing
     stays testable; a real deployment drops PIL/ffmpeg into
@@ -1845,6 +1847,13 @@ class MediaDecodeActor:
                 return decode_png_luma(blob)
             except ValueError:
                 return None  # interlaced/16-bit or corrupt: codec-lib territory
+        if blob[:6] in (b"GIF87a", b"GIF89a"):
+            from bank_statement_pdf_parser_ray.core.gif import decode_gif_luma
+
+            try:
+                return decode_gif_luma(blob)
+            except ValueError:
+                return None  # out-of-scope feature or corrupt
         if blob[:2] in (b"P5", b"P6"):
             # netpbm binary: magic, then whitespace/comment-separated
             # width height maxval, one whitespace byte, raw samples
@@ -2012,14 +2021,17 @@ def media_features(sf_dir: str) -> "ray.data.Dataset":
     column holding a MIX of real formats — PGM, 24-bit BMP, baseline
     JPEG (the from-scratch ``core.jpeg`` encoder), filtered PNG (the
     from-scratch ``core.png`` encoder: scanline filters cycle 0..4, so
-    this query exercises every unfilter path), and an unknown
-    codec-format stand-in (raw bytes, the labeled fake path) — then run
+    this query exercises every unfilter path), LZW GIF (the from-scratch
+    ``core.gif`` encoder, interlaced on odd ids so the deinterlace path
+    runs too), and an unknown codec-format stand-in (raw bytes, the
+    labeled fake path) — then run
     the actor-pool decode/feature stage with small batches (large
     binary payloads => small batch_size, SURVEY §4 memory row). The mix
     keys on doc_id so every real decoder in ``MediaDecodeActor`` is
     exercised by this driver-run query, not just by unit tests."""
 
     def to_media(t: pa.Table) -> pa.Table:
+        from bank_statement_pdf_parser_ray.core.gif import encode_gif_gray
         from bank_statement_pdf_parser_ray.core.jpeg import encode_jpeg_gray
         from bank_statement_pdf_parser_ray.core.png import encode_png_gray
 
@@ -2027,8 +2039,8 @@ def media_features(sf_dir: str) -> "ray.data.Dataset":
         texts = t.column("text").to_pylist()
         blobs = []
         for i, s in zip(ids, texts):
-            k = int(i) % 5
-            if k == 4:  # codec-format stand-in: exercises the fake path
+            k = int(i) % 6
+            if k == 5:  # codec-format stand-in: exercises the fake path
                 blobs.append((s or "").encode("utf-8")[:4096] or b"\x00" * 16)
                 continue
             raster = _synth_raster(int(i), s)
@@ -2040,8 +2052,14 @@ def media_features(sf_dir: str) -> "ray.data.Dataset":
                 blobs.append(
                     encode_jpeg_gray(np.frombuffer(raster, np.uint8).reshape(48, 64), quality=35)
                 )
-            else:
+            elif k == 3:
                 blobs.append(encode_png_gray(np.frombuffer(raster, np.uint8).reshape(48, 64)))
+            else:  # interlace on odd ids: covers the deinterlace path too
+                blobs.append(
+                    encode_gif_gray(
+                        np.frombuffer(raster, np.uint8).reshape(48, 64), interlace=bool(i & 1)
+                    )
+                )
         return pa.table({"media_id": t.column("doc_id"), "media": pa.array(blobs, pa.binary())})
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
@@ -4103,13 +4121,13 @@ def _synth_pgm(doc_id: int, text: str) -> bytes:
 def _synth_image_blob(doc_id: int, text: str) -> bytes:
     """Mixed-format image corpus: ~1/4 of documents arrive as REAL
     baseline JPEG (the from-scratch ``core.jpeg`` encoder over the same
-    raster), ~1/4 as REAL filtered PNG (``core.png``), the rest as PGM
-    — modeling a corpus of scans plus compressed uploads. The format is
-    keyed on the text content (not the doc_id) so duplicated texts
-    always land in the same format and still collapse to one
-    perceptual-hash cluster (PNG/PGM are lossless and would match
-    across formats anyway; JPEG is lossy and needs the same-format
-    guarantee)."""
+    raster), ~1/4 as REAL filtered PNG (``core.png``), ~1/4 as REAL
+    grayscale GIF (``core.gif`` LZW), the rest as PGM — modeling a
+    corpus of scans plus compressed uploads. The format is keyed on the
+    text content (not the doc_id) so duplicated texts always land in
+    the same format and still collapse to one perceptual-hash cluster
+    (PNG/GIF/PGM are lossless and would match across formats anyway;
+    JPEG is lossy and needs the same-format guarantee)."""
     raster = _synth_raster(doc_id, text)
     fmt = hashlib.md5(raster).digest()[0] & 3
     if fmt == 0:
@@ -4120,6 +4138,10 @@ def _synth_image_blob(doc_id: int, text: str) -> bytes:
         from bank_statement_pdf_parser_ray.core.png import encode_png_gray
 
         return encode_png_gray(np.frombuffer(raster, np.uint8).reshape(48, 64))
+    if fmt == 2:
+        from bank_statement_pdf_parser_ray.core.gif import encode_gif_gray
+
+        return encode_gif_gray(np.frombuffer(raster, np.uint8).reshape(48, 64))
     return b"P5 64 48 255\n" + raster
 
 

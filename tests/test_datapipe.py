@@ -225,11 +225,11 @@ class TestMediaPlumbing:
     def test_features_shape(self, planted_dir):
         out = dp.media_features(planted_dir).to_pandas().set_index("media_id").sort_index()
         assert len(out) == 5
-        # doc_id % 5 == 4 -> unknown-codec stand-in -> fake path (target
-        # dims); every other id carries a REAL format (PGM/BMP/JPEG/PNG)
-        # and reports the 48x64 source raster dims
+        # doc_id % 6 == 5 -> unknown-codec stand-in -> fake path (target
+        # dims); every other id carries a REAL format (PGM/BMP/JPEG/PNG/
+        # GIF) and reports the 48x64 source raster dims
         for i in out.index:
-            want = (32, 32) if (int(i) % 5) == 4 else (48, 64)
+            want = (32, 32) if (int(i) % 6) == 5 else (48, 64)
             assert (out.loc[i, "height"], out.loc[i, "width"]) == want, i
         assert out["feature"].map(len).eq(32).all()
 
@@ -1193,7 +1193,7 @@ class TestHardNegatives:
 
 class TestMediaMixedFormats:
     def test_media_features_exercises_every_decoder(self, tmp_path):
-        """media_features' corpus mixes PGM/BMP/JPEG/PNG/unknown by
+        """media_features' corpus mixes PGM/BMP/JPEG/PNG/GIF/unknown by
         doc_id: real decodes report the 48x64 SOURCE dims, the codec
         stand-in reports the 32x32 target dims (fake path)."""
         import pyarrow.parquet as pq
@@ -1214,9 +1214,9 @@ class TestMediaMixedFormats:
         out = media_features(str(tmp_path)).to_pandas().set_index("media_id").sort_index()
         assert len(out) == 20
         for i in range(20):
-            if i % 5 == 4:  # unknown format -> fake path -> target dims
+            if i % 6 == 5:  # unknown format -> fake path -> target dims
                 assert (out.loc[i, "height"], out.loc[i, "width"]) == (32, 32)
-            else:  # PGM / BMP / JPEG / PNG all really decode -> source dims
+            else:  # PGM/BMP/JPEG/PNG/GIF all really decode -> source dims
                 assert (out.loc[i, "height"], out.loc[i, "width"]) == (48, 64), i
         # lossless formats of the same raster must agree exactly on the
         # feature vector: PGM (id 0), BMP (id 1), PNG (id 3) rasters differ
