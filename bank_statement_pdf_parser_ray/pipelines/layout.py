@@ -234,3 +234,126 @@ def compact_files(sf_dir: str, target_rows_per_file: int = 65_536) -> pa.Table:
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed (SMB-style) co-partitioned layout + shuffle-free join
+# ---------------------------------------------------------------------------
+
+
+def bucketize_write(
+    src_path: str, out_dir: str, key: str, n_buckets: int, columns: list[str]
+) -> None:
+    """Rewrite a parquet table hash-bucketed on ``key``: Hive-partitioned
+    output ``out_dir/bucket=<b>/`` where b = splitmix64(key) % n_buckets.
+    This is the write-side half of the sort-merge-bucket (SMB) join
+    pattern (Hive/Spark bucketed tables, Iceberg bucket transforms):
+    pay ONE layout pass per table at ingest time, then every future join
+    on that key is shuffle-free — the "pick ONE partitioning key and
+    reuse it across stages" lever at its strongest, since the reuse
+    crosses JOBS, not just stages."""
+    from bank_statement_pdf_parser_ray.stages.agg import _splitmix64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (_splitmix64(k.astype(np.uint64)) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    ds = ray.data.read_parquet(src_path, columns=columns)
+    ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        out_dir, partition_cols=["bucket"]
+    )
+
+
+def bucketed_join_revenue(sf_dir: str, n_buckets: int = 16) -> "pa.Table":
+    """Shuffle-free big-big join over a pre-bucketed layout: orders and
+    lineitem are first rewritten bucketed on the SAME (hash, n_buckets)
+    of their orderkey (``bucketize_write``, cached across calls), then
+    the join runs as one Ray task per bucket — each task reads ONLY its
+    co-bucketed file sets from both sides, joins them in memory with the
+    Arrow hash join, and emits a pre-aggregated partial. No all-to-all
+    exchange happens at join time; the layout pass already paid it, once,
+    at write time.
+
+    Partitioning assumption (documented per SURVEY §2 custom-operator
+    rule): both sides MUST be bucketed with the identical hash function
+    and bucket count, and a bucket pair must fit one worker's heap
+    (at 100 TB: raise n_buckets until it does — the task count scales
+    with n_buckets, the per-task memory with 1/n_buckets). Contrast with
+    ``hash_join_revenue``, which pays the exchange per query: bucketing
+    wins whenever a table is joined on the same key more than ~once.
+    """
+    import hashlib as _hl
+
+    import pyarrow.dataset as pads
+
+    from ray.data.aggregate import Sum
+
+    src_o = os.path.abspath(f"{sf_dir}/orders.parquet")
+    src_l = os.path.abspath(f"{sf_dir}/lineitem.parquet")
+    st_o, st_l = os.stat(src_o), os.stat(src_l)
+    fp = _hl.md5(
+        f"{src_o}:{st_o.st_size}:{st_o.st_mtime_ns}:{src_l}:{st_l.st_size}:"
+        f"{st_l.st_mtime_ns}:{n_buckets}".encode()
+    ).hexdigest()[:12]
+    base = f"/tmp/bspp_smb_{fp}"
+    done = f"{base}/_layout_done"
+    if not os.path.exists(done):
+        shutil.rmtree(base, ignore_errors=True)
+        bucketize_write(src_o, f"{base}/orders", "o_orderkey", n_buckets,
+                        ["o_orderkey", "o_orderpriority"])
+        bucketize_write(src_l, f"{base}/lineitem", "l_orderkey", n_buckets,
+                        ["l_orderkey", "l_extendedprice", "l_discount"])
+        with open(done, "w") as f:
+            f.write("ok")
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        parts = []
+        for b in t.column("id").to_pylist():
+            od = f"{base}/orders/bucket={b}"
+            ld = f"{base}/lineitem/bucket={b}"
+            if not (os.path.isdir(od) and os.path.isdir(ld)):
+                continue  # empty bucket on either side: no matches
+            o = pads.dataset(od).to_table()
+            li = pads.dataset(ld).to_table()
+            j = li.join(o, keys=["l_orderkey"], right_keys=["o_orderkey"], join_type="inner")
+            rev = pc.multiply(
+                j.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), j.column("l_discount")),
+            )
+            g = pa.TableGroupBy(
+                pa.table({"o_orderpriority": j.column("o_orderpriority"), "rev": rev}),
+                ["o_orderpriority"],
+            ).aggregate([("rev", "sum"), ([], "count_all")])
+            parts.append(g.rename_columns(["o_orderpriority", "p_sum", "p_n"]))
+        if not parts:
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "p_sum": pa.array([], pa.float64()),
+                    "p_n": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(parts)
+
+    buckets = ray.data.range(n_buckets, override_num_blocks=n_buckets)
+    partials = buckets.map_batches(
+        join_bucket, batch_format="pyarrow", zero_copy_batch=True, batch_size=1
+    )
+    out = (
+        partials.groupby("o_orderpriority")
+        .aggregate(Sum("p_sum", alias_name="revenue"), Sum("p_n", alias_name="n_items"))
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return out
+
+
+BUCKETED_JOIN_REVENUE_SQL = """
+SELECT o_orderpriority, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""

@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio": dp.compression_ratio,
         "zorder_benefit": ly.zorder_benefit,
         "compact_files": ly.compact_files,
+        "bucketed_join_revenue": ly.bucketed_join_revenue,
         "quality_classifier": lambda sf: mlprep.quality_classifier(sf, epochs=10),
         "standardize_events": mlprep.standardize_events,
         "target_encode_events": mlprep.target_encode_events,
@@ -355,6 +356,7 @@ def oracle_sql() -> dict[str, str]:
     from bank_statement_pdf_parser_ray.pipelines import corpusops as co
     from bank_statement_pdf_parser_ray.pipelines import datapipe as dp
     from bank_statement_pdf_parser_ray.pipelines import graph as gr
+    from bank_statement_pdf_parser_ray.pipelines import layout as ly
     from bank_statement_pdf_parser_ray.pipelines import mlprep
     from bank_statement_pdf_parser_ray.pipelines import queries as q
     from bank_statement_pdf_parser_ray.pipelines import windows as w
@@ -452,6 +454,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionized": q.EVENTS_SESSIONIZED_SQL,
         "broadcast_join": q.BROADCAST_JOIN_SQL,
         "hash_join_revenue": q.HASH_JOIN_REVENUE_SQL,
+        "bucketed_join_revenue": ly.BUCKETED_JOIN_REVENUE_SQL,
         "q5_region_revenue": q.Q5_REGION_REVENUE_SQL,
         "skyline_orders": q.SKYLINE_ORDERS_SQL,
         "q3_shipping": q.Q3_SHIPPING_SQL,

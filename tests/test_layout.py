@@ -86,3 +86,88 @@ class TestCompactFiles:
         assert out.loc["fragmented", "n_files"] > out.loc["compacted", "n_files"]
         assert out.loc["compacted", "n_files"] <= 3
         assert out.loc["compacted", "rows_per_file"] >= 500
+
+
+class TestBucketedJoin:
+    def _fixture(self, tmp_path, n_orders=200, items_per=3):
+        rng = np.random.default_rng(13)
+        ok = np.arange(n_orders, dtype=np.int64)
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array(ok, pa.int64()),
+                    "o_orderpriority": pa.array(
+                        [f"{i % 5 + 1}-PRIO" for i in ok], pa.string()
+                    ),
+                }
+            ),
+            str(tmp_path / "orders.parquet"),
+        )
+        lk = np.repeat(ok, items_per)
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array(lk, pa.int64()),
+                    "l_extendedprice": pa.array(rng.uniform(10, 1000, len(lk))),
+                    "l_discount": pa.array(rng.uniform(0, 0.1, len(lk))),
+                }
+            ),
+            str(tmp_path / "lineitem.parquet"),
+        )
+
+    def test_matches_plain_join(self, tmp_path):
+        import duckdb
+
+        from bank_statement_pdf_parser_ray.pipelines.layout import (
+            BUCKETED_JOIN_REVENUE_SQL,
+            bucketed_join_revenue,
+        )
+
+        self._fixture(tmp_path)
+        got = bucketed_join_revenue(str(tmp_path), n_buckets=7)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet'")
+        con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{tmp_path}/lineitem.parquet'")
+        want = (
+            con.execute(BUCKETED_JOIN_REVENUE_SQL)
+            .df()
+            .sort_values("o_orderpriority")
+            .reset_index(drop=True)
+        )
+        want["revenue"] = want["revenue"].round(2)
+        assert got["o_orderpriority"].tolist() == want["o_orderpriority"].tolist()
+        assert got["n_items"].tolist() == want["n_items"].tolist()
+        assert np.allclose(got["revenue"], want["revenue"], atol=0.02)
+
+    def test_layout_copartitioned_and_cached(self, tmp_path):
+        import glob
+        import os
+
+        import pyarrow.dataset as pads
+
+        from bank_statement_pdf_parser_ray.pipelines.layout import bucketed_join_revenue
+
+        self._fixture(tmp_path, n_orders=60)
+        bucketed_join_revenue(str(tmp_path), n_buckets=5)
+        bases = glob.glob("/tmp/bspp_smb_*")
+        base = max(bases, key=os.path.getmtime)
+        # every orderkey lives in exactly ONE bucket, the SAME on both sides
+        seen: dict[int, int] = {}
+        for b in range(5):
+            od = f"{base}/orders/bucket={b}"
+            if not os.path.isdir(od):
+                continue
+            for k in pads.dataset(od).to_table().column("o_orderkey").to_pylist():
+                assert k not in seen
+                seen[k] = b
+        assert len(seen) == 60
+        for b in range(5):
+            ld = f"{base}/lineitem/bucket={b}"
+            if not os.path.isdir(ld):
+                continue
+            for k in set(pads.dataset(ld).to_table().column("l_orderkey").to_pylist()):
+                assert seen[k] == b  # co-partitioned: join needs no shuffle
+        # second call must REUSE the layout, not rewrite it
+        marker = os.path.getmtime(f"{base}/_layout_done")
+        bucketed_join_revenue(str(tmp_path), n_buckets=5)
+        assert os.path.getmtime(f"{base}/_layout_done") == marker
