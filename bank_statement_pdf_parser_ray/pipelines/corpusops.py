@@ -562,9 +562,13 @@ FROM r GROUP BY word
 CHAR_WIN = 40  # fixed-width non-overlapping character windows
 
 
-def _char_windows(t: pa.Table) -> tuple[np.ndarray, pa.Array]:
+def _char_windows(
+    t: pa.Table, with_slots: bool = False
+) -> tuple[np.ndarray, pa.Array] | tuple[np.ndarray, np.ndarray, pa.Array]:
     """(batch-local doc row index, window string) for every FULL
-    ``CHAR_WIN``-codepoint non-overlapping window of each non-null doc.
+    ``CHAR_WIN``-codepoint non-overlapping window of each non-null doc;
+    with ``with_slots=True`` additionally the per-doc slot number
+    (window position, 0-based), needed by reconstruction passes.
 
     Vectorized across docs: one ``pc.utf8_slice_codeunits`` per window
     SLOT (max_doc_len / CHAR_WIN iterations, each over the whole
@@ -574,8 +578,9 @@ def _char_windows(t: pa.Table) -> tuple[np.ndarray, pa.Array]:
     n = pc.fill_null(pc.utf8_length(text), 0).to_numpy(zero_copy_only=False).astype(np.int64)
     max_n = int(n.max()) if len(n) else 0
     idx_out: list[np.ndarray] = []
+    slot_out: list[np.ndarray] = []
     win_out: list[pa.Array] = []
-    for start in range(0, max(max_n - CHAR_WIN + 1, 0), CHAR_WIN):
+    for slot, start in enumerate(range(0, max(max_n - CHAR_WIN + 1, 0), CHAR_WIN)):
         has = np.flatnonzero(n >= start + CHAR_WIN)
         if len(has) == 0:
             break
@@ -583,9 +588,14 @@ def _char_windows(t: pa.Table) -> tuple[np.ndarray, pa.Array]:
             text.take(pa.array(has, pa.int64())), start=start, stop=start + CHAR_WIN
         )
         idx_out.append(has)
+        if with_slots:
+            slot_out.append(np.full(len(has), slot, dtype=np.int64))
         win_out.append(sub.combine_chunks() if isinstance(sub, pa.ChunkedArray) else sub)
     if not idx_out:
-        return np.array([], dtype=np.int64), pa.array([], pa.string())
+        empty = (np.array([], dtype=np.int64), pa.array([], pa.string()))
+        return (empty[0], np.array([], dtype=np.int64), empty[1]) if with_slots else empty
+    if with_slots:
+        return np.concatenate(idx_out), np.concatenate(slot_out), pa.concat_arrays(win_out)
     return np.concatenate(idx_out), pa.concat_arrays(win_out)
 
 
@@ -682,6 +692,114 @@ SELECT doc_id,
        CAST(count(*) AS BIGINT) AS total_windows,
        CAST(count(*) FILTER (WHERE win IN (SELECT win FROM dup)) AS BIGINT) AS dup_windows
 FROM w GROUP BY doc_id
+"""
+
+
+def exact_substr_dedup(sf_dir: str, min_docs: int = 2) -> "ray.data.Dataset":
+    """The REMOVAL pass of character-level exact substring dedup (Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): every full ``CHAR_WIN``-codepoint non-overlapping window
+    that occurs in >= ``min_docs`` distinct documents is cut out of the
+    text; surviving windows plus the (< CHAR_WIN) tail are re-joined in
+    order. Complements ``dup_char_windows`` (the measurement pass).
+
+    100 TB shape: pass 1 is the shared ``_dup_window_set`` broadcast
+    (pre-combined O(distinct windows x blocks) exchange, hot set
+    bounded by total_windows / min_docs); pass 2 never shuffles — each
+    document is rebuilt inside its own batch with one lexsort + one
+    ``pc.binary_join`` per batch, no per-row Python loop. The tail
+    slice start varies per row, so rows are grouped by tail start and
+    sliced one group per kernel call (<= max_doc_len / CHAR_WIN groups,
+    same bound as the window loop)."""
+    hot = _dup_window_set(sf_dir, min_docs)
+    bcast = ray.put(hot)
+
+    def clean(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("text")))  # oracle: WHERE text IS NOT NULL
+        n_rows = t.num_rows
+        if n_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "clean_text": pa.array([], pa.string()),
+                    "removed_chars": pa.array([], pa.int64()),
+                }
+            )
+        text = t.column("text").combine_chunks()
+        n = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        i, slots, wins = _char_windows(t, with_slots=True)
+        if len(i) == 0:
+            body = pa.array([""] * n_rows, pa.string())
+        else:
+            hot_set: pa.Array = ray.get(bcast)
+            if len(hot_set):
+                dup = pc.is_in(wins, value_set=hot_set).to_numpy(zero_copy_only=False)
+            else:
+                dup = np.zeros(len(i), dtype=bool)
+            order = np.lexsort((slots, i))  # doc-major, slot order within doc
+            keep_ord = ~dup[order]
+            kept_src = order[keep_ord]  # indices into wins, in output order
+            kept_wins = wins.take(pa.array(kept_src, pa.int64()))
+            counts = np.bincount(i[order][keep_ord], minlength=n_rows)
+            offsets = np.zeros(n_rows + 1, dtype=np.int32)
+            np.cumsum(counts, out=offsets[1:])
+            body = pc.binary_join(
+                pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept_wins),
+                pa.scalar(""),
+            )
+        # tail: chars past the last FULL window — grouped by tail start
+        tail_start = (n // CHAR_WIN) * CHAR_WIN
+        part_rows: list[np.ndarray] = []
+        part_arrs: list[pa.Array] = []
+        for ts in np.unique(tail_start):
+            rows = np.flatnonzero(tail_start == ts)
+            sl = pc.utf8_slice_codeunits(
+                text.take(pa.array(rows, pa.int64())), start=int(ts), stop=None
+            )
+            part_rows.append(rows)
+            part_arrs.append(sl.combine_chunks() if isinstance(sl, pa.ChunkedArray) else sl)
+        all_rows = np.concatenate(part_rows)
+        inv = np.empty(n_rows, dtype=np.int64)
+        inv[all_rows] = np.arange(n_rows)
+        tail = pa.concat_arrays(part_arrs).take(pa.array(inv, pa.int64()))
+        clean_text = pc.binary_join_element_wise(body, tail, "")
+        removed = pc.subtract(
+            pa.array(n, pa.int64()), pc.utf8_length(clean_text).cast(pa.int64())
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "clean_text": clean_text,
+                "removed_chars": removed,
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        clean, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+EXACT_SUBSTR_DEDUP_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+), w AS (
+  SELECT doc_id, i, substr(text, CAST(i AS BIGINT), 40) AS win
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 39, 0) + 1, 40)) AS i
+        FROM base)
+), dup AS (
+  SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2
+), body AS (
+  SELECT doc_id, string_agg(win, '' ORDER BY i) AS body
+  FROM w WHERE win NOT IN (SELECT win FROM dup)
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(bo.body, '') || substr(b.text, (length(b.text) // 40) * 40 + 1) AS clean_text,
+       CAST(length(b.text)
+            - length(coalesce(bo.body, '') || substr(b.text, (length(b.text) // 40) * 40 + 1))
+            AS BIGINT) AS removed_chars
+FROM base b LEFT JOIN body bo USING (doc_id)
 """
 
 

@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links": co.extract_links,
         "host_stats": co.host_stats,
         "dup_char_windows": co.dup_char_windows,
+        "exact_substr_dedup": co.exact_substr_dedup,
         "fuzzy_pairs": co.fuzzy_pairs,
         "fuzzy_clusters": dp.fuzzy_clusters,
         "bpe_train": lambda sf: bpe.bpe_train(sf, n_merges=12),
@@ -433,6 +434,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": dp.WEIGHTED_SAMPLE_SQL,
         "passage_dedup": co.PASSAGE_DEDUP_SQL,
         "dup_char_windows": co.DUP_CHAR_WINDOWS_SQL,
+        "exact_substr_dedup": co.EXACT_SUBSTR_DEDUP_SQL,
         "fuzzy_pairs": co.FUZZY_PAIRS_SQL,
         "fuzzy_clusters": dp.FUZZY_CLUSTERS_SQL,
         "hybrid_search": co.HYBRID_SEARCH_SQL,

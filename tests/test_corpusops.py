@@ -174,6 +174,36 @@ class TestDupCharWindows:
         assert out["total_windows"].tolist() == [1]
 
 
+class TestExactSubstrDedup:
+    def test_shared_prefix_removed_tails_survive(self, tmp_path):
+        shared = "S" * 35 + "TAIL!" + "0123456789" * 4  # 80 chars = 2 full windows
+        t0 = " unique tail for doc zero padded out to more"  # 44 chars: 1 window + 4-char tail
+        t1 = " another unique ending for document no 1"  # 40 chars: exactly 1 window
+        d = _write_docs(tmp_path, [shared + t0, shared + t1, "tiny"])
+        out = co.exact_substr_dedup(d).to_pandas().set_index("doc_id").sort_index()
+        assert out.loc[0, "clean_text"] == t0
+        assert out.loc[1, "clean_text"] == t1
+        assert out.loc[0, "removed_chars"] == 80
+        assert out.loc[1, "removed_chars"] == 80
+        # sub-window doc passes through untouched (its text is all tail)
+        assert out.loc[2, "clean_text"] == "tiny"
+        assert out.loc[2, "removed_chars"] == 0
+
+    def test_within_doc_repeat_survives(self, tmp_path):
+        win = "R" * 40
+        d = _write_docs(tmp_path, [win + win, "completely unrelated text that is long enough to window"])
+        out = co.exact_substr_dedup(d).to_pandas().set_index("doc_id")
+        # repeated window occurs in ONE distinct doc only -> kept
+        assert out.loc[0, "clean_text"] == win + win
+
+    def test_null_text_excluded(self, tmp_path):
+        d = _write_docs(tmp_path, [None, "x" * 45])
+        out = co.exact_substr_dedup(d).to_pandas()
+        assert out["doc_id"].tolist() == [1]
+        assert out["clean_text"].tolist() == ["x" * 45]
+        assert out["removed_chars"].tolist() == [0]
+
+
 class TestShuffleRank:
     def test_permutation_and_determinism(self, tmp_path):
         d = _write_docs(tmp_path, [f"doc number {i}" for i in range(97)])
