@@ -896,6 +896,133 @@ FROM documents
 """
 
 
+EPOCH_PLAN_EPOCHS = 2
+EPOCH_PLAN_BATCH = 64
+
+
+def epoch_plan(
+    sf_dir: str,
+    epochs: int = EPOCH_PLAN_EPOCHS,
+    batch_size: int = EPOCH_PLAN_BATCH,
+    seed: int = 42,
+) -> "ray.data.Dataset":
+    """Multi-epoch dataloader plan: for every epoch, a fresh
+    deterministic global shuffle (md5 of ``doc_id:seed:epoch``) is
+    ranked and chopped into fixed-size training batches — each doc gets
+    its (epoch, step, pos) slot, the "shuffle once per epoch, stream
+    forever" schedule a pretraining loader replays without any engine-
+    private randomness (reproducible across engines AND restarts, so a
+    resumed job continues at the exact same example order).
+
+    Scale shape: the ``shuffle_rank`` two-pass range-partition engine
+    generalized per epoch — pass 1 reduces to a <= 256 x epochs bucket
+    histogram (driver computes per-epoch exclusive prefix offsets,
+    broadcast once); pass 2 is ONE hash shuffle of (doc_id, key) rows
+    fanned out x epochs, each (epoch, bucket) group sorting locally and
+    adding its offset. Exchange volume is epochs x 16 B/row; no driver
+    materialization of data rows."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def _keys(ids: list[int], ep: int) -> list[str]:
+        return [hashlib.md5(f"{i}:{seed}:{ep}".encode()).hexdigest() for i in ids]
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        eps, bks, cts = [], [], []
+        for ep in range(epochs):
+            b = np.array([int(k[:2], 16) for k in _keys(ids, ep)], dtype=np.int64)
+            ub, cnt = np.unique(b, return_counts=True)
+            eps.append(np.full(len(ub), ep, dtype=np.int64))
+            bks.append(ub)
+            cts.append(cnt)
+        return pa.table(
+            {
+                "epoch": pa.array(np.concatenate(eps), pa.int64()),
+                "bucket": pa.array(np.concatenate(bks), pa.int64()),
+                "p_n": pa.array(np.concatenate(cts), pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(bucket_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["epoch", "bucket"])
+        .aggregate(Sum("p_n", alias_name="n"))
+        .to_pandas()  # O(256 x epochs) rows — the histogram, not the data
+        .sort_values(["epoch", "bucket"])
+    )
+    off: dict[tuple[int, int], int] = {}
+    for ep, grp in hist.groupby("epoch"):
+        c = grp["n"].to_numpy()
+        for bk, o in zip(grp["bucket"], np.cumsum(c) - c):
+            off[(int(ep), int(bk))] = int(o)
+    off_ref = ray.put(off)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        id64 = t.column("doc_id").cast(pa.int64())
+        parts = []
+        for ep in range(epochs):
+            keys = _keys(ids, ep)
+            b = np.array([int(k[:2], 16) for k in keys], dtype=np.int64)
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": id64,
+                        "skey": pa.array(keys, pa.string()),
+                        "epoch": pa.array(np.full(len(ids), ep, dtype=np.int64), pa.int64()),
+                        "gkey": pa.array(ep * 256 + b, pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        offsets = ray.get(off_ref)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        keys = np.asarray(g.column("skey").to_pylist())
+        order = np.lexsort((ids, keys))  # key asc, doc_id tiebreak
+        gkey = int(g.column("gkey")[0].as_py())
+        ep, bk = divmod(gkey, 256)
+        base = offsets[(ep, bk)]
+        rk = np.empty(len(ids), dtype=np.int64)
+        rk[order] = base + np.arange(len(ids))
+        return pa.table(
+            {
+                "epoch": pa.array(np.full(len(ids), ep, dtype=np.int64), pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "step": pa.array(rk // batch_size, pa.int64()),
+                "pos": pa.array(rk % batch_size, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gkey")
+        .map_groups(rank_bucket, batch_format="pyarrow")
+    )
+
+
+EPOCH_PLAN_SQL = r"""
+WITH e AS (SELECT CAST(unnest(range(0, 2)) AS BIGINT) AS epoch), r AS (
+  SELECT e.epoch, d.doc_id,
+         row_number() OVER (
+           PARTITION BY e.epoch
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR) || ':42:' || CAST(e.epoch AS VARCHAR)),
+                    d.doc_id
+         ) - 1 AS rk
+  FROM documents d CROSS JOIN e
+)
+SELECT epoch, doc_id,
+       CAST(rk // 64 AS BIGINT) AS step,
+       CAST(rk % 64 AS BIGINT) AS pos
+FROM r
+"""
+
+
 # --- blocked edit-distance pairs (record-linkage fuzzy dedup) ----------------
 
 FUZZY_PREFIX = 24  # compared prefix (codepoints)

@@ -308,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_welch_ttest": mlprep.ab_welch_ttest,
         "dsir_resample": lambda sf: mlprep.dsir_resample(sf, m=100),
         "shuffle_rank": co.shuffle_rank,
+        "epoch_plan": co.epoch_plan,
         "gopher_quality": co.gopher_quality,
         "c4_filters": co.c4_filters,
         "bm25_search": co.bm25_search,
@@ -441,6 +442,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_documents": q.SAMPLE_DOCUMENTS_SQL,
         "leakage_safe_split": dp.LEAKAGE_SAFE_SPLIT_SQL,
         "shuffle_rank": co.SHUFFLE_RANK_SQL,
+        "epoch_plan": co.EPOCH_PLAN_SQL,
         "gopher_quality": co.GOPHER_QUALITY_SQL,
         "c4_filters": co.C4_FILTERS_SQL,
         "bm25_search": co.BM25_SEARCH_SQL,

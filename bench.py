@@ -306,6 +306,8 @@ def run_bench() -> dict:
         "audio_features",
         "video_frames",
         "dup_char_windows",
+        "exact_substr_dedup",
+        "epoch_plan",
         "shuffle_rank",
         "event_transitions",
         "cohort_retention",
@@ -328,6 +330,11 @@ def run_bench() -> dict:
         "compact_files",
         "leakage_safe_split",
         "hybrid_search",
+        "ngram_jaccard_pairs",
+        "semantic_decontaminate",
+        "hard_negatives",
+        "warc_ingest",
+        "bucketed_join_revenue",
     ]
     qtimes = {}
     for name in bench_queries:

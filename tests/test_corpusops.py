@@ -204,6 +204,32 @@ class TestExactSubstrDedup:
         assert out["removed_chars"].tolist() == [0]
 
 
+class TestEpochPlan:
+    def test_slots_and_epoch_independence(self, tmp_path):
+        d = _write_docs(tmp_path, [f"doc number {i}" for i in range(97)])
+        out = co.epoch_plan(d, epochs=2, batch_size=10).to_pandas()
+        assert len(out) == 2 * 97
+        for ep, grp in out.groupby("epoch"):
+            # every doc exactly once per epoch
+            assert sorted(grp["doc_id"]) == list(range(97))
+            # slots are a bijection onto rank 0..96
+            rk = (grp["step"] * 10 + grp["pos"]).sort_values().tolist()
+            assert rk == list(range(97))
+            # full batches of 10, ragged tail of 7
+            sizes = grp.groupby("step").size()
+            assert sizes.iloc[:-1].eq(10).all() and sizes.iloc[-1] == 7
+        # the two epochs are DIFFERENT permutations (fresh shuffle per epoch)
+        p0 = out[out.epoch == 0].sort_values("doc_id")[["step", "pos"]].values.tolist()
+        p1 = out[out.epoch == 1].sort_values("doc_id")[["step", "pos"]].values.tolist()
+        assert p0 != p1
+
+    def test_deterministic_across_runs(self, tmp_path):
+        d = _write_docs(tmp_path, [f"doc {i}" for i in range(31)])
+        a = co.epoch_plan(d, epochs=2, batch_size=8).to_pandas().sort_values(["epoch", "doc_id"])
+        b = co.epoch_plan(d, epochs=2, batch_size=8).to_pandas().sort_values(["epoch", "doc_id"])
+        assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
 class TestShuffleRank:
     def test_permutation_and_determinism(self, tmp_path):
         d = _write_docs(tmp_path, [f"doc number {i}" for i in range(97)])
