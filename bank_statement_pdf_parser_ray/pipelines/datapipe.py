@@ -2680,18 +2680,22 @@ class AudioDecodeActor:
         )
 
 
-def _synth_wav(doc_id: int, sr: int = 8000, dur_s: float = 0.25) -> bytes:
-    """Deterministic PCM16 WAV: a sine whose frequency derives from the
-    id — real audio bytes, so the decode path is exercised for real."""
+def _pack_wav(x: "np.ndarray", sr: int) -> bytes:
+    """int16 sample array -> RIFF/WAVE PCM16 mono bytes."""
     import struct
 
-    f = 100.0 + (doc_id % 50) * 17.0
-    t = np.arange(int(sr * dur_s), dtype=np.float64) / sr
-    x = (0.5 * np.sin(2 * np.pi * f * t) * 32767).astype("<i2")
-    data = x.tobytes()
+    data = x.astype("<i2").tobytes()
     hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
     fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
     return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def _synth_wav(doc_id: int, sr: int = 8000, dur_s: float = 0.25) -> bytes:
+    """Deterministic PCM16 WAV: a sine whose frequency derives from the
+    id — real audio bytes, so the decode path is exercised for real."""
+    f = 100.0 + (doc_id % 50) * 17.0
+    t = np.arange(int(sr * dur_s), dtype=np.float64) / sr
+    return _pack_wav(0.5 * np.sin(2 * np.pi * f * t) * 32767, sr)
 
 
 def audio_features(sf_dir: str) -> "ray.data.Dataset":
@@ -2719,6 +2723,111 @@ def audio_features(sf_dir: str) -> "ray.data.Dataset":
         batch_size=64,
         concurrency=_pool(_pq_rows(f"{sf_dir}/documents.parquet"), rows_per_actor=512),
     )
+
+
+_AFP_FRAMES = 64
+
+
+def _nd_mix(base: int, k: int) -> int:
+    """Deterministic 64-bit mix for the planted-near-dup synths (reuses
+    the shared splitmix64 avalanche so distinct (base, k) pairs get
+    effectively independent patterns — the earlier small-period walks
+    collided heavily at 500 docs)."""
+    from bank_statement_pdf_parser_ray.stages.agg import _splitmix64
+
+    h = _splitmix64(_splitmix64(np.array([base], dtype=np.uint64)) ^ np.uint64(k + 1))
+    return int(h[0])
+
+
+def _synth_wav_nd(doc_id: int, sr: int = 8000, dur_s: float = 0.25) -> bytes:
+    """Planted-near-dup WAV corpus: ids with ``doc_id % 4 == 1`` carry
+    the SAME amplitude-envelope shape as ``doc_id - 1`` but at half the
+    volume (a re-encoded / re-levelled copy — the classic audio dup).
+    The envelope is piecewise-constant per fingerprint frame, levels
+    hash-picked from four well-separated values with adjacent frames
+    forced distinct — so every frame-to-frame RMS delta dwarfs int16
+    quantization noise and the sign fingerprint is exactly
+    volume-invariant (no knife-edge ties)."""
+    base = doc_id - 1 if doc_id % 4 == 1 else doc_id
+    amp = 0.3 if doc_id % 4 == 1 else 0.6
+    f = 100.0 + (base % 50) * 17.0
+    n = int(sr * dur_s)
+    frame = n // _AFP_FRAMES
+    lv = np.array([0.25, 0.45, 0.65, 0.85])
+    idxs = np.empty(_AFP_FRAMES, dtype=np.int64)
+    prev = -1
+    for i in range(_AFP_FRAMES):
+        h = _nd_mix(base, i)
+        c = h % 4
+        if c == prev:
+            c = (c + 1 + (h >> 2) % 3) % 4  # any of the other three
+        idxs[i] = c
+        prev = c
+    env = np.repeat(lv[idxs], frame)
+    env = np.pad(env, (0, n - len(env)), mode="edge")
+    t = np.arange(n, dtype=np.float64) / sr
+    return _pack_wav(amp * env * np.sin(2 * np.pi * f * t) * 32767, sr)
+
+
+class _AudioFpActor:
+    """Energy-envelope fingerprint for opaque AUDIO blobs: decode
+    (real RIFF/PCM16 path), split into ``_AFP_FRAMES`` equal frames,
+    take per-frame RMS, and hash the SIGN of the envelope derivative
+    (bit i set iff rms[i+1] > rms[i]) — invariant to uniform volume
+    scaling by construction, the audio analogue of the image aHash's
+    brightness invariance. Undecodable blobs emit no fingerprint row
+    (they can never be dups)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, fps = [], []
+        for mid, blob in zip(t.column("media_id").to_pylist(), t.column("media").to_pylist()):
+            dec = AudioDecodeActor._decode_wav(blob or b"")
+            if dec is None or len(dec[0]) < _AFP_FRAMES:
+                continue
+            mono = dec[0]
+            n = (len(mono) // _AFP_FRAMES) * _AFP_FRAMES
+            rms = np.sqrt((mono[:n].reshape(_AFP_FRAMES, -1) ** 2).mean(axis=1))
+            bits = np.zeros(64, dtype=bool)
+            bits[: _AFP_FRAMES - 1] = rms[1:] > rms[:-1]
+            ids.append(mid)
+            fps.append(int(np.packbits(bits).view(">i8")[0]))
+        return pa.table(
+            {"media_id": pa.array(ids, pa.int64()), "afp": pa.array(fps, pa.int64())}
+        )
+
+
+def audio_neardup(sf_dir: str) -> "ray.data.Dataset":
+    """Perceptual AUDIO dedup: decode each blob once in an actor pool,
+    reduce it to a 64-bit volume-invariant energy-envelope fingerprint,
+    then exact-dedup in fingerprint space — re-levelled copies collapse
+    to the same 8-byte key, the exchange moves 16 B/row, and the
+    cluster reduce is the shared ``_fp_cluster_fn`` kernel (same shape
+    as ``image_neardup``; no sample ever crosses the exchange). Output:
+    one row per audio blob with its cluster representative (min
+    media_id) and cluster size. Rows-only (no SQL audio decode);
+    pytest pins planted same-envelope/different-volume pairs."""
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "media_id": t.column("doc_id").cast(pa.int64()),
+                "media": pa.array([_synth_wav_nd(int(i)) for i in ids], pa.binary()),
+            }
+        )
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+    hashed = ds.map_batches(
+        _AudioFpActor,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=64,
+        concurrency=_pool(_pq_rows(f"{sf_dir}/documents.parquet"), rows_per_actor=512),
+    )
+
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
+    return shard_map_groups(hashed, ["afp"], _fp_cluster_fn("afp"))
 
 
 class VideoFrameSampleActor:
@@ -2781,9 +2890,10 @@ class VideoFrameSampleActor:
         frame_bytes = int(w * h * (1.0 + cls._CHROMA[cspace]))
         return w, h, fps, frame_bytes, nl + 1
 
-    def _sample(self, blob: bytes) -> "tuple[list[tuple[int, float]], int, int, int, float] | None":
-        """-> ([(frame_idx, mean_luma)...], n_frames, w, h, fps)."""
-        hdr = self._parse_header(blob)
+    @classmethod
+    def _layout(cls, blob: bytes) -> "tuple[int, int, float, int, list[int]] | None":
+        """-> (w, h, fps, frame_bytes, frame plane offsets) or None."""
+        hdr = cls._parse_header(blob)
         if hdr is None:
             return None
         w, h, fps, fbytes, pos = hdr
@@ -2806,9 +2916,15 @@ class VideoFrameSampleActor:
                     break
                 offsets.append(nl + 1)
                 p = nl + 1 + fbytes
-            n_frames = len(offsets)
-        if n_frames == 0:
+        return (w, h, fps, fbytes, offsets) if offsets else None
+
+    def _sample(self, blob: bytes) -> "tuple[list[tuple[int, float]], int, int, int, float] | None":
+        """-> ([(frame_idx, mean_luma)...], n_frames, w, h, fps)."""
+        lay = self._layout(blob)
+        if lay is None:
             return None
+        w, h, fps, fbytes, offsets = lay
+        n_frames = len(offsets)
         k = min(self.n_sample, n_frames)
         idxs = sorted({(i * n_frames) // k for i in range(k)})  # uniform stride
         out = []
@@ -2884,6 +3000,117 @@ def video_frames(sf_dir: str, n_sample: int = 4) -> "ray.data.Dataset":
         batch_size=32,
         concurrency=_pool(_pq_rows(f"{sf_dir}/documents.parquet"), rows_per_actor=512),
     )
+
+
+def _synth_y4m_nd(doc_id: int, w: int = 16, h: int = 12) -> bytes:
+    """Planted-near-dup Y4M corpus: ids with ``doc_id % 4 == 1`` carry
+    the SAME spatio-temporal luma pattern (and frame count) as
+    ``doc_id - 1`` but pushed through an affine brightness transform
+    (gain 0.5, bias +40 — a re-graded / re-encoded copy, the classic
+    video dup). Each frame places four well-separated luma levels on
+    the quadrants (a hash-picked permutation per (base, frame) — full
+    diversity across bases, unlike a small-period walk) plus a sinusoid
+    ripple, all inside [28, 228] so the affine copy never clips —
+    quadrant-mean separation (≥50 raw, ≥25 after gain 0.5) dwarfs
+    uint8 rounding, making the quadrant-sign fingerprint exactly
+    invariant."""
+    base = doc_id - 1 if doc_id % 4 == 1 else doc_id
+    gain, bias = (0.5, 40.0) if doc_id % 4 == 1 else (1.0, 0.0)
+    n_frames = 8 + base % 9
+    gx = np.linspace(0.0, 1.0, w)[None, :]
+    gy = np.linspace(0.0, 1.0, h)[:, None]
+    fx, fy = 1 + base % 7, 1 + (base // 7) % 5
+    px, py = (base % 11) / 11.0, ((base // 11) % 13) / 13.0
+    ripple = 8.0 * np.sin(2 * np.pi * (fx * gx + px)) * np.cos(2 * np.pi * (fy * gy + py))
+    levels = np.array([60.0, 110.0, 160.0, 210.0])
+    parts = [b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 Cmono\n" % (w, h)]
+    for k in range(n_frames):
+        hk = _nd_mix(base, k)
+        perm = np.argsort([(hk >> (16 * j)) & 0xFFFF for j in range(4)], kind="stable")
+        plane = np.empty((h, w), dtype=np.float64)
+        plane[: h // 2, : w // 2] = levels[perm[0]]
+        plane[: h // 2, w // 2 :] = levels[perm[1]]
+        plane[h // 2 :, : w // 2] = levels[perm[2]]
+        plane[h // 2 :, w // 2 :] = levels[perm[3]]
+        parts.append(b"FRAME\n")
+        parts.append(np.clip(gain * (plane + ripple) + bias, 0, 255).astype(np.uint8).tobytes())
+    return b"".join(parts)
+
+
+class _VideoFpActor:
+    """Spatio-temporal fingerprint for opaque VIDEO blobs: parse the
+    Y4M layout once (``VideoFrameSampleActor._layout``), uniformly
+    stride-sample up to 16 frames, and per frame hash the SIGN of each
+    luma quadrant against the frame mean (4 bits/frame × 16 slots =
+    one 64-bit key). Signs survive any positive-gain affine brightness
+    transform — the video analogue of the image aHash's brightness
+    invariance and the audio envelope fingerprint's volume invariance.
+    Unparseable blobs emit no fingerprint row."""
+
+    _SLOTS = 16
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, fps = [], []
+        for mid, blob in zip(t.column("media_id").to_pylist(), t.column("media").to_pylist()):
+            lay = VideoFrameSampleActor._layout(blob or b"")
+            if lay is None:
+                continue
+            w, h, _fps, _fbytes, offsets = lay
+            n = len(offsets)
+            k = min(self._SLOTS, n)
+            idxs = sorted({(i * n) // k for i in range(k)})  # uniform stride
+            bits = np.zeros(64, dtype=bool)
+            buf = np.frombuffer(blob, dtype=np.uint8)
+            for slot, fi in enumerate(idxs):
+                y = buf[offsets[fi] : offsets[fi] + w * h].astype(np.float64).reshape(h, w)
+                q = np.array(
+                    [
+                        y[: h // 2, : w // 2].mean(),
+                        y[: h // 2, w // 2 :].mean(),
+                        y[h // 2 :, : w // 2].mean(),
+                        y[h // 2 :, w // 2 :].mean(),
+                    ]
+                )
+                bits[4 * slot : 4 * slot + 4] = q > y.mean()
+            ids.append(mid)
+            fps.append(int(np.packbits(bits).view(">i8")[0]))
+        return pa.table(
+            {"media_id": pa.array(ids, pa.int64()), "vfp": pa.array(fps, pa.int64())}
+        )
+
+
+def video_neardup(sf_dir: str) -> "ray.data.Dataset":
+    """Perceptual VIDEO dedup: parse each clip's frame layout once in
+    an actor pool, reduce it to a 64-bit brightness-invariant quadrant-
+    sign fingerprint (16 stride-sampled frames × 4 spatial quadrants),
+    then exact-dedup in fingerprint space — re-graded copies collapse
+    to the same 8-byte key, the exchange moves 16 B/row, and the
+    cluster reduce is the shared ``_fp_cluster_fn`` kernel (same shape
+    as ``image_neardup``/``audio_neardup``; no frame ever crosses the
+    exchange). Rows-only (no SQL video decode); pytest pins planted
+    same-pattern/regraded pairs."""
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "media_id": t.column("doc_id").cast(pa.int64()),
+                "media": pa.array([_synth_y4m_nd(int(i)) for i in ids], pa.binary()),
+            }
+        )
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+    hashed = ds.map_batches(
+        _VideoFpActor,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=64,
+        concurrency=_pool(_pq_rows(f"{sf_dir}/documents.parquet"), rows_per_actor=512),
+    )
+
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
+    return shard_map_groups(hashed, ["vfp"], _fp_cluster_fn("vfp"))
 
 
 # ---------------------------------------------------------------------------
@@ -4173,6 +4400,46 @@ class _AhashActor(MediaDecodeActor):
         )
 
 
+def _fp_cluster_fn(fp_col: str):
+    """Whole-shard cluster kernel shared by the perceptual media dedup
+    ops (image/audio/video): fingerprint runs give rep (first id) and
+    size; output is total (singletons keep cluster_size=1) so dedup is
+    the caller's filter ``cluster_rep != media_id`` and a clean corpus
+    never collapses to a schemaless empty dataset."""
+
+    def cluster(g: pa.Table) -> pa.Table:
+        g = g.take(
+            pc.sort_indices(g, sort_keys=[(fp_col, "ascending"), ("media_id", "ascending")])
+        )
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "media_id": pa.array([], pa.int64()),
+                    fp_col: pa.array([], pa.int64()),
+                    "cluster_rep": pa.array([], pa.int64()),
+                    "cluster_size": pa.array([], pa.int64()),
+                }
+            )
+        ah = g.column(fp_col).to_numpy(zero_copy_only=False)
+        first = np.ones(n, dtype=bool)
+        first[1:] = ah[1:] != ah[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], n)
+        run_of = np.cumsum(first) - 1
+        ids = g.column("media_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                fp_col: g.column(fp_col),
+                "cluster_rep": pa.array(ids[starts][run_of], pa.int64()),
+                "cluster_size": pa.array((ends - starts)[run_of], pa.int64()),
+            }
+        )
+
+    return cluster
+
+
 def image_neardup(sf_dir: str) -> "ray.data.Dataset":
     """Perceptual image dedup over a MIXED-format corpus (PGM scans plus
     real baseline JPEGs from the from-scratch ``core.jpeg`` codec):
@@ -4205,45 +4472,9 @@ def image_neardup(sf_dir: str) -> "ray.data.Dataset":
         concurrency=_pool(_pq_rows(f"{sf_dir}/documents.parquet"), rows_per_actor=512),
     )
 
-    def cluster(g: pa.Table) -> pa.Table:
-        # whole-shard kernel: hash runs give rep (first id) and size;
-        # total output (singletons keep cluster_size=1): dedup is the
-        # caller's filter cluster_rep != media_id, and the result never
-        # collapses to a schemaless empty dataset on a clean corpus
-        g = g.take(
-            pc.sort_indices(
-                g, sort_keys=[("ahash", "ascending"), ("media_id", "ascending")]
-            )
-        )
-        n = g.num_rows
-        if n == 0:
-            return pa.table(
-                {
-                    "media_id": pa.array([], pa.int64()),
-                    "ahash": pa.array([], pa.int64()),
-                    "cluster_rep": pa.array([], pa.int64()),
-                    "cluster_size": pa.array([], pa.int64()),
-                }
-            )
-        ah = g.column("ahash").to_numpy(zero_copy_only=False)
-        first = np.ones(n, dtype=bool)
-        first[1:] = ah[1:] != ah[:-1]
-        starts = np.flatnonzero(first)
-        ends = np.append(starts[1:], n)
-        run_of = np.cumsum(first) - 1
-        ids = g.column("media_id").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "media_id": pa.array(ids, pa.int64()),
-                "ahash": g.column("ahash"),
-                "cluster_rep": pa.array(ids[starts][run_of], pa.int64()),
-                "cluster_size": pa.array((ends - starts)[run_of], pa.int64()),
-            }
-        )
-
     from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
 
-    return shard_map_groups(hashed, ["ahash"], cluster)
+    return shard_map_groups(hashed, ["ahash"], _fp_cluster_fn("ahash"))
 
 
 def compression_ratio(sf_dir: str) -> "ray.data.Dataset":

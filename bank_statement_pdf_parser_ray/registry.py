@@ -351,6 +351,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": dp.media_features,
         "audio_features": dp.audio_features,
         "video_frames": dp.video_frames,
+        "audio_neardup": dp.audio_neardup,
+        "video_neardup": dp.video_neardup,
     }
 
 

@@ -964,6 +964,80 @@ class TestImageNeardup:
         assert _ahash_bits(resized) != 0
 
 
+class TestAudioVideoNeardup:
+    """Perceptual audio/video dedup: planted re-levelled / re-graded
+    copies (doc_id % 4 == 1 copies doc_id - 1) collapse to their base's
+    fingerprint; distinct bases stay distinct."""
+
+    def _write_docs(self, tmp_path, n):
+        import pyarrow.parquet as pq
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), pa.int64()),
+                "text": pa.array([f"doc {i}" for i in range(n)], pa.string()),
+                "lang": pa.array(["en"] * n),
+                "source": pa.array(["t"] * n),
+                "n_chars": pa.array([6] * n, pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    def test_audio_fp_volume_invariant(self):
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import _AudioFpActor, _synth_wav_nd
+
+        t = pa.table(
+            {
+                "media_id": pa.array([0, 1, 2], pa.int64()),
+                "media": pa.array([_synth_wav_nd(i) for i in range(3)], pa.binary()),
+            }
+        )
+        out = _AudioFpActor()(t)
+        fps = dict(zip(out.column("media_id").to_pylist(), out.column("afp").to_pylist()))
+        assert fps[0] == fps[1]  # half-volume copy collapses
+        assert fps[0] != fps[2]  # distinct base envelope differs
+
+    def test_video_fp_brightness_invariant(self):
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import _VideoFpActor, _synth_y4m_nd
+
+        t = pa.table(
+            {
+                "media_id": pa.array([0, 1, 2], pa.int64()),
+                "media": pa.array([_synth_y4m_nd(i) for i in range(3)], pa.binary()),
+            }
+        )
+        out = _VideoFpActor()(t)
+        fps = dict(zip(out.column("media_id").to_pylist(), out.column("vfp").to_pylist()))
+        assert fps[0] == fps[1]  # re-graded copy collapses
+        assert fps[0] != fps[2]  # distinct base pattern differs
+
+    def test_audio_neardup_clusters(self, tmp_path):
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import audio_neardup
+
+        self._write_docs(tmp_path, 12)
+        out = audio_neardup(str(tmp_path)).to_pandas().sort_values("media_id")
+        assert out["media_id"].tolist() == list(range(12))
+        rep = dict(zip(out["media_id"], out["cluster_rep"]))
+        size = dict(zip(out["media_id"], out["cluster_size"]))
+        for b in (0, 4, 8):  # planted pairs (b, b+1)
+            assert rep[b + 1] == rep[b] == b and size[b] == size[b + 1] == 2
+        for s in (2, 3, 6, 7, 10, 11):  # everyone else is a singleton
+            assert rep[s] == s and size[s] == 1
+
+    def test_video_neardup_clusters(self, tmp_path):
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import video_neardup
+
+        self._write_docs(tmp_path, 12)
+        out = video_neardup(str(tmp_path)).to_pandas().sort_values("media_id")
+        assert out["media_id"].tolist() == list(range(12))
+        rep = dict(zip(out["media_id"], out["cluster_rep"]))
+        size = dict(zip(out["media_id"], out["cluster_size"]))
+        for b in (0, 4, 8):
+            assert rep[b + 1] == rep[b] == b and size[b] == size[b + 1] == 2
+        for s in (2, 3, 6, 7, 10, 11):
+            assert rep[s] == s and size[s] == 1
+
+
 class TestCompressionRatio:
     def test_matches_zlib_and_orders_redundancy(self, tmp_path):
         import zlib
