@@ -2547,6 +2547,71 @@ SELECT doc_id, lang, sample_key FROM (
 """
 
 
+def _quota_cut(t: pa.Table, quota: "dict[str | None, int]") -> pa.Table:
+    """Keep the quota[lang] smallest sample_keys per lang within one
+    table — the `_stratified_cut` kernel with a per-stratum budget
+    instead of a constant (langs missing from the quota map keep 0
+    rows, matching the oracle's inner JOIN)."""
+    from bank_statement_pdf_parser_ray.pipelines.windows import _rank_in_runs
+
+    if t.num_rows == 0:
+        return t
+    langs = t.column("lang").to_pylist()
+    q = np.array([quota.get(l, 0) for l in langs], dtype=np.int64)
+    codes_arr = pc.dictionary_encode(t.column("lang").combine_chunks()).indices
+    codes = pc.fill_null(codes_arr, -1).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    key = np.asarray(t.column("sample_key").to_pylist())
+    order = np.lexsort((key, codes))
+    rank = _rank_in_runs(codes[order])
+    idx = order[rank < q[order]]
+    return t.take(pa.array(np.sort(idx)))
+
+
+def temperature_mixture(sf_dir: str, m: int = 200, alpha: float = 0.5) -> "ray.data.Dataset":
+    """UniMax/mT5-style temperature-scaled language mixture: pick a
+    deterministic ~m-document training mix whose per-language quotas
+    follow n_lang^alpha (alpha < 1 flattens the natural distribution so
+    head languages stop dominating — the multilingual-LM sampling rule
+    of Xue et al. 2021 / Chung et al. 2023). Pass 1 is a model-sized
+    lang-count groupby; quotas are computed once on the driver and the
+    tiny map rides in the task closures; selection is the md5-ranked
+    deterministic cut (cross-engine-reproducible, unlike RNG sampling):
+    per-batch pre-cut to <=quota[lang] rows per in-batch lang BEFORE
+    the shuffle, then one groupby(lang) final cut — the raw corpus
+    never shuffles. Oracle: the same quota arithmetic and md5 ranking
+    restated in SQL."""
+    counts = _docs(sf_dir, ["lang"]).groupby("lang").count().to_pandas()
+    counts = counts[counts["lang"].notna()].sort_values("lang")
+    pw = counts["count()"].to_numpy(dtype=float) ** alpha
+    tot = pw.sum()
+    quota = {
+        l: int(np.floor(m * w / tot)) for l, w in zip(counts["lang"], pw)
+    }
+
+    ds = _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        _add_sample_key, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cut = lambda t: _quota_cut(t, quota)
+    ds = ds.map_batches(cut, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.groupby("lang").map_groups(cut, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "lang", "sample_key"])
+
+
+TEMPERATURE_MIXTURE_SQL = """
+WITH c AS (SELECT lang, count(*) AS n FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+q AS (SELECT lang,
+             CAST(floor(200 * pow(n, 0.5)
+                        / (SELECT sum(pow(n, 0.5)) FROM c)) AS BIGINT) AS quota
+      FROM c),
+r AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS sample_key,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+SELECT r.doc_id, r.lang, r.sample_key
+FROM r JOIN q USING (lang) WHERE r.rn <= q.quota
+"""
+
+
 class _DocMetaFetcher(_SelectiveDocReader):
     """Actor-pool join-back stage: survivors arrive as doc_id batches,
     each batch selectively reads its (doc_id, lang) rows via parquet
@@ -4020,6 +4085,15 @@ def _doc_bigrams(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 def bigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """Per-doc mean bigram log-probability as a sorted DataFrame —
+    the diagnostic return over `_bigram_lp_ds` (model-sized: one row
+    per doc with two floats)."""
+    out = _bigram_lp_ds(sf_dir).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _bigram_lp_ds(sf_dir: str) -> "ray.data.Dataset":
     """Conditional bigram LM quality signal: per document, the mean
     ln P(w_i | w_{i-1}) under the corpus MLE bigram model — the
     next-step-up from ``unigram_logprob`` (fluency, not just word
@@ -4073,13 +4147,10 @@ def bigram_logprob(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    out = (
+    return (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
     )
-    out["doc_id"] = out["doc_id"].astype("int64")
-    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 BIGRAM_LOGPROB_SQL = r"""
@@ -4097,6 +4168,88 @@ SELECT g.doc_id, round(avg(ln(CAST(n2 AS DOUBLE) / n1)), 6) AS lp
 FROM big g JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
 GROUP BY g.doc_id
 ORDER BY g.doc_id
+"""
+
+
+def perplexity_buckets(sf_dir: str) -> "ray.data.Dataset":
+    """CCNet-style perplexity tiers: score every document with the
+    corpus bigram LM (`_bigram_lp_ds`), then assign global ntile(3)
+    tiers over the (lp, doc_id) total order — tier 3 = highest mean
+    log-prob = CCNet's *head* (most fluent third), tier 1 = *tail*.
+    The tier cut reuses the monotone-bucket two-pass engine
+    (value_quartiles shape): a tiny floor(lp*64) bucket histogram
+    gives exclusive prefix offsets + the global n that ntile needs,
+    then ONE shuffle ranks each bucket locally — no global sort.
+    Oracle: the bigram CTE with ntile(3) on top."""
+    from ray.data.aggregate import Sum
+
+    ds = _bigram_lp_ds(sf_dir)
+
+    def bucket_of(t: pa.Table) -> "np.ndarray":
+        lp = t.column("lp").to_numpy(zero_copy_only=False)
+        return np.floor(lp * 64.0).astype(np.int64)
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        ub, cnt = np.unique(bucket_of(t), return_counts=True)
+        return pa.table({"bucket": pa.array(ub, pa.int64()), "p_n": pa.array(cnt, pa.int64())})
+
+    hist = (
+        ds.map_batches(bucket_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Sum("p_n", alias_name="n"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    n_total = int(hist["n"].sum())
+    off = dict(zip(hist["bucket"], np.cumsum(hist["n"].to_numpy()) - hist["n"].to_numpy()))
+    off_ref = ray.put((off, n_total))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", pa.array(bucket_of(t), pa.int64()))
+
+    def tile_group(g: pa.Table) -> pa.Table:
+        offs, n = ray.get(off_ref)
+        lp = g.column("lp").to_numpy(zero_copy_only=False)
+        did = g.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, lp))
+        r = np.empty(len(did), dtype=np.int64)  # 0-based global rank
+        r[order] = offs[int(g.column("bucket")[0].as_py())] + np.arange(len(did))
+        base, rem = divmod(n, 3)
+        pivot = rem * (base + 1)
+        tile = np.where(r < pivot, r // (base + 1), rem + (r - pivot) // base if base else 0) + 1
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "lp": pa.array(lp, pa.float64()),
+                "tier": pa.array(tile.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(tile_group, batch_format="pyarrow")
+    )
+
+
+PERPLEXITY_BUCKETS_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+        FROM documents)
+), big AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+), c2 AS (SELECT w1, w2, count(*) AS n2 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS n1 FROM big GROUP BY w1),
+lp AS (
+  SELECT g.doc_id, round(avg(ln(CAST(n2 AS DOUBLE) / n1)), 6) AS lp
+  FROM big g JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+  GROUP BY g.doc_id
+)
+SELECT doc_id, lp, CAST(ntile(3) OVER (ORDER BY lp, doc_id) AS BIGINT) AS tier
+FROM lp
 """
 
 

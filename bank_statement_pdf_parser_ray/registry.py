@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": dp.embedding_dim_stats,
         "label_centroids": dp.label_centroids,
         "bigram_logprob": dp.bigram_logprob,
+        "perplexity_buckets": dp.perplexity_buckets,
         "orders_above_cust_avg": q.orders_above_cust_avg,
         "char_entropy": dp.char_entropy,
         "weighted_sample": dp.weighted_sample,
@@ -264,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles_events": dp.approx_quantiles_events,
         "sample_documents": q.sample_documents,
         "stratified_sample": dp.stratified_sample_documents,
+        "temperature_mixture": dp.temperature_mixture,
         "prep_corpus": dp.prep_corpus,
         "approx_distinct_users": dp.approx_distinct_users,
         "approx_distinct_per_type": dp.approx_distinct_per_type,
@@ -432,6 +434,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dim_stats": dp.EMBEDDING_DIM_STATS_SQL,
         "label_centroids": dp.LABEL_CENTROIDS_SQL,
         "bigram_logprob": dp.BIGRAM_LOGPROB_SQL,
+        "perplexity_buckets": dp.PERPLEXITY_BUCKETS_SQL,
         "orders_above_cust_avg": q.ORDERS_ABOVE_CUST_AVG_SQL,
         "char_entropy": dp.CHAR_ENTROPY_SQL,
         "weighted_sample": dp.WEIGHTED_SAMPLE_SQL,
@@ -451,6 +454,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_corr": q.LINEITEM_CORR_SQL,
         "value_histogram": q.VALUE_HISTOGRAM_SQL,
         "stratified_sample": dp.STRATIFIED_SAMPLE_SQL,
+        "temperature_mixture": dp.TEMPERATURE_MIXTURE_SQL,
         "prep_corpus": dp.PREP_CORPUS_SQL,
         "lineitem_agg": q.LINEITEM_AGG_SQL,
         "filter_highvalue": q.FILTER_HIGHVALUE_SQL,

@@ -1038,6 +1038,59 @@ class TestAudioVideoNeardup:
             assert rep[s] == s and size[s] == 1
 
 
+class TestTemperatureMixture:
+    def test_alpha_flattens_head_language(self, tmp_path):
+        """UniMax semantics: at alpha=0.5 the minority language's share
+        of the mix exceeds its natural corpus share."""
+        import pyarrow.parquet as pq
+
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import temperature_mixture
+
+        langs = ["en"] * 90 + ["sw"] * 10
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(100), pa.int64()),
+                "text": pa.array(["x"] * 100, pa.string()),
+                "lang": pa.array(langs),
+                "source": pa.array(["t"] * 100),
+                "n_chars": pa.array([1] * 100, pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = temperature_mixture(str(tmp_path), m=20, alpha=0.5).to_pandas()
+        got = out["lang"].value_counts().to_dict()
+        # sqrt weights: en 9.487, sw 3.162 -> quotas floor(20*.75)=15, floor(20*.25)=5
+        assert got == {"en": 15, "sw": 5}
+        assert 5 / 20 > 10 / 100  # flattened share beats the natural share
+
+
+class TestPerplexityBuckets:
+    def test_rare_continuation_lands_in_tail(self, tmp_path):
+        """The doc whose bigram is the rare continuation of a shared
+        first word scores lowest and lands in tier 1 (CCNet tail);
+        the dominant-continuation docs fill tier 3 (head)."""
+        import pyarrow.parquet as pq
+
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import perplexity_buckets
+
+        texts = ["a b"] * 8 + ["a c"]
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(9), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 9),
+                "source": pa.array(["t"] * 9),
+                "n_chars": pa.array([3] * 9, pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = perplexity_buckets(str(tmp_path)).to_pandas().set_index("doc_id")
+        assert out.loc[8, "tier"] == 1  # ln(1/9) — the rare continuation
+        assert out.loc[7, "tier"] == 3  # ln(8/9), highest doc_id tiebreak
+        assert np.isclose(out.loc[8, "lp"], np.log(1 / 9), atol=1e-6)
+        assert np.isclose(out.loc[0, "lp"], np.log(8 / 9), atol=1e-6)
+
+
 class TestCompressionRatio:
     def test_matches_zlib_and_orders_redundancy(self, tmp_path):
         import zlib
