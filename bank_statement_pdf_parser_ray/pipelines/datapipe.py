@@ -4987,3 +4987,92 @@ WITH e AS (
 SELECT label, idx, count(*) AS n, round(sum(x) / count(*), 6) AS centroid
 FROM e GROUP BY label, idx
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-wave incremental dedup via the sharded index actor service
+# ---------------------------------------------------------------------------
+
+
+def ingest_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """Incremental cross-wave dedup against a SHARED MUTABLE INDEX
+    (state/dedup_index.py) — the ingest-time dedup a 100 TB pipeline
+    runs so a new wave never re-processes content any earlier wave
+    already delivered, WITHOUT re-reading the history.
+
+    Scenario (deterministic over the shared documents table): wave 1 =
+    ``doc_id % 3 != 0`` registers its content digests into the sharded
+    actor index; wave 2 is a full re-delivery (every doc — wave-1 docs
+    arrive AGAIN, plus the new third). The probe pass keeps only
+    content the index has never seen; texts duplicated WITHIN wave 2
+    then collapse to min doc_id via one digest-key reduce (stream-order
+    first-wins would be block-schedule-dependent, i.e. not a function
+    of the data).
+
+    Scale shape: the raw-actor escape hatch used exactly where the
+    Dataset API can't express the semantics (state that must outlive
+    and be shared across waves). Only 16-byte digests cross the
+    network — the register pass ships ~wave1_rows digests batched per
+    map task and fanned out per shard in one round; the probe pass adds
+    one boolean column the same way; the final exchange moves
+    (16 B digest, 8 B doc_id) rows for novel content only. Index memory
+    is sharded, 16 B/distinct text per shard-set, spread over the pool.
+    """
+    from ray.data.aggregate import Min
+
+    from bank_statement_pdf_parser_ray.state.dedup_index import DedupIndex, text_digests
+
+    idx = DedupIndex(n_shards=8)
+
+    def register(t: pa.Table) -> pa.Table:
+        dg = [d for d in text_digests(t.column("text").to_pylist()) if d is not None]
+        if dg:
+            idx.add(dg)  # ray.get inside: adds are durable before the batch commits
+        return pa.table({"n": pa.array([len(dg)], pa.int64())})
+
+    def wave1_slice(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t.column("doc_id").to_numpy() % 3 != 0))
+
+    wave1 = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        wave1_slice, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # drain the register pass COMPLETELY before any probe runs: the sum
+    # is the synchronization barrier between the two waves
+    wave1.map_batches(register, batch_format="pyarrow", zero_copy_batch=True).sum("n")
+
+    def probe(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        dg = text_digests(t.column("text").to_pylist())
+        present = iter(idx.contains([d for d in dg if d is not None]))
+        out_id, out_h = [], []
+        for i, d in enumerate(dg):
+            if d is None:
+                continue
+            if not next(present):
+                out_id.append(ids[i])
+                out_h.append(d.hex())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "text_md5": pa.array(out_h, pa.string()),
+            }
+        )
+
+    wave2 = _docs(sf_dir, ["doc_id", "text"])
+    novel = wave2.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+    return novel.groupby("text_md5").aggregate(Min("doc_id", alias_name="doc_id"))
+
+
+INGEST_DEDUP_SQL = """
+WITH w1 AS (
+  SELECT DISTINCT md5(text) AS h FROM documents
+  WHERE doc_id % 3 <> 0 AND text IS NOT NULL
+),
+w2 AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE text IS NOT NULL
+)
+SELECT h AS text_md5, min(doc_id) AS doc_id
+FROM w2
+WHERE h NOT IN (SELECT h FROM w1)
+GROUP BY h
+"""

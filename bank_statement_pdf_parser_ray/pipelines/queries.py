@@ -2340,21 +2340,28 @@ FROM g
 # --- IQR outlier filter --------------------------------------------------------
 
 
-def _percentile_cont_values(sf_dir: str, probs: list[float]) -> tuple[dict[float, float], int]:
+def _percentile_cont_values(
+    sf_dir: str, probs: list[float], extra_filter=None
+) -> tuple[dict[float, float], int]:
     """Exact INTERPOLATED percentiles (percentile_cont semantics,
     h = (n-1)*q) of events.value without a global sort — the shared
-    engine behind `outlier_filter` and `winsorize_events`.
+    engine behind `outlier_filter`, `winsorize_events` and
+    `value_drift_psi`.
 
     Two streaming passes: (1) a floor(value) unit-bucket histogram
     (O(value-range) rows) locates which buckets hold the order
     statistics around each h and gives their exclusive prefix offsets;
     (2) a predicate-pushdown re-read of ONLY those buckets sorts a tiny
     slice locally and interpolates with the exact float expression the
-    oracle uses. NULL and NaN excluded (NaN-as-missing). Returns
-    ({prob: value}, n); n == 0 means no valid rows."""
+    oracle uses. NULL and NaN excluded (NaN-as-missing).
+    ``extra_filter``: optional pushed-down predicate restricting the
+    population (e.g. a time slice). Returns ({prob: value}, n);
+    n == 0 means no valid rows."""
     from ray.data.aggregate import Sum
 
     base_filter = pc.is_valid(pc.field("value"))
+    if extra_filter is not None:
+        base_filter = base_filter & extra_filter
 
     def drop_nan(t: pa.Table) -> pa.Table:
         return t.filter(pc.invert(pc.is_nan(t.column("value"))))
@@ -3334,4 +3341,128 @@ SELECT event_id,
             ELSE value END AS value_w
 FROM events, s
 ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift monitoring (PSI)
+# ---------------------------------------------------------------------------
+
+
+def value_drift_psi(sf_dir: str) -> pd.DataFrame:
+    """Population Stability Index of the ``value`` distribution between
+    the first and second half of the event time range — the standard
+    production drift monitor a pipeline runs before retraining/refresh
+    decisions (PSI > 0.2 = major shift). Reference slice = events before
+    the midpoint timestamp; deciles of the reference define the 10
+    buckets; PSI = Σ (p_cur - p_ref) · ln(p_cur / p_ref) with the usual
+    1e-6 floor so an empty bucket stays finite.
+
+    Scale shape: pass 1 is a model-sized ts min/max aggregate; pass 2
+    computes reference deciles via the shared no-global-sort percentile
+    engine (_percentile_cont_values, now slice-aware via pushdown);
+    pass 3 is ONE streaming map over (ts, value) emitting per-batch
+    (bucket, slice) count partials — 20 tiny rows per block cross the
+    exchange, never the events. The PSI arithmetic runs on 10 rows at
+    the driver. NULL ts rows belong to neither slice; NULL/NaN values
+    are excluded everywhere (NaN-as-missing, as the percentile engine
+    declares)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    path = f"{sf_dir}/events.parquet"
+    bounds = (
+        ray.data.read_parquet(path, columns=["ts"])
+        .aggregate(Min("ts"), Max("ts"))
+    )
+    mn_us = pa.scalar(bounds["min(ts)"]).cast(pa.int64()).as_py()
+    mx_us = pa.scalar(bounds["max(ts)"]).cast(pa.int64()).as_py()
+    mid_us = mn_us + (mx_us - mn_us) // 2
+    mid_ts = pa.scalar(mid_us, pa.timestamp("us"))
+
+    probs = [round(0.1 * i, 1) for i in range(1, 10)]
+    qs, n_ref_engine = _percentile_cont_values(
+        sf_dir, probs, extra_filter=(pc.field("ts") < mid_ts)
+    )
+    if n_ref_engine == 0:
+        raise ValueError("value_drift_psi: reference slice has no valid values")
+    edges = np.array([qs[p] for p in probs])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        ok = (
+            pc.is_valid(t.column("value")).to_numpy(zero_copy_only=False)
+            & pc.is_valid(t.column("ts")).to_numpy(zero_copy_only=False)
+            & ~np.isnan(v)
+        )
+        is_cur = ts >= mid_us
+        bucket = np.searchsorted(edges, v, side="left")
+        code = bucket + 10 * is_cur.astype(np.int64)
+        cnt = np.bincount(code[ok], minlength=20)
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(20) % 10, pa.int64()),
+                "p_ref": pa.array(np.where(np.arange(20) < 10, cnt, 0), pa.int64()),
+                "p_cur": pa.array(np.where(np.arange(20) >= 10, cnt, 0), pa.int64()),
+            }
+        )
+
+    counts = (
+        ray.data.read_parquet(path, columns=["ts", "value"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Sum("p_ref", alias_name="n_ref"), Sum("p_cur", alias_name="n_cur"))
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    nr = int(counts["n_ref"].sum())
+    nc = int(counts["n_cur"].sum())
+    p_ref = np.maximum(counts["n_ref"].to_numpy() / nr, 1e-6)
+    p_cur = np.maximum(counts["n_cur"].to_numpy() / nc, 1e-6)
+    term = (p_cur - p_ref) * np.log(p_cur / p_ref)
+    return pd.DataFrame(
+        {
+            "bucket": counts["bucket"].astype("int64"),
+            "n_ref": counts["n_ref"].astype("int64"),
+            "n_cur": counts["n_cur"].astype("int64"),
+            "psi_term": np.round(term, 6),
+        }
+    )
+
+
+VALUE_DRIFT_PSI_SQL = """
+WITH bnds AS (SELECT epoch_us(min(ts)) AS mn, epoch_us(max(ts)) AS mx FROM events),
+mid AS (SELECT mn + (mx - mn) // 2 AS m FROM bnds),
+pop AS (
+  SELECT value, CAST(epoch_us(ts) >= m AS INT) AS cur
+  FROM events, mid
+  WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL
+),
+q AS (
+  SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+  FROM pop WHERE cur = 0
+),
+b AS (
+  SELECT len(list_filter(qs, e -> e < value)) AS bucket, cur FROM pop, q
+),
+c AS (
+  SELECT bucket,
+         count(*) FILTER (cur = 0) AS n_ref,
+         count(*) FILTER (cur = 1) AS n_cur
+  FROM b GROUP BY bucket
+),
+g AS (SELECT unnest(range(0, 10)) AS bucket),
+f AS (
+  SELECT g.bucket,
+         coalesce(c.n_ref, 0) AS n_ref,
+         coalesce(c.n_cur, 0) AS n_cur
+  FROM g LEFT JOIN c ON g.bucket = c.bucket
+),
+tot AS (SELECT sum(n_ref) AS nr, sum(n_cur) AS nc FROM f)
+SELECT bucket, n_ref, n_cur,
+       round((greatest(n_cur / nc, 1e-6) - greatest(n_ref / nr, 1e-6))
+             * ln(greatest(n_cur / nc, 1e-6) / greatest(n_ref / nr, 1e-6)), 6) AS psi_term
+FROM f, tot
+ORDER BY bucket
 """

@@ -1947,3 +1947,112 @@ SELECT user_id, event_type, valid_from, valid_to,
        CAST(valid_to IS NULL AS BIGINT) AS is_current
 FROM starts
 """
+
+
+# --- exponential smoothing (EWMA) ------------------------------------------
+
+EWMA_ALPHA = 0.3
+_EWMA_BLOCK = 256  # (1-a)^-256 ~ 7e39: rescaled scan stays far from overflow
+
+
+def events_ewma(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user exponentially weighted moving average of ``value`` in
+    (ts, event_id) order — the classic recency-weighted feature
+    (pandas ``ewm(alpha, adjust=False)`` semantics: ``y_1 = x_1``,
+    ``y_i = a*x_i + (1-a)*y_{i-1}``). NULL values are skipped by the
+    recursion and emit NULL; a valid NaN enters the state and poisons
+    every later reading of that user, exactly as the oracle's weighted
+    SUM does.
+
+    The recursion is sequential per user, but the kernel never loops
+    over rows OR users: within each shard the valid rows are scanned in
+    fixed 256-row blocks where the closed form
+    ``y_i = c^i*(y_0 + a*sum_j x_j*c^-j)`` turns the block into one
+    rescaled cumsum (the rescale is why blocks exist: ``c^-i`` overflows
+    past ~3000 rows, while ``c^-256`` is ~7e39). Each pass of the Python
+    loop advances EVERY user's run one block via segment-reset cumsums,
+    so the loop count is ceil(longest_single_user_history / 256) —
+    independent of user count, the dimension that actually grows at
+    100 TB. One user_id hash shuffle, same partitioning contract as the
+    rest of this module."""
+
+    a = EWMA_ALPHA
+    c = 1.0 - a
+
+    def smooth(g: pa.Table) -> pa.Table:
+        g = _sorted_shard(g)
+        n = g.num_rows
+        if n == 0:
+            return g
+        val_s = g.column("value").to_numpy(zero_copy_only=False)
+        valid = pc.is_valid(g.column("value")).to_numpy(zero_copy_only=False)
+        out = np.full(n, np.nan)
+        vidx = np.flatnonzero(valid)
+        if len(vidx):
+            x = val_s[vidx].astype(np.float64, copy=False)
+            first, run_start = _uid_runs(g.column("user_id").take(pa.array(vidx)))
+            m = len(x)
+            pos = np.arange(m)
+            q = pos - run_start  # 0-based position within the user's valid run
+            run_id = np.cumsum(first) - 1
+            y = np.empty(m)
+            # seeds: y = x at each run's first valid row
+            y[first] = x[first]
+            carry = x[first].copy()  # per-run state entering the next block
+            # recursion rows, re-indexed so block b covers q' in [b*K, (b+1)*K)
+            qq = q - 1
+            K = _EWMA_BLOCK
+            blk = qq // K
+            j = (qq % K + 1).astype(np.float64)  # 1-based position inside block
+            n_blocks = int(blk.max()) + 1 if m > len(carry) else 0
+            for b in range(n_blocks):
+                idx = np.flatnonzero(blk == b)
+                if len(idx) == 0:
+                    continue
+                rid = run_id[idx]
+                z = x[idx] * c ** (-j[idx])
+                cz = np.cumsum(z)
+                seg_first = np.ones(len(idx), dtype=bool)
+                seg_first[1:] = rid[1:] != rid[:-1]
+                start = np.maximum.accumulate(np.where(seg_first, np.arange(len(idx)), 0))
+                seg_cum = cz - cz[start] + z[start]
+                yb = c ** j[idx] * (carry[rid] + a * seg_cum)
+                y[idx] = yb
+                seg_last = np.ones(len(idx), dtype=bool)
+                seg_last[:-1] = seg_first[1:]
+                carry[rid[seg_last]] = yb[seg_last]
+            out[vidx] = np.round(y, 6)
+        return pa.table(
+            {
+                "event_id": g.column("event_id"),
+                "user_id": g.column("user_id"),
+                "ts": g.column("ts"),
+                "ewma": pa.array(out, pa.float64(), mask=~valid),
+            }
+        )
+
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    return shard_map_groups(ds, ["user_id"], smooth)
+
+
+# Closed-form oracle: y_i = sum_j w_ij x_j with w = a*c^(i-j) (j>1) and
+# c^(i-1) for the seed row — the j<=i self-join is O(run^2) per user,
+# fine at oracle scale and exactly the recursion unrolled.
+EVENTS_EWMA_SQL = f"""
+WITH v AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
+  FROM events WHERE value IS NOT NULL
+),
+e AS (
+  SELECT a.user_id, a.event_id,
+         sum(b.value * CASE WHEN b.p = 1 THEN power({1.0 - EWMA_ALPHA}, a.p - 1)
+                            ELSE {EWMA_ALPHA} * power({1.0 - EWMA_ALPHA}, a.p - b.p) END) AS y
+  FROM v a JOIN v b ON a.user_id = b.user_id AND b.p <= a.p
+  GROUP BY a.user_id, a.event_id
+)
+SELECT ev.event_id, ev.user_id, ev.ts, round(e.y, 6) AS ewma
+FROM events ev LEFT JOIN e ON ev.event_id = e.event_id
+"""

@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_checks": q.dq_checks,
         "table_diff": q.table_diff,
         "winsorize_events": q.winsorize_events,
+        "value_drift_psi": q.value_drift_psi,
         "intersect_users": q.intersect_users,
         "except_users": q.except_users,
         "rollup_orders": q.rollup_orders,
@@ -212,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": w.events_rolling,
         "events_lag_lead": w.events_lag_lead,
         "events_cumsum": w.events_cumsum,
+        "events_ewma": w.events_ewma,
         "grouped_topk_events": w.grouped_topk_events,
         "user_value_quantiles": w.user_value_quantiles,
         "range_join_counts": w.range_join_counts,
@@ -327,6 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_stats": q.session_stats,
         # dedup family
         "exact_dedup": dp.exact_dedup,
+        "ingest_dedup": dp.ingest_dedup,
         "corpus_clean": dp.corpus_clean,
         "dedup_clusters": dp.dedup_clusters,
         "neardup_clean": dp.neardup_clean,
@@ -383,6 +386,7 @@ def oracle_sql() -> dict[str, str]:
         "dq_checks": q.DQ_CHECKS_SQL,
         "table_diff": q.TABLE_DIFF_SQL,
         "winsorize_events": q.WINSORIZE_EVENTS_SQL,
+        "value_drift_psi": q.VALUE_DRIFT_PSI_SQL,
         "standardize_events": mlprep.STANDARDIZE_EVENTS_SQL,
         "target_encode_events": mlprep.TARGET_ENCODE_EVENTS_SQL,
         "ab_welch_ttest": mlprep.AB_WELCH_TTEST_SQL,
@@ -394,6 +398,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling": w.EVENTS_ROLLING_SQL,
         "events_lag_lead": w.EVENTS_LAG_LEAD_SQL,
         "events_cumsum": w.EVENTS_CUMSUM_SQL,
+        "events_ewma": w.EVENTS_EWMA_SQL,
         "grouped_topk_events": w.GROUPED_TOPK_EVENTS_SQL,
         "user_value_quantiles": w.USER_VALUE_QUANTILES_SQL,
         "range_join_counts": w.RANGE_JOIN_COUNTS_SQL,
@@ -490,6 +495,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "exact_dedup": "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+        "ingest_dedup": dp.INGEST_DEDUP_SQL,
         "token_count_bpe": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, "
             r"'[A-Za-z]+|\d{1,3}|[^\sA-Za-z\d]')) AS BIGINT) AS n_bpe_tokens "

@@ -207,6 +207,7 @@ def run_bench() -> dict:
         "events_rolling",
         "events_lag_lead",
         "events_cumsum",
+        "events_ewma",
         "grouped_topk_events",
         "user_value_quantiles",
         "range_join_counts",
@@ -267,6 +268,7 @@ def run_bench() -> dict:
         "pack_sequences",
         "langid",
         "exact_dedup",
+        "ingest_dedup",
         "minhash_candidates",
         "minhash_verified",
         "neardup_clean",
@@ -315,6 +317,7 @@ def run_bench() -> dict:
         "standardize_events",
         "target_encode_events",
         "winsorize_events",
+        "value_drift_psi",
         "ab_welch_ttest",
         "skyline_orders",
         "user_value_trend",
