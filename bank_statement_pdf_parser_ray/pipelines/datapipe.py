@@ -5076,3 +5076,40 @@ FROM w2
 WHERE h NOT IN (SELECT h FROM w1)
 GROUP BY h
 """
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation harness
+# ---------------------------------------------------------------------------
+
+
+def ann_recall(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2), k: int = 5) -> pd.DataFrame:
+    """Recall@k of the approximate nearest-neighbor paths against the
+    exact brute-force ranking — the eval gate a pipeline runs before
+    trusting an ANN index at corpus scale (an index that silently
+    drops to 0.4 recall poisons every downstream dedup/retrieval job).
+
+    Runs the SAME query set through `knn_cosine` (exact ground truth),
+    `knn_cosine_lsh` (hyperplane LSH, multi-probe) and `knn_cosine_ivf`
+    (inverted-list coarse quantizer), then scores per-query set overlap
+    recall = |approx ∩ exact| / k. All three legs are the existing
+    distributed pipelines (broadcast query matrix, per-batch partial
+    top-k, distributed merge) — the harness adds only a k-row-per-query
+    driver-side set compare, so evaluating recall costs one extra scan
+    per index type regardless of corpus size. Rows-only by design: two
+    approximate legs have no SQL truth; the EXACT leg is already
+    oracle-paired (`knn_cosine`, `knn_cosine_ivf_full`)."""
+    exact = knn_cosine(sf_dir, query_ids, k).to_pandas()
+    legs = {
+        "recall_lsh": knn_cosine_lsh(sf_dir, query_ids, k).to_pandas(),
+        "recall_ivf": knn_cosine_ivf(sf_dir, query_ids, k).to_pandas(),
+    }
+    truth = exact.groupby("query_id")["vec_id"].agg(set)
+    out = pd.DataFrame({"query_id": sorted(int(q) for q in truth.index)})
+    for col, df in legs.items():
+        got = df.groupby("query_id")["vec_id"].agg(set)
+        out[col] = [
+            round(len(truth[qid] & got.get(qid, set())) / len(truth[qid]), 6)
+            for qid in out["query_id"]
+        ]
+    return out

@@ -3466,3 +3466,90 @@ SELECT bucket, n_ref, n_cur,
 FROM f, tot
 ORDER BY bucket
 """
+
+
+def type_drift_chi2(sf_dir: str) -> pd.DataFrame:
+    """Categorical drift between the two halves of the event time range
+    (the sibling of `value_drift_psi` for discrete features): the
+    chi-square homogeneity statistic over the event_type distribution,
+    one row per type with both slice counts and the type's chi2
+    contribution (Σ (obs - exp)²/exp over the type's two cells, with
+    exp from the row/column marginals).
+
+    Scale shape: ONE streaming map over (ts, event_type) emitting
+    per-batch (type, slice) count partials — ≤ 2·|types| tiny rows per
+    block cross the exchange; the chi-square arithmetic runs on
+    |types| rows at the driver. NULL event_type is its own category
+    (SQL GROUP BY semantics); NULL ts rows belong to neither slice."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    path = f"{sf_dir}/events.parquet"
+    bounds = ray.data.read_parquet(path, columns=["ts"]).aggregate(Min("ts"), Max("ts"))
+    mn_us = pa.scalar(bounds["min(ts)"]).cast(pa.int64()).as_py()
+    mx_us = pa.scalar(bounds["max(ts)"]).cast(pa.int64()).as_py()
+    mid_us = mn_us + (mx_us - mn_us) // 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts_valid = pc.is_valid(t.column("ts"))
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        is_cur = pa.array(np.where(np.asarray(ts_valid), ts >= mid_us, False))
+        sub = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "p_ref": pc.cast(pc.and_(ts_valid, pc.invert(is_cur)), pa.int64()),
+                "p_cur": pc.cast(pc.and_(ts_valid, is_cur), pa.int64()),
+            }
+        )
+        return sub.group_by("event_type").aggregate([("p_ref", "sum"), ("p_cur", "sum")]).rename_columns(
+            ["event_type", "p_ref", "p_cur"]
+        )
+
+    counts = (
+        ray.data.read_parquet(path, columns=["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Sum("p_ref", alias_name="n_ref"), Sum("p_cur", alias_name="n_cur"))
+        .to_pandas()
+    )
+    o_ref = counts["n_ref"].to_numpy(dtype=np.float64)
+    o_cur = counts["n_cur"].to_numpy(dtype=np.float64)
+    nr, nc = o_ref.sum(), o_cur.sum()
+    grand = nr + nc
+    n_t = o_ref + o_cur
+    e_ref = n_t * nr / grand
+    e_cur = n_t * nc / grand
+    term = (o_ref - e_ref) ** 2 / e_ref + (o_cur - e_cur) ** 2 / e_cur
+    out = pd.DataFrame(
+        {
+            "event_type": counts["event_type"],
+            "n_ref": counts["n_ref"].astype("int64"),
+            "n_cur": counts["n_cur"].astype("int64"),
+            "chi2_term": np.round(term, 6),
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+TYPE_DRIFT_CHI2_SQL = """
+WITH bnds AS (SELECT epoch_us(min(ts)) AS mn, epoch_us(max(ts)) AS mx FROM events),
+mid AS (SELECT mn + (mx - mn) // 2 AS m FROM bnds),
+c AS (
+  SELECT event_type,
+         count(*) FILTER (epoch_us(ts) < m)  AS n_ref,
+         count(*) FILTER (epoch_us(ts) >= m) AS n_cur
+  FROM events, mid WHERE ts IS NOT NULL
+  GROUP BY event_type
+),
+tot AS (SELECT sum(n_ref) AS nr, sum(n_cur) AS nc, sum(n_ref) + sum(n_cur) AS grand FROM c),
+e AS (
+  SELECT event_type, n_ref, n_cur,
+         CAST(n_ref + n_cur AS DOUBLE) * nr / grand AS e_ref,
+         CAST(n_ref + n_cur AS DOUBLE) * nc / grand AS e_cur
+  FROM c, tot
+)
+SELECT event_type, n_ref, n_cur,
+       round((n_ref - e_ref) * (n_ref - e_ref) / e_ref
+             + (n_cur - e_cur) * (n_cur - e_cur) / e_cur, 6) AS chi2_term
+FROM e
+ORDER BY event_type
+"""

@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_diff": q.table_diff,
         "winsorize_events": q.winsorize_events,
         "value_drift_psi": q.value_drift_psi,
+        "type_drift_chi2": q.type_drift_chi2,
         "intersect_users": q.intersect_users,
         "except_users": q.except_users,
         "rollup_orders": q.rollup_orders,
@@ -330,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "exact_dedup": dp.exact_dedup,
         "ingest_dedup": dp.ingest_dedup,
+        "ann_recall": dp.ann_recall,
         "corpus_clean": dp.corpus_clean,
         "dedup_clusters": dp.dedup_clusters,
         "neardup_clean": dp.neardup_clean,
@@ -387,6 +389,7 @@ def oracle_sql() -> dict[str, str]:
         "table_diff": q.TABLE_DIFF_SQL,
         "winsorize_events": q.WINSORIZE_EVENTS_SQL,
         "value_drift_psi": q.VALUE_DRIFT_PSI_SQL,
+        "type_drift_chi2": q.TYPE_DRIFT_CHI2_SQL,
         "standardize_events": mlprep.STANDARDIZE_EVENTS_SQL,
         "target_encode_events": mlprep.TARGET_ENCODE_EVENTS_SQL,
         "ab_welch_ttest": mlprep.AB_WELCH_TTEST_SQL,

@@ -277,6 +277,7 @@ def run_bench() -> dict:
         "knn_cosine_filtered",
         "knn_cosine_ivf",
         "knn_cosine_pq",
+        "ann_recall",
         "embedding_neardup_lsh",
         "kmeans_embeddings",
         "semantic_dedup",
@@ -318,6 +319,7 @@ def run_bench() -> dict:
         "target_encode_events",
         "winsorize_events",
         "value_drift_psi",
+        "type_drift_chi2",
         "ab_welch_ttest",
         "skyline_orders",
         "user_value_trend",
