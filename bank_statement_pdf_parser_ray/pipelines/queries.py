@@ -3553,3 +3553,110 @@ SELECT event_type, n_ref, n_cur,
 FROM e
 ORDER BY event_type
 """
+
+
+def _mad_value(sf_dir: str, med: float) -> float:
+    """Median absolute deviation around ``med`` with percentile_cont
+    interpolation, by the same two-pass no-global-sort plan as
+    `_percentile_cont_values`, generalized to the DERIVED value
+    ``av = abs(value - med)``: the unit-bucket histogram buckets on
+    floor(av); the pruned re-read pushes down the pre-image of the
+    wanted av-buckets (two value ranges mirrored around the median,
+    widened one bucket each way so filter arithmetic can never disagree
+    with the in-memory floor(av) at a boundary ulp)."""
+    from ray.data.aggregate import Sum
+
+    path = f"{sf_dir}/events.parquet"
+    base_filter = pc.is_valid(pc.field("value"))
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        b = np.floor(np.abs(v - med)).astype(np.int64)
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(ub, pa.int64()), "p_n": pa.array(cnt, pa.int64())})
+
+    hist = (
+        ray.data.read_parquet(path, columns=["value"], filter=base_filter)
+        .map_batches(bucket_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Sum("p_n", alias_name="n"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    n = int(hist["n"].sum())
+    if n == 0:
+        raise ValueError("robust_zscore: no valid values")
+    cum = np.cumsum(hist["n"].to_numpy())
+    starts = cum - hist["n"].to_numpy()
+    buckets = hist["bucket"].to_numpy()
+    h = (n - 1) * 0.5
+    need = sorted(set(min(r, n - 1) for r in (int(np.floor(h)), int(np.floor(h)) + 1)))
+    bidx = np.searchsorted(cum, np.array(need), side="right")
+    want = sorted(set(int(buckets[i]) for i in bidx))
+    wmin, wmax = max(want[0] - 1, 0), want[-1] + 1
+    pre = (
+        (pc.field("value") >= float(med + wmin)) & (pc.field("value") < float(med + wmax + 1))
+    ) | ((pc.field("value") > float(med - wmax - 1)) & (pc.field("value") <= float(med - wmin)))
+    slice_v = (
+        ray.data.read_parquet(path, columns=["value"], filter=base_filter & pre)
+        .to_pandas()["value"]
+        .to_numpy()
+    )
+    av = np.abs(slice_v[~np.isnan(slice_v)] - med)
+    vals: dict[int, float] = {}
+    for b in want:
+        inb = np.sort(av[(av >= b) & (av < b + 1)])
+        off = int(starts[np.searchsorted(buckets, b)])
+        for r in need:
+            if off <= r < off + len(inb):
+                vals[r] = float(inb[r - off])
+    low = int(np.floor(h))
+    return vals[low] + (h - low) * (vals[min(low + 1, n - 1)] - vals[low])
+
+
+def robust_zscore(sf_dir: str) -> "ray.data.Dataset":
+    """Median/MAD robust standardization of event values — the
+    outlier-resistant sibling of `standardize_events` (mean/std breaks
+    down when the tail is exactly what you're hunting): robust_z =
+    (value - median) / (1.4826 · MAD). Two model-sized order-statistic
+    plans (median via the shared percentile engine, MAD via its
+    derived-value generalization `_mad_value`), then ONE vectorized
+    streaming map — no global sort anywhere. NULL propagates; a valid
+    NaN standardizes to NaN (both exactly as the SQL arithmetic)."""
+    med = _percentile_cont_values(sf_dir, [0.5])[0][0.5]
+    mad = _mad_value(sf_dir, med)
+    denom = 1.4826 * mad
+
+    def z(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "value": t.column("value"),
+                "robust_z": pa.array(
+                    np.round((v - med) / denom, 6),
+                    pa.float64(),
+                    mask=~pc.is_valid(t.column("value")).to_numpy(zero_copy_only=False),
+                ),
+            }
+        )
+
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"]).map_batches(
+        z, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+ROBUST_ZSCORE_SQL = """
+WITH m AS (
+  SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+  FROM events WHERE NOT isnan(value)
+),
+s AS (
+  SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(value - med)) AS mad
+  FROM events, m WHERE NOT isnan(value)
+)
+SELECT event_id, value,
+       round((value - med) / (1.4826 * mad), 6) AS robust_z
+FROM events, m, s
+"""

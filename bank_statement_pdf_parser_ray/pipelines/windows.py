@@ -1952,7 +1952,6 @@ FROM starts
 # --- exponential smoothing (EWMA) ------------------------------------------
 
 EWMA_ALPHA = 0.3
-_EWMA_BLOCK = 256  # (1-a)^-256 ~ 7e39: rescaled scan stays far from overflow
 
 
 def events_ewma(sf_dir: str) -> "ray.data.Dataset":
@@ -1964,17 +1963,21 @@ def events_ewma(sf_dir: str) -> "ray.data.Dataset":
     every later reading of that user, exactly as the oracle's weighted
     SUM does.
 
-    The recursion is sequential per user, but the kernel never loops
-    over rows OR users: within each shard the valid rows are scanned in
-    fixed 256-row blocks where the closed form
-    ``y_i = c^i*(y_0 + a*sum_j x_j*c^-j)`` turns the block into one
-    rescaled cumsum (the rescale is why blocks exist: ``c^-i`` overflows
-    past ~3000 rows, while ``c^-256`` is ~7e39). Each pass of the Python
-    loop advances EVERY user's run one block via segment-reset cumsums,
-    so the loop count is ceil(longest_single_user_history / 256) —
-    independent of user count, the dimension that actually grows at
-    100 TB. One user_id hash shuffle, same partitioning contract as the
-    rest of this module."""
+    The recursion is sequential per user, but the kernel loops over
+    neither rows nor users: a first-order linear recurrence is a
+    parallel prefix scan over (multiplier, addend) pairs, so the shard
+    advances by Hillis–Steele doubling — ceil(log2(rows)) vectorized
+    passes composing ``y_i = m·y_{i-d} + b``. Each run's first valid
+    row is an ABSORBING seed (m = 0, b = x), which both encodes
+    ``y_1 = x_1`` and guarantees no composition ever crosses a user
+    boundary: an element at in-run position q freezes (m = 0) once
+    d > q, and while d ≤ q the partner index stays inside the run by
+    construction. No rescaled closed form is involved — an earlier
+    blockwise ``x·c^-j`` cumsum variant lost ~1e-2 of precision to
+    cross-segment cancellation (caught by the forced-2-shard fuzz);
+    the scan's quantities all stay at the scale of y itself. One
+    user_id hash shuffle, same partitioning contract as the rest of
+    this module."""
 
     a = EWMA_ALPHA
     c = 1.0 - a
@@ -1990,38 +1993,20 @@ def events_ewma(sf_dir: str) -> "ray.data.Dataset":
         vidx = np.flatnonzero(valid)
         if len(vidx):
             x = val_s[vidx].astype(np.float64, copy=False)
-            first, run_start = _uid_runs(g.column("user_id").take(pa.array(vidx)))
-            m = len(x)
-            pos = np.arange(m)
-            q = pos - run_start  # 0-based position within the user's valid run
-            run_id = np.cumsum(first) - 1
-            y = np.empty(m)
-            # seeds: y = x at each run's first valid row
-            y[first] = x[first]
-            carry = x[first].copy()  # per-run state entering the next block
-            # recursion rows, re-indexed so block b covers q' in [b*K, (b+1)*K)
-            qq = q - 1
-            K = _EWMA_BLOCK
-            blk = qq // K
-            j = (qq % K + 1).astype(np.float64)  # 1-based position inside block
-            n_blocks = int(blk.max()) + 1 if m > len(carry) else 0
-            for b in range(n_blocks):
-                idx = np.flatnonzero(blk == b)
-                if len(idx) == 0:
-                    continue
-                rid = run_id[idx]
-                z = x[idx] * c ** (-j[idx])
-                cz = np.cumsum(z)
-                seg_first = np.ones(len(idx), dtype=bool)
-                seg_first[1:] = rid[1:] != rid[:-1]
-                start = np.maximum.accumulate(np.where(seg_first, np.arange(len(idx)), 0))
-                seg_cum = cz - cz[start] + z[start]
-                yb = c ** j[idx] * (carry[rid] + a * seg_cum)
-                y[idx] = yb
-                seg_last = np.ones(len(idx), dtype=bool)
-                seg_last[:-1] = seg_first[1:]
-                carry[rid[seg_last]] = yb[seg_last]
-            out[vidx] = np.round(y, 6)
+            first, _ = _uid_runs(g.column("user_id").take(pa.array(vidx)))
+            m_coef = np.where(first, 0.0, c)
+            b = np.where(first, x, a * x)
+            d = 1
+            while d < len(x):
+                m_prev = m_coef[:-d].copy()
+                b_prev = b[:-d].copy()
+                live = m_coef[d:] != 0.0  # frozen rows (incl. seeds) stay put
+                # 0 * NaN is NaN, so the frozen guard also stops a NaN
+                # poisoned run from leaking into the NEXT run's seed
+                b[d:] = np.where(live, b[d:] + m_coef[d:] * b_prev, b[d:])
+                m_coef[d:] = m_coef[d:] * m_prev
+                d *= 2
+            out[vidx] = np.round(b, 6)
         return pa.table(
             {
                 "event_id": g.column("event_id"),
@@ -2050,7 +2035,8 @@ e AS (
   SELECT a.user_id, a.event_id,
          sum(b.value * CASE WHEN b.p = 1 THEN power({1.0 - EWMA_ALPHA}, a.p - 1)
                             ELSE {EWMA_ALPHA} * power({1.0 - EWMA_ALPHA}, a.p - b.p) END) AS y
-  FROM v a JOIN v b ON a.user_id = b.user_id AND b.p <= a.p
+  FROM v a JOIN v b
+    ON a.user_id IS NOT DISTINCT FROM b.user_id AND b.p <= a.p
   GROUP BY a.user_id, a.event_id
 )
 SELECT ev.event_id, ev.user_id, ev.ts, round(e.y, 6) AS ewma

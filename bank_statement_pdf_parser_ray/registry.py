@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_events": q.winsorize_events,
         "value_drift_psi": q.value_drift_psi,
         "type_drift_chi2": q.type_drift_chi2,
+        "robust_zscore": q.robust_zscore,
         "intersect_users": q.intersect_users,
         "except_users": q.except_users,
         "rollup_orders": q.rollup_orders,
@@ -390,6 +391,7 @@ def oracle_sql() -> dict[str, str]:
         "winsorize_events": q.WINSORIZE_EVENTS_SQL,
         "value_drift_psi": q.VALUE_DRIFT_PSI_SQL,
         "type_drift_chi2": q.TYPE_DRIFT_CHI2_SQL,
+        "robust_zscore": q.ROBUST_ZSCORE_SQL,
         "standardize_events": mlprep.STANDARDIZE_EVENTS_SQL,
         "target_encode_events": mlprep.TARGET_ENCODE_EVENTS_SQL,
         "ab_welch_ttest": mlprep.AB_WELCH_TTEST_SQL,

@@ -320,6 +320,7 @@ def run_bench() -> dict:
         "winsorize_events",
         "value_drift_psi",
         "type_drift_chi2",
+        "robust_zscore",
         "ab_welch_ttest",
         "skyline_orders",
         "user_value_trend",

@@ -304,6 +304,10 @@ class TestRandomizedOracleParity:
         "full_outer_user_activity",
         "time_decay_agg",
         "events_gap_dedup",
+        "events_ewma",
+        "value_drift_psi",
+        "type_drift_chi2",
+        "robust_zscore",
     ]
 
     @pytest.mark.parametrize("seed", [1, 2, 3])
