@@ -5090,8 +5090,9 @@ def ann_recall(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2), k: int = 5) 
     drops to 0.4 recall poisons every downstream dedup/retrieval job).
 
     Runs the SAME query set through `knn_cosine` (exact ground truth),
-    `knn_cosine_lsh` (hyperplane LSH, multi-probe) and `knn_cosine_ivf`
-    (inverted-list coarse quantizer), then scores per-query set overlap
+    `knn_cosine_lsh` (hyperplane LSH, multi-probe), `knn_cosine_ivf`
+    (inverted-list coarse quantizer) and `knn_cosine_pq` (product
+    quantization with exact refine), then scores per-query set overlap
     recall = |approx ∩ exact| / k. All three legs are the existing
     distributed pipelines (broadcast query matrix, per-batch partial
     top-k, distributed merge) — the harness adds only a k-row-per-query
@@ -5103,6 +5104,7 @@ def ann_recall(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2), k: int = 5) 
     legs = {
         "recall_lsh": knn_cosine_lsh(sf_dir, query_ids, k).to_pandas(),
         "recall_ivf": knn_cosine_ivf(sf_dir, query_ids, k).to_pandas(),
+        "recall_pq": knn_cosine_pq(sf_dir, query_ids, k).to_pandas(),
     }
     truth = exact.groupby("query_id")["vec_id"].agg(set)
     out = pd.DataFrame({"query_id": sorted(int(q) for q in truth.index)})

@@ -2042,3 +2042,92 @@ e AS (
 SELECT ev.event_id, ev.user_id, ev.ts, round(e.y, 6) AS ewma
 FROM events ev LEFT JOIN e ON ev.event_id = e.event_id
 """
+
+
+def events_ohlc(sf_dir: str) -> "ray.data.Dataset":
+    """Per-(user, hour) OHLC resample — open/high/low/close of
+    ``value`` within each user's hourly bucket under the pinned
+    (ts, event_id) order, the classic time-series downsample feature.
+
+    One user_id hash shuffle; inside the shard every (user, hour)
+    group is a contiguous run of the (user, ts, event_id)-sorted rows,
+    so open/close are run-boundary picks and high/low are
+    ``np.maximum/minimum.reduceat`` over run starts — no Python loop
+    over groups. NULL values are excluded everywhere (a group of only
+    NULLs does not emit); NULL ts rows are excluded (no bucket). A
+    valid NaN follows the SQL three-way convention: it is the GREATEST
+    value (high = NaN when present, low picks the smallest real number
+    unless the group is all-NaN), and open/close report it verbatim
+    when it sits at the boundary."""
+
+    def ohlc(g: pa.Table) -> pa.Table:
+        g = g.filter(pc.and_(pc.is_valid(g.column("value")), pc.is_valid(g.column("ts"))))
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "hour": pa.array([], pa.timestamp("us")),
+                    "open": pa.array([], pa.float64()),
+                    "high": pa.array([], pa.float64()),
+                    "low": pa.array([], pa.float64()),
+                    "close": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        g = _sorted_shard(g)
+        ts = g.column("ts").cast(pa.int64()).to_numpy()
+        hour = (ts // US_PER_HOUR) * US_PER_HOUR
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        v = g.column("value").to_numpy(zero_copy_only=False)
+        n = len(v)
+        first = np.ones(n, dtype=bool)
+        first[1:] = (uid[1:] != uid[:-1]) | (hour[1:] != hour[:-1])
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], n) - 1
+        counts = np.append(starts[1:], n) - starts
+        is_nan = np.isnan(v)
+        # high: SQL max = NaN iff any NaN in the group, else true max
+        hi = np.maximum.reduceat(np.where(is_nan, -np.inf, v), starts)
+        any_nan = np.add.reduceat(is_nan.astype(np.int64), starts) > 0
+        hi = np.where(any_nan, np.nan, hi)
+        # low: SQL min skips NaN (NaN sorts greatest) unless all-NaN
+        lo = np.minimum.reduceat(np.where(is_nan, np.inf, v), starts)
+        all_nan = np.add.reduceat(is_nan.astype(np.int64), starts) == counts
+        lo = np.where(all_nan, np.nan, lo)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "hour": pa.array(hour[starts], pa.int64()).cast(pa.timestamp("us")),
+                "open": pa.array(v[starts], pa.float64()),
+                "high": pa.array(hi, pa.float64()),
+                "low": pa.array(lo, pa.float64()),
+                "close": pa.array(v[ends], pa.float64()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    return shard_map_groups(ds, ["user_id"], ohlc)
+
+
+EVENTS_OHLC_SQL = """
+WITH w AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour, value, ts, event_id
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, hour ORDER BY ts, event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id, hour ORDER BY ts DESC, event_id DESC) AS rrn
+  FROM w
+)
+SELECT user_id, hour,
+       max(CASE WHEN rn = 1 THEN value END)  AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rrn = 1 THEN value END) AS close,
+       count(*) AS n
+FROM r GROUP BY user_id, hour
+"""

@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_lead": w.events_lag_lead,
         "events_cumsum": w.events_cumsum,
         "events_ewma": w.events_ewma,
+        "events_ohlc": w.events_ohlc,
         "grouped_topk_events": w.grouped_topk_events,
         "user_value_quantiles": w.user_value_quantiles,
         "range_join_counts": w.range_join_counts,
@@ -404,6 +405,7 @@ def oracle_sql() -> dict[str, str]:
         "events_lag_lead": w.EVENTS_LAG_LEAD_SQL,
         "events_cumsum": w.EVENTS_CUMSUM_SQL,
         "events_ewma": w.EVENTS_EWMA_SQL,
+        "events_ohlc": w.EVENTS_OHLC_SQL,
         "grouped_topk_events": w.GROUPED_TOPK_EVENTS_SQL,
         "user_value_quantiles": w.USER_VALUE_QUANTILES_SQL,
         "range_join_counts": w.RANGE_JOIN_COUNTS_SQL,

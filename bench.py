@@ -208,6 +208,7 @@ def run_bench() -> dict:
         "events_lag_lead",
         "events_cumsum",
         "events_ewma",
+        "events_ohlc",
         "grouped_topk_events",
         "user_value_quantiles",
         "range_join_counts",

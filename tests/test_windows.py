@@ -305,6 +305,7 @@ class TestRandomizedOracleParity:
         "time_decay_agg",
         "events_gap_dedup",
         "events_ewma",
+        "events_ohlc",
         "value_drift_psi",
         "type_drift_chi2",
         "robust_zscore",
