@@ -66,6 +66,9 @@ class DedupIndexShard:
     def size(self) -> int:
         return len(self._seen)
 
+    def dump(self) -> list[bytes]:
+        return list(self._seen)
+
 
 def text_digests(texts: list[str | None]) -> list[bytes | None]:
     """md5 over UTF-8 text bytes — byte-identical to DuckDB ``md5(text)``
@@ -117,3 +120,41 @@ class DedupIndex:
 
     def size(self) -> int:
         return sum(ray.get([s.size.remote() for s in self.shards]))
+
+
+def snapshot_index(idx: DedupIndex, path: str) -> int:
+    """Persist the index as one parquet file of (shard, digest) rows —
+    the warm-restart complement to rebuild-from-manifests (a rebuild
+    re-hashes history; a snapshot restore is one columnar read).
+    Returns the digest count written. Atomic via write-then-rename so
+    a crashed snapshot never leaves a torn file."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    per = ray.get([s.dump.remote() for s in idx.shards])
+    shards = [i for i, ds in enumerate(per) for _ in ds]
+    digests = [d for ds in per for d in ds]
+    t = pa.table(
+        {
+            "shard": pa.array(shards, pa.int32()),
+            "digest": pa.array(digests, pa.binary(16)),
+        }
+    )
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+    return len(digests)
+
+
+def restore_index(path: str, n_shards: int = 8) -> DedupIndex:
+    """Rebuild a DedupIndex from a snapshot file. Digests re-route by
+    the CURRENT shard function, so a restore may change n_shards
+    freely (resharding is a read, not a migration)."""
+    import pyarrow.parquet as pq
+
+    idx = DedupIndex(n_shards=n_shards)
+    t = pq.read_table(path, columns=["digest"])
+    idx.add(t.column("digest").to_pylist())
+    return idx

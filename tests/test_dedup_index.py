@@ -50,6 +50,22 @@ class TestDedupIndex:
         probe = ["doc-7", "nope", "doc-0", "also-no", "doc-199"]
         assert idx.contains(text_digests(probe)) == [True, False, True, False, True]
 
+    def test_snapshot_restore_roundtrip(self, tmp_path):
+        from bank_statement_pdf_parser_ray.state.dedup_index import (
+            restore_index,
+            snapshot_index,
+        )
+
+        idx = DedupIndex(n_shards=4)
+        texts = [f"t-{i}" for i in range(57)]
+        idx.add(text_digests(texts))
+        p = str(tmp_path / "index.parquet")
+        assert snapshot_index(idx, p) == 57
+        # restore with a DIFFERENT shard count: resharding is a read
+        back = restore_index(p, n_shards=3)
+        assert back.size() == 57
+        assert back.contains(text_digests(["t-0", "t-56", "nope"])) == [True, True, False]
+
     def test_ingest_dedup_matches_set_algebra(self):
         from bank_statement_pdf_parser_ray.pipelines.datapipe import ingest_dedup
 
