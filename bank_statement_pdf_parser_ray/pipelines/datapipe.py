@@ -1053,6 +1053,12 @@ def dedup_clusters(
 
     SQL oracle: DuckDB recursive CTE computing the min reachable label
     (transitive closure over the symmetric edge set).
+
+    The pandas return is DIAGNOSTIC-ONLY (a query-registry endpoint:
+    n_docs label rows to the driver). The pipeline consumer is
+    ``neardup_clean``, which feeds the same converged label Dataset
+    straight into its keep-filter without ever materializing labels
+    driver-side.
     """
     from ray.data.aggregate import Sum
 
