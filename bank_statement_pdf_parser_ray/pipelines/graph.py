@@ -251,3 +251,66 @@ FROM nation n LEFT JOIN (
   ) GROUP BY v
 ) t ON t.v = n.n_nationkey
 """
+
+
+def nation_hops(sf_dir: str, source: int = 0) -> pd.DataFrame:
+    """BFS hop distance from ``source`` over the UNDIRECTED nation
+    trade graph — the reachability/radius primitive next to PageRank
+    and triangles (supply-chain distance between markets). Unreachable
+    nations are omitted, like the oracle's recursive closure.
+
+    Same two-level split as the rest of this module: the genuinely
+    wide step is the distributed edge build (``pagerank_edges``:
+    lineitem⋈orders coarse-shard cogroup, per-shard (src,dst)
+    pre-aggregation), after which the REDUCED edge set is model-sized
+    (≤ nations²) and the frontier iteration runs driver-side. At web
+    scale the driver leg becomes the standard iterated
+    frontier⋈edges distributed join (the label-propagation engine in
+    ``dedup_clusters`` is exactly that machinery with min-label
+    instead of min-hops); noted because this corpus's node set never
+    exceeds nations."""
+    edges = pagerank_edges(sf_dir)
+    adj: dict[int, set[int]] = {}
+    for s, d in zip(edges["src"].astype(int), edges["dst"].astype(int)):
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    dist = {int(source): 0}
+    frontier = [int(source)]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    nxt.append(v)
+        frontier = nxt
+    nation = _lut(sf_dir, "nation", "n_nationkey", "n_name")
+    nk = nation.column("n_nationkey").to_numpy().astype(np.int64)
+    names = nation.column("n_name").to_pylist()
+    rows = [(int(k), names[i], dist[int(k)]) for i, k in enumerate(nk) if int(k) in dist]
+    out = pd.DataFrame(rows, columns=["nation_key", "n_name", "hops"])
+    return out.sort_values("nation_key").reset_index(drop=True).astype(
+        {"nation_key": "int64", "hops": "int64"}
+    )
+
+
+NATION_HOPS_SQL = """
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey  = c.c_custkey
+  JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+),
+und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+bfs(nk, d) AS (
+  SELECT 0, 0
+  UNION
+  SELECT u.dst, b.d + 1 FROM bfs b JOIN und u ON u.src = b.nk WHERE b.d < 50
+)
+SELECT CAST(n.n_nationkey AS BIGINT) AS nation_key, n.n_name,
+       CAST(best.hops AS BIGINT) AS hops
+FROM (SELECT nk, min(d) AS hops FROM bfs GROUP BY nk) best
+JOIN nation n ON n.n_nationkey = best.nk
+ORDER BY nation_key
+"""

@@ -2139,3 +2139,97 @@ SELECT user_id, hour,
        count(*) AS n
 FROM r GROUP BY user_id, hour
 """
+
+
+def funnel_windowed(sf_dir: str) -> "ray.data.Dataset":
+    """Time-bounded funnel conversion — for every user, how many
+    purchases were preceded by a view of the SAME user within the
+    previous hour (strictly before: ``view.ts < purchase.ts`` and
+    ``view.ts >= purchase.ts - 1h``). The windowed sibling of
+    `user_funnel`, whose stages only had to be ordered, not close in
+    time — attribution windows are how real conversion metrics are
+    defined.
+
+    Per-shard kernel: views and purchases are pulled from the same
+    (user, ts)-sorted shard; each purchase answers its window with two
+    ``np.searchsorted`` probes against a composite ``(uid << 44) | rel_ts``
+    key over the VIEW subset (rel_ts spans < 2^44 µs ≈ 557 years,
+    asserted), with the window start clamped to the uid's own key block
+    so a probe can never leak into the previous user's tail. NULL-ts
+    rows belong to no window on either side; NULL-user purchases never
+    convert (SQL ``v.user_id = p.user_id`` semantics) but still count
+    in their NULL group."""
+
+    def fun(g: pa.Table) -> pa.Table:
+        g = g.filter(pc.is_valid(g.column("ts")))
+        g = _sorted_shard(g, keys=(("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")))
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_purchase": pa.array([], pa.int64()),
+                    "n_converted": pa.array([], pa.int64()),
+                }
+            )
+        et = g.column("event_type")
+        is_p = pc.equal(et, "purchase").to_numpy(zero_copy_only=False)
+        is_v = pc.equal(et, "view").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").cast(pa.int64()).to_numpy()
+        uid_valid = pc.is_valid(g.column("user_id")).to_numpy(zero_copy_only=False)
+        uid = pc.fill_null(g.column("user_id"), -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        rel = ts - ts.min()
+        assert rel.max() < (1 << 44), "ts span exceeds composite key budget"
+        key = (uid << np.int64(44)) | rel
+        vkey = key[is_v & uid_valid]  # NULL-user views can never match
+        p_idx = np.flatnonzero(is_p)
+        if len(p_idx) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_purchase": pa.array([], pa.int64()),
+                    "n_converted": pa.array([], pa.int64()),
+                }
+            )
+        kp = key[p_idx]
+        block_start = uid[p_idx] << np.int64(44)
+        lo = np.searchsorted(vkey, np.maximum(kp - US_PER_HOUR, block_start), side="left")
+        hi = np.searchsorted(vkey, kp, side="left")  # strict: view.ts < purchase.ts
+        conv = (hi > lo) & uid_valid[p_idx]
+        pu = g.column("user_id").take(pa.array(p_idx))
+        first, _ = _uid_runs(pu)
+        starts = np.flatnonzero(first)
+        return pa.table(
+            {
+                "user_id": pu.take(pa.array(starts)),
+                "n_purchase": pa.array(np.append(starts[1:], len(p_idx)) - starts, pa.int64()),
+                "n_converted": pa.array(np.add.reduceat(conv.astype(np.int64), starts), pa.int64()),
+            }
+        )
+
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    return shard_map_groups(ds, ["user_id"], fun)
+
+
+FUNNEL_WINDOWED_SQL = """
+WITH p AS (
+  SELECT user_id, ts, event_id FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL
+),
+v AS (
+  SELECT user_id, ts FROM events
+  WHERE event_type = 'view' AND ts IS NOT NULL
+),
+c AS (
+  SELECT p.user_id, p.event_id,
+         EXISTS (SELECT 1 FROM v
+                 WHERE v.user_id = p.user_id
+                   AND v.ts < p.ts
+                   AND v.ts >= p.ts - INTERVAL 1 HOUR) AS conv
+  FROM p
+)
+SELECT user_id, count(*) AS n_purchase,
+       coalesce(sum(CAST(conv AS BIGINT)), 0) AS n_converted
+FROM c GROUP BY user_id
+"""

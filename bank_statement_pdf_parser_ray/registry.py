@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cumsum": w.events_cumsum,
         "events_ewma": w.events_ewma,
         "events_ohlc": w.events_ohlc,
+        "funnel_windowed": w.funnel_windowed,
         "grouped_topk_events": w.grouped_topk_events,
         "user_value_quantiles": w.user_value_quantiles,
         "range_join_counts": w.range_join_counts,
@@ -239,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": dp.heavy_hitters,
         "count_min_freq": dp.count_min_freq,
         "pagerank_edges": gr.pagerank_edges,
+        "nation_hops": gr.nation_hops,
         "pagerank_nations": gr.pagerank_nations,
         "triangle_count": gr.triangle_count,
         "events_pivot": q.events_pivot,
@@ -379,6 +381,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hopping": w.EVENTS_HOPPING_SQL,
         "cross_join_sweep": q.CROSS_JOIN_SWEEP_SQL,
         "pagerank_edges": gr.PAGERANK_EDGES_SQL,
+        "nation_hops": gr.NATION_HOPS_SQL,
         "pagerank_nations": gr.PAGERANK_NATIONS_SQL,
         "triangle_count": gr.TRIANGLE_COUNT_SQL,
         "semi_join_customers": q.SEMI_JOIN_CUSTOMERS_SQL,
@@ -406,6 +409,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cumsum": w.EVENTS_CUMSUM_SQL,
         "events_ewma": w.EVENTS_EWMA_SQL,
         "events_ohlc": w.EVENTS_OHLC_SQL,
+        "funnel_windowed": w.FUNNEL_WINDOWED_SQL,
         "grouped_topk_events": w.GROUPED_TOPK_EVENTS_SQL,
         "user_value_quantiles": w.USER_VALUE_QUANTILES_SQL,
         "range_join_counts": w.RANGE_JOIN_COUNTS_SQL,

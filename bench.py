@@ -204,11 +204,13 @@ def run_bench() -> dict:
         "cross_join_sweep",
         "pagerank_nations",
         "triangle_count",
+        "nation_hops",
         "events_rolling",
         "events_lag_lead",
         "events_cumsum",
         "events_ewma",
         "events_ohlc",
+        "funnel_windowed",
         "grouped_topk_events",
         "user_value_quantiles",
         "range_join_counts",

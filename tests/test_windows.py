@@ -306,6 +306,7 @@ class TestRandomizedOracleParity:
         "events_gap_dedup",
         "events_ewma",
         "events_ohlc",
+        "funnel_windowed",
         "value_drift_psi",
         "type_drift_chi2",
         "robust_zscore",
