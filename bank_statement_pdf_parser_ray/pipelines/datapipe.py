@@ -5121,3 +5121,55 @@ def ann_recall(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2), k: int = 5) 
             for qid in out["query_id"]
         ]
     return out
+
+
+def minhash_eval(sf_dir: str, threshold: float = 0.8, sample: int = 256) -> pd.DataFrame:
+    """Candidate-quality gate for the MinHash-LSH dedup path — the
+    dedup sibling of `ann_recall`: recall and precision of
+    `minhash_candidates` against EXACT shingle-Jaccard ground truth on
+    a bounded, deterministic doc universe (doc_id < sample; all-pairs
+    truth is quadratic, which is exactly why it can only ever be an
+    eval-side computation). Recall is the number that matters — a
+    candidate pass that silently drops true near-dups poisons the
+    whole dedup story; precision of the PRE-verification candidates is
+    reported for band-tuning context (the verifier restores it to 1.0
+    by construction).
+
+    With 16 bands x 4 rows at J = 0.8 the theoretical candidate recall
+    is 1-(1-J^4)^16 ≈ 0.9998, so a healthy run reads 1.0 here. The
+    truth leg uses the SAME word-3-gram `_shingles` as the production
+    verifier — an eval against a different similarity definition would
+    measure nothing. Rows-only by design (the LSH leg is randomized by
+    its fixed permutation constants, not SQL-expressible)."""
+    import itertools
+
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["doc_id", "text"], filter=pc.field("doc_id") < sample
+    )
+    sh = {
+        int(i): _shingles(s)
+        for i, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+        if s is not None
+    }
+    ids = sorted(sh)
+    truth = set()
+    for a, b in itertools.combinations(ids, 2):
+        sa, sb = sh[a], sh[b]
+        inter = len(sa & sb)
+        if inter and inter / (len(sa) + len(sb) - inter) >= threshold:
+            truth.add((a, b))
+    cand = minhash_candidates(sf_dir).to_pandas()
+    in_universe = cand[(cand.doc_a < sample) & (cand.doc_b < sample)]
+    cpairs = set(zip(in_universe.doc_a.astype(int), in_universe.doc_b.astype(int)))
+    hit = len(cpairs & truth)
+    return pd.DataFrame(
+        {
+            "n_truth": [len(truth)],
+            "n_candidates": [len(cpairs)],
+            "n_hit": [hit],
+            "recall": [round(hit / len(truth), 6) if truth else 1.0],
+            "precision": [round(hit / len(cpairs), 6) if cpairs else 1.0],
+        }
+    )

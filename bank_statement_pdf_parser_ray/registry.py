@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": dp.exact_dedup,
         "ingest_dedup": dp.ingest_dedup,
         "ann_recall": dp.ann_recall,
+        "minhash_eval": dp.minhash_eval,
         "corpus_clean": dp.corpus_clean,
         "dedup_clusters": dp.dedup_clusters,
         "neardup_clean": dp.neardup_clean,

@@ -281,6 +281,7 @@ def run_bench() -> dict:
         "knn_cosine_ivf",
         "knn_cosine_pq",
         "ann_recall",
+        "minhash_eval",
         "embedding_neardup_lsh",
         "kmeans_embeddings",
         "semantic_dedup",

@@ -145,3 +145,22 @@ class TestEventsEwma:
         e = got.ewma.to_numpy()
         np.testing.assert_allclose(e[:2], [1.0, 1.3], atol=1e-9)
         assert np.isnan(e[2:]).all()
+
+
+class TestEvalGates:
+    def test_minhash_eval_full_recall_on_fixtures(self):
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import minhash_eval
+
+        r = minhash_eval("/root/testdata/sf0.001").iloc[0]
+        assert r.n_truth > 0  # the fixture plants near-dups
+        assert r.recall == 1.0  # 16x4 bands at J>=0.8: theoretical 0.9998
+        assert r.n_hit == r.n_truth
+
+    def test_ann_recall_reports_all_legs(self):
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import ann_recall
+
+        r = ann_recall("/root/testdata/sf0.001")
+        assert list(r.columns) == ["query_id", "recall_lsh", "recall_ivf", "recall_pq"]
+        assert len(r) == 3
+        assert (r[["recall_lsh", "recall_ivf", "recall_pq"]].to_numpy() >= 0).all()
+        assert (r[["recall_lsh", "recall_ivf", "recall_pq"]].to_numpy() <= 1).all()
