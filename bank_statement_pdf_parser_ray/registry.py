@@ -352,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_lsh": dp.knn_cosine_lsh,
         "knn_cosine_ivf": dp.knn_cosine_ivf,
         "knn_cosine_ivf_full": dp.knn_cosine_ivf_full,
+        "knn_cosine_ivf_indexed": dp.knn_cosine_ivf_indexed,
         "knn_cosine_pq": dp.knn_cosine_pq,
         "embedding_neardup_lsh": _embedding_neardup_lsh_checked,
         "kmeans_embeddings": cl.kmeans_embeddings,
@@ -543,6 +544,17 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": dp.EMBEDDING_NEARDUP_SQL,
         "knn_cosine_filtered": dp.KNN_COSINE_FILTERED_SQL,
         "hard_negatives": dp.HARD_NEGATIVES_SQL,
+        # knn_cosine_ivf_indexed at default full probe is exact over the
+        # persisted cell-partitioned layout -> same oracle as knn_cosine
+        "knn_cosine_ivf_indexed": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)), "
+            "s AS (SELECT q.qid AS query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS sim "
+            "      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid) "
+            "SELECT query_id, vec_id, rank FROM ("
+            "  SELECT query_id, vec_id, "
+            "         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank "
+            "  FROM s) WHERE rank <= 5"
+        ),
         # knn_cosine_ivf_full is exact (full probe) -> same oracle as knn_cosine
         "knn_cosine_ivf_full": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)), "

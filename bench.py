@@ -279,6 +279,7 @@ def run_bench() -> dict:
         "knn_cosine",
         "knn_cosine_filtered",
         "knn_cosine_ivf",
+        "knn_cosine_ivf_indexed",
         "knn_cosine_pq",
         "ann_recall",
         "minhash_eval",

@@ -164,3 +164,41 @@ class TestEvalGates:
         assert len(r) == 3
         assert (r[["recall_lsh", "recall_ivf", "recall_pq"]].to_numpy() >= 0).all()
         assert (r[["recall_lsh", "recall_ivf", "recall_pq"]].to_numpy() <= 1).all()
+
+
+class TestIvfIndexed:
+    def test_pruned_probe_matches_mask_variant_and_prunes(self):
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import (
+            knn_cosine_ivf,
+            knn_cosine_ivf_indexed,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        a = knn_cosine_ivf_indexed(sf, nprobe=2).to_pandas()
+        b = knn_cosine_ivf(sf, nprobe=2).to_pandas()
+        key = ["query_id", "vec_id", "rank"]
+        assert a.sort_values(key).reset_index(drop=True).equals(
+            b.sort_values(key).reset_index(drop=True)
+        )
+
+    def test_index_layout_prunes_files(self, tmp_path):
+        import os
+
+        import pyarrow.dataset as pads
+
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import vector_index_build
+
+        out = str(tmp_path / "ivf")
+        vector_index_build("/root/testdata/sf0.001", out, n_centroids=8)
+        cells = [d for d in os.listdir(out) if d.startswith("cell=")]
+        assert len(cells) >= 2  # partitioned layout actually split
+        # a 2-cell read touches only those directories' rows
+        full = pads.dataset(out, partitioning="hive").to_table(columns=["vec_id"]).num_rows
+        import pyarrow.compute as pc
+
+        two = (
+            pads.dataset(out, partitioning="hive")
+            .to_table(columns=["vec_id"], filter=pc.field("cell").isin([0, 1]))
+            .num_rows
+        )
+        assert 0 < two < full
