@@ -826,7 +826,7 @@ WITH c AS (
   FROM events WHERE event_type = 'purchase' GROUP BY user_id
 )
 SELECT coalesce(c.user_id, p.user_id) AS user_id, c.n_clicks, p.n_purchases
-FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+FROM c FULL OUTER JOIN p ON c.user_id IS NOT DISTINCT FROM p.user_id
 """
 
 
@@ -1103,7 +1103,12 @@ def _user_type_flag_sets(sf_dir: str, want_click: int, want_view: int) -> pd.Dat
     out = ds.to_pandas()
     if "user_id" not in out.columns:  # empty to_pandas loses columns
         out = pd.DataFrame({"user_id": pd.Series([], dtype="int64")})
-    out = out.astype({"user_id": "int64"})
+    # SQL set ops treat NULL = NULL, so a NULL-user row can legitimately
+    # survive the bit-pattern filter; pandas (like DuckDB's .df()) can
+    # only carry a NULL BIGINT as float64 NaN, so keep int64 only when
+    # the column is NULL-free (the shared driver tables always are).
+    if not out["user_id"].isna().any():
+        out = out.astype({"user_id": "int64"})
     return out.sort_values("user_id").reset_index(drop=True)
 
 
@@ -2287,8 +2292,11 @@ def key_skew_profile(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        uid, cnt = np.unique(t.column("user_id").to_numpy(zero_copy_only=False), return_counts=True)
-        return pa.table({"user_id": pa.array(uid, pa.int64()), "p_n": pa.array(cnt, pa.int64())})
+        # arrow group_by keeps NULL as ONE key (SQL GROUP BY semantics);
+        # np.unique would turn each NULL into a distinct float NaN and
+        # then fail the int64 cast.
+        g = t.select(["user_id"]).group_by(["user_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "p_n"])
 
     sizes = (
         _read(sf_dir, "events", ["user_id"])
@@ -2550,23 +2558,36 @@ def session_stats(sf_dir: str) -> pd.DataFrame:
     rows so the final exchange is O(blocks)."""
     GAP_US = 30 * 60 * 1_000_000
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        ts_us = g["ts"].astype("int64")
-        new_sess = (ts_us - ts_us.shift(1)).fillna(GAP_US + 1) > GAP_US
-        sid = new_sess.cumsum()
-        per = ts_us.groupby(sid).agg(["size", "min", "max"])
-        return pd.DataFrame(
+    def sessions(g: pa.Table) -> pa.Table:
+        # Arrow shard kernel (many whole users per shard): user-run
+        # boundaries are validity-aware so NULL users form ONE SQL-style
+        # partition; a session starts at a user boundary or a >30min gap,
+        # and within a session ts is sorted, so duration is a boundary
+        # pick — no per-group Python.
+        from bank_statement_pdf_parser_ray.pipelines.windows import _sorted_shard, _uid_runs
+
+        if g.num_rows == 0:
+            return pa.table(
+                {"n_events": pa.array([], pa.int64()), "dur_us": pa.array([], pa.int64())}
+            )
+        g = _sorted_shard(g)
+        first_u, _ = _uid_runs(g.column("user_id"))
+        ts_us = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+        new_sess = first_u.copy()
+        new_sess[1:] |= (ts_us[1:] - ts_us[:-1]) > GAP_US
+        starts = np.flatnonzero(new_sess)
+        ends = np.append(starts[1:], len(ts_us)) - 1
+        return pa.table(
             {
-                "n_events": per["size"].astype("int64"),
-                "dur_us": (per["max"] - per["min"]).astype("int64"),
+                "n_events": pa.array(np.append(starts[1:], len(ts_us)) - starts, pa.int64()),
+                "dur_us": pa.array(ts_us[ends] - ts_us[starts], pa.int64()),
             }
         )
 
-    per_sess = (
-        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
+    per_sess = shard_map_groups(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"]), ["user_id"], sessions
     )
 
     def moments(t: pa.Table) -> pa.Table:
@@ -2586,9 +2607,12 @@ def session_stats(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "n_sessions": pd.Series([k], dtype="int64"),
-            "avg_events": [round(float(m["sn"].sum()) / k, 6)],
+            # +1e-9 pushes exact-decimal .5 ties off the round boundary
+            # (Python rounds half-even on the decimal repr, DuckDB half
+            # away) — the module's EWMA convention, applied on BOTH sides
+            "avg_events": [round(float(m["sn"].sum()) / k + 1e-9, 6)],
             "max_events": pd.Series([int(m["mx"].max())], dtype="int64"),
-            "avg_dur_sec": [round(float(m["sd"].sum()) / k / 1000000.0, 6)],
+            "avg_dur_sec": [round(float(m["sd"].sum()) / k / 1000000.0 + 1e-9, 6)],
         }
     )
 
@@ -2613,9 +2637,9 @@ per AS (
   FROM sess GROUP BY user_id, session_id
 )
 SELECT CAST(count(*) AS BIGINT) AS n_sessions,
-       round(CAST(sum(n_events) AS DOUBLE) / count(*), 6) AS avg_events,
+       round(CAST(sum(n_events) AS DOUBLE) / count(*) + 1e-9, 6) AS avg_events,
        CAST(max(n_events) AS BIGINT) AS max_events,
-       round(CAST(sum(dur_us) AS DOUBLE) / count(*) / 1000000.0, 6) AS avg_dur_sec
+       round(CAST(sum(dur_us) AS DOUBLE) / count(*) / 1000000.0 + 1e-9, 6) AS avg_dur_sec
 FROM per
 """
 

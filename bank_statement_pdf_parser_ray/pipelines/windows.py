@@ -547,11 +547,14 @@ def range_join_counts(sf_dir: str) -> "ray.data.Dataset":
         key = _run_local_key(ts_s, run_start, US_PER_5MIN)
         lo = np.searchsorted(key, key - US_PER_5MIN, side="left")
         hi = np.searchsorted(key, key + US_PER_5MIN, side="right")
+        # _uid_runs groups NULL users into one run, but the oracle's
+        # b.user_id = a.user_id never matches NULL: those rows count 0.
+        uvalid = pc.is_valid(g.column("user_id")).to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "event_id": g.column("event_id"),
                 "user_id": g.column("user_id"),
-                "n_near": pa.array(hi - lo - 1, pa.int64()),
+                "n_near": pa.array(np.where(uvalid, hi - lo - 1, 0), pa.int64()),
             }
         )
 
@@ -2085,11 +2088,18 @@ def events_ohlc(sf_dir: str) -> "ray.data.Dataset":
         g = _sorted_shard(g)
         ts = g.column("ts").cast(pa.int64()).to_numpy()
         hour = (ts // US_PER_HOUR) * US_PER_HOUR
-        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        # Validity-aware boundary test (the _uid_runs idiom): a bare
+        # to_numpy on a NULL-bearing int column yields float NaN, and
+        # NaN != NaN would split every NULL user into singleton groups
+        # (then crash the int64 cast below). fill_null + is_valid keeps
+        # NULL users as ONE group per hour, like SQL GROUP BY.
+        uid_col = g.column("user_id")
+        uid = pc.fill_null(uid_col, 0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        uvalid = pc.is_valid(uid_col).to_numpy(zero_copy_only=False)
         v = g.column("value").to_numpy(zero_copy_only=False)
         n = len(v)
         first = np.ones(n, dtype=bool)
-        first[1:] = (uid[1:] != uid[:-1]) | (hour[1:] != hour[:-1])
+        first[1:] = (uid[1:] != uid[:-1]) | (uvalid[1:] != uvalid[:-1]) | (hour[1:] != hour[:-1])
         starts = np.flatnonzero(first)
         ends = np.append(starts[1:], n) - 1
         counts = np.append(starts[1:], n) - starts
@@ -2104,7 +2114,7 @@ def events_ohlc(sf_dir: str) -> "ray.data.Dataset":
         lo = np.where(all_nan, np.nan, lo)
         return pa.table(
             {
-                "user_id": pa.array(uid[starts], pa.int64()),
+                "user_id": uid_col.take(pa.array(starts, pa.int64())).combine_chunks(),
                 "hour": pa.array(hour[starts], pa.int64()).cast(pa.timestamp("us")),
                 "open": pa.array(v[starts], pa.float64()),
                 "high": pa.array(hi, pa.float64()),
@@ -2179,6 +2189,10 @@ def funnel_windowed(sf_dir: str) -> "ray.data.Dataset":
         uid = pc.fill_null(g.column("user_id"), -1).to_numpy(zero_copy_only=False).astype(np.int64)
         rel = ts - ts.min()
         assert rel.max() < (1 << 44), "ts span exceeds composite key budget"
+        # uid occupies the top 20 bits (incl. sign headroom): uid << 44
+        # wraps int64 silently at uid >= 2^19, which would corrupt vkey
+        # ordering — assert the budget like _run_local_key does.
+        assert uid.max() < (1 << 19), "user_id exceeds composite key budget"
         key = (uid << np.int64(44)) | rel
         vkey = key[is_v & uid_valid]  # NULL-user views can never match
         p_idx = np.flatnonzero(is_p)
@@ -2230,6 +2244,6 @@ c AS (
   FROM p
 )
 SELECT user_id, count(*) AS n_purchase,
-       coalesce(sum(CAST(conv AS BIGINT)), 0) AS n_converted
+       CAST(coalesce(sum(CAST(conv AS BIGINT)), 0) AS BIGINT) AS n_converted
 FROM c GROUP BY user_id
 """

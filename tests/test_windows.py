@@ -357,7 +357,14 @@ class TestRandomizedOracleParity:
         t = pa.table(
             {
                 "event_id": pa.array(np.arange(n), pa.int64()),
-                "user_id": pa.array(rng.integers(0, 4, n), pa.int64()),  # skewed few users
+                # skewed few users, plus ~6% NULL user_id so every
+                # kernel's validity-aware run-boundary path is exercised
+                # (r3 advice: events_ohlc crashed on NULL user_id because
+                # nothing here ever emitted one)
+                "user_id": pa.array(
+                    [None if m else int(u) for m, u in zip(rng.random(n) < 0.06, rng.integers(0, 4, n))],
+                    pa.int64(),
+                ),
                 "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
                 "event_type": pa.array(rng.choice(["purchase", "view", "click"], n)),
                 "value": pa.array(

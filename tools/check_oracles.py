@@ -60,6 +60,15 @@ def main() -> int:
             why = "" if ok else f"shape {got.shape} vs {exp.shape}"
             if ok:
                 for c in got.columns:
+                    # Driver-exact dtype gate: the driver's value hash is
+                    # representation-sensitive (int64 3 vs float64 3.0 hash
+                    # differently), so a post-canon dtype mismatch is a FAIL
+                    # here even when the values compare equal.  This is the
+                    # class that let funnel_windowed slip through in r3
+                    # (DuckDB sum(BIGINT) -> HUGEINT -> pandas float64).
+                    if got[c].dtype != exp[c].dtype:
+                        ok, why = False, f"dtype col {c}: engine {got[c].dtype} vs oracle {exp[c].dtype}"
+                        break
                     if pd.api.types.is_float_dtype(exp[c]):
                         ga = got[c].to_numpy(dtype=float)
                         ea = exp[c].to_numpy(dtype=float)
