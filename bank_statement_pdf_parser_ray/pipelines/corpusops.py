@@ -599,14 +599,34 @@ def _char_windows(
     return np.concatenate(idx_out), pa.concat_arrays(win_out)
 
 
-def _dup_window_set(sf_dir: str, min_docs: int) -> pa.Array:
+# Above this many hot-set bytes the broadcast representation stops
+# being model-sized (every worker heap pins the whole set); switch to
+# the hash-sharded actor service instead.  64 MiB is ~1.5M 40-char
+# windows — far above any test corpus, far below the corpus-scale hot
+# sets min_docs=2 can produce at 100 TB.
+DUP_WINDOW_BROADCAST_BUDGET = 64 << 20
+
+
+def _dup_window_set(sf_dir: str, min_docs: int, budget_bytes: int | None = None):
     """Pass 1: the global set of char windows present in >= ``min_docs``
     distinct documents (the Lee et al. 2022 duplicated-substring
     primitive at fixed window width). Same shuffle discipline as
     ``_frequent_passages``: per-batch distinct (doc, win) first, then a
-    pre-combined O(distinct windows x blocks) exchange; the hot set is
-    bounded above by total_windows / min_docs."""
+    pre-combined O(distinct windows x blocks) exchange.
+
+    Returns a membership PROBE (``contains(wins) -> bool ndarray``),
+    not a bare array: the docstring bound (total_windows / min_docs) is
+    honest but at 100 TB with min_docs=2 the hot set is not model-sized,
+    so above ``budget_bytes`` the set never reaches the driver — its
+    materialized blocks are sliced hash-wise into a ``WindowSetShard``
+    pool and pass 2 probes per-batch distinct windows over RPC.  Under
+    budget the probe is the plain broadcast + local ``pc.is_in`` of the
+    original design (zero per-batch RPC)."""
     from bank_statement_pdf_parser_ray.stages.agg import shard_aggregate
+    from bank_statement_pdf_parser_ray.state.window_set import BroadcastWinSet, ShardedWinSet
+
+    if budget_bytes is None:
+        budget_bytes = DUP_WINDOW_BROADCAST_BUDGET
 
     def partial(t: pa.Table) -> pa.Table:
         i, wins = _char_windows(t)
@@ -618,21 +638,32 @@ def _dup_window_set(sf_dir: str, min_docs: int) -> pa.Array:
         g = pa.TableGroupBy(d.select(["win"]), ["win"]).aggregate([([], "count_all")])
         return g.rename_columns(["win", "p_n"])
 
-    refs = shard_aggregate(
-        _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
-        ["win"],
-        [("p_n", "sum")],
-        ["win", "n"],
-    ).to_arrow_refs()
-    blocks = [b for b in ray.get(list(refs)) if b.num_rows > 0]  # ONE batched fetch, not a serial get per shard block
+    def hot_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("n"), pa.scalar(min_docs))).select(["win"])
+
+    mat = (
+        shard_aggregate(
+            _docs(sf_dir, ["text"]).map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ["win"],
+            [("p_n", "sum")],
+            ["win", "n"],
+        )
+        .map_batches(hot_only, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()  # the reduced hot set, NOT the corpus
+    )
+    if mat.size_bytes() > budget_bytes:
+        return ShardedWinSet.from_blocks(mat.to_arrow_refs())
+    blocks = [b for b in ray.get(list(mat.to_arrow_refs())) if b.num_rows > 0]
     if not blocks:
-        return pa.array([], pa.string())
-    tbl = pa.concat_tables(blocks)
-    hot = tbl.filter(pc.greater_equal(tbl.column("n"), pa.scalar(min_docs)))
-    return hot.column("win").combine_chunks()
+        return BroadcastWinSet(pa.array([], pa.string()))
+    return BroadcastWinSet(pa.concat_tables(blocks).column("win").combine_chunks())
 
 
-def dup_char_windows(sf_dir: str, min_docs: int = 2) -> "ray.data.Dataset":
+def dup_char_windows(
+    sf_dir: str, min_docs: int = 2, broadcast_budget_bytes: int | None = None
+) -> "ray.data.Dataset":
     """Per-document duplicated-substring statistics: for each doc with
     >= 1 full ``CHAR_WIN``-char window, the total window count and how
     many of those windows also occur in >= ``min_docs`` distinct
@@ -640,11 +671,11 @@ def dup_char_windows(sf_dir: str, min_docs: int = 2) -> "ray.data.Dataset":
     dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
     Models Better"), complementary to the word-level ``passage_dedup``.
 
-    100 TB shape: pass 1 broadcast set as in ``passage_dedup``; pass 2
-    never shuffles — each document lives in one row, so its per-doc
-    counts reduce inside the batch with two ``np.bincount`` calls."""
-    hot = _dup_window_set(sf_dir, min_docs)
-    bcast = ray.put(hot)
+    100 TB shape: pass 1 hot set probed via ``_dup_window_set`` (budget
+    -gated broadcast vs sharded actor service); pass 2 never shuffles —
+    each document lives in one row, so its per-doc counts reduce inside
+    the batch with two ``np.bincount`` calls."""
+    probe = _dup_window_set(sf_dir, min_docs, broadcast_budget_bytes)
 
     def stats(t: pa.Table) -> pa.Table:
         i, wins = _char_windows(t)
@@ -657,11 +688,7 @@ def dup_char_windows(sf_dir: str, min_docs: int = 2) -> "ray.data.Dataset":
         )
         if len(i) == 0:
             return empty
-        hot_set: pa.Array = ray.get(bcast)
-        if len(hot_set):
-            isdup = pc.is_in(wins, value_set=hot_set).to_numpy(zero_copy_only=False)
-        else:
-            isdup = np.zeros(len(i), dtype=bool)
+        isdup = probe.contains(wins)
         total = np.bincount(i, minlength=t.num_rows)
         dup = np.bincount(i, weights=isdup.astype(np.float64), minlength=t.num_rows)
         docs_with = np.flatnonzero(total > 0)
@@ -695,7 +722,9 @@ FROM w GROUP BY doc_id
 """
 
 
-def exact_substr_dedup(sf_dir: str, min_docs: int = 2) -> "ray.data.Dataset":
+def exact_substr_dedup(
+    sf_dir: str, min_docs: int = 2, broadcast_budget_bytes: int | None = None
+) -> "ray.data.Dataset":
     """The REMOVAL pass of character-level exact substring dedup (Lee
     et al. 2022, "Deduplicating Training Data Makes Language Models
     Better"): every full ``CHAR_WIN``-codepoint non-overlapping window
@@ -703,16 +732,17 @@ def exact_substr_dedup(sf_dir: str, min_docs: int = 2) -> "ray.data.Dataset":
     text; surviving windows plus the (< CHAR_WIN) tail are re-joined in
     order. Complements ``dup_char_windows`` (the measurement pass).
 
-    100 TB shape: pass 1 is the shared ``_dup_window_set`` broadcast
-    (pre-combined O(distinct windows x blocks) exchange, hot set
-    bounded by total_windows / min_docs); pass 2 never shuffles — each
+    100 TB shape: pass 1 is the shared ``_dup_window_set`` probe
+    (pre-combined O(distinct windows x blocks) exchange; broadcast
+    under the byte budget, hash-sharded actor probe above — min_docs=2
+    hot sets are NOT model-sized at corpus scale); pass 2 never
+    shuffles — each
     document is rebuilt inside its own batch with one lexsort + one
     ``pc.binary_join`` per batch, no per-row Python loop. The tail
     slice start varies per row, so rows are grouped by tail start and
     sliced one group per kernel call (<= max_doc_len / CHAR_WIN groups,
     same bound as the window loop)."""
-    hot = _dup_window_set(sf_dir, min_docs)
-    bcast = ray.put(hot)
+    probe = _dup_window_set(sf_dir, min_docs, broadcast_budget_bytes)
 
     def clean(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t.column("text")))  # oracle: WHERE text IS NOT NULL
@@ -731,11 +761,7 @@ def exact_substr_dedup(sf_dir: str, min_docs: int = 2) -> "ray.data.Dataset":
         if len(i) == 0:
             body = pa.array([""] * n_rows, pa.string())
         else:
-            hot_set: pa.Array = ray.get(bcast)
-            if len(hot_set):
-                dup = pc.is_in(wins, value_set=hot_set).to_numpy(zero_copy_only=False)
-            else:
-                dup = np.zeros(len(i), dtype=bool)
+            dup = probe.contains(wins)
             order = np.lexsort((slots, i))  # doc-major, slot order within doc
             keep_ord = ~dup[order]
             kept_src = order[keep_ord]  # indices into wins, in output order

@@ -203,6 +203,42 @@ class TestExactSubstrDedup:
         assert out["clean_text"].tolist() == ["x" * 45]
         assert out["removed_chars"].tolist() == [0]
 
+    def test_sharded_probe_matches_broadcast(self, tmp_path):
+        """budget=0 forces the over-budget path: the hot set never
+        reaches the driver, membership is answered by the hash-sharded
+        WindowSetShard pool — output must be IDENTICAL to the broadcast
+        path on a corpus mixing shared prefixes, within-doc repeats,
+        multibyte text, and sub-window docs."""
+        rng = np.random.default_rng(11)
+        shared = ["«π-prefix»" * 6, "Z" * 40, "common middle section padded to width!!!"]
+        texts = []
+        for i in range(30):
+            body = "".join(rng.choice(shared, size=rng.integers(0, 3)))
+            texts.append(body + f" unique suffix {i} " + "x" * int(rng.integers(0, 60)))
+        texts += [None, "tiny", shared[1] + shared[1]]
+        d = _write_docs(tmp_path, texts)
+        want = (
+            co.exact_substr_dedup(d)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        got = (
+            co.exact_substr_dedup(d, broadcast_budget_bytes=0)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+        wantc = co.dup_char_windows(d).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        gotc = (
+            co.dup_char_windows(d, broadcast_budget_bytes=0)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(gotc, wantc)
+
 
 class TestEpochPlan:
     def test_slots_and_epoch_independence(self, tmp_path):
