@@ -139,6 +139,24 @@ class TestEmbeddingOps:
         pairs = dp.embedding_neardup(planted_dir, threshold=0.9).to_pandas()
         assert (0, 1) in set(zip(pairs["vec_a"], pairs["vec_b"]))
 
+    def test_neardup_router_small_exact_large_lsh(self, planted_dir):
+        """One entry point, size-routed: under the broadcast budget the
+        router returns the EXACT kernel's pairs verbatim; with the
+        budget forced to 0 rows it engages the LSH composition, whose
+        output is a subset at the same τ and still recalls the planted
+        pair."""
+        exact = dp.embedding_neardup_exact(planted_dir, threshold=0.9).to_pandas()
+        routed_small = dp.embedding_neardup(planted_dir, threshold=0.9).to_pandas()
+        assert sorted(map(tuple, routed_small.values.tolist())) == sorted(
+            map(tuple, exact.values.tolist())
+        )
+        routed_large = dp.embedding_neardup(
+            planted_dir, threshold=0.9, max_broadcast_rows=0
+        ).to_pandas()
+        large_pairs = set(zip(routed_large["vec_a"], routed_large["vec_b"]))
+        assert large_pairs <= set(zip(exact["vec_a"], exact["vec_b"]))
+        assert (0, 1) in large_pairs
+
     def test_neardup_lsh_subset_and_recall(self, planted_dir):
         """The wired LSH->verify composition: output ⊆ the exact
         all-pairs result by construction, and the OR-construction
@@ -1263,6 +1281,39 @@ class TestSemanticDecontaminate:
         assert bool(out.loc[21, "contaminated"]) and out.loc[21, "benchmark_id"] == 7
         clean = out.drop([20, 21])
         assert not clean["contaminated"].any()
+
+    def test_sink_variant_streams_same_verdicts(self, tmp_path):
+        """write_semantic_decontaminate streams to parquet without a
+        driver collect; re-reading the sink must equal the DataFrame
+        contract form row-for-row."""
+        import pyarrow.parquet as pq
+
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import (
+            semantic_decontaminate,
+            write_semantic_decontaminate,
+        )
+
+        rng = np.random.default_rng(6)
+        vecs = rng.normal(size=(24, 16)).astype(np.float32)
+        vecs[22] = vecs[5]
+        emb = pa.table(
+            {
+                "vec_id": pa.array(range(24), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+                "label": pa.array([0] * 24, pa.int32()),
+            }
+        )
+        pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+        out_dir = str(tmp_path / "verdicts")
+        summary = write_semantic_decontaminate(str(tmp_path), out_dir, n_benchmark=16, threshold=0.9)
+        assert summary["rows"] == 8 and summary["files"] >= 1
+        import pyarrow.dataset as pads
+
+        sunk = (
+            pads.dataset(out_dir).to_table().to_pandas().sort_values("vec_id").reset_index(drop=True)
+        )
+        want = semantic_decontaminate(str(tmp_path), n_benchmark=16, threshold=0.9)
+        pd.testing.assert_frame_equal(sunk, want)
 
     def test_duplicate_benchmarks_tie_break_lowest_id(self, tmp_path):
         import pyarrow.parquet as pq
