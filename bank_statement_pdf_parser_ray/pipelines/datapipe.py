@@ -775,17 +775,21 @@ def _minhash_sigs_batch(texts: list[str]) -> np.ndarray:
       O(total_shingles) memory.
 
     Shingle identity differs from ``_shingles`` (numeric combine vs
-    joined-string blake2b) — irrelevant: band hashes only need to be a
+    joined-string blake2b) — band hashes only need to be a
     deterministic pure function of content so equal shingles collide
     across batches; exact-Jaccard verification (minhash_verified) keeps
-    using ``_shingles`` unchanged."""
+    using ``_shingles`` unchanged.  The word hash is the md5-prefix
+    ``_md5_word_hash`` and the tokenizer the RE2-exact
+    ``_SIMHASH_TOKEN_RX`` so the WHOLE signature/band computation can
+    be restated in ANSI SQL (the simhash playbook, r3 verdict next-#5
+    — this is what upgrades minhash_candidates to oracle-paired)."""
     k = _SHINGLE_K
-    words_per_doc = [_shingle_words(t) for t in texts]
+    words_per_doc = [_SIMHASH_TOKEN_RX.findall(t) for t in texts]
     lens = np.array([len(w) for w in words_per_doc], dtype=np.int64)
     flat = [w for ws in words_per_doc for w in ws]
     if flat:
         uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
-        uh = np.fromiter((stable_hash64(w) for w in uniq), dtype=np.uint64, count=len(uniq))
+        uh = np.fromiter((_md5_word_hash(w) for w in uniq), dtype=np.uint64, count=len(uniq))
         wh = uh[inv]
     else:
         wh = np.empty(0, dtype=np.uint64)
@@ -818,7 +822,7 @@ def _minhash_sigs_batch(texts: list[str]) -> np.ndarray:
     if len(small):
         # _shingles fallback semantics: a doc with < k words is one
         # whole-text shingle
-        xs = np.array([stable_hash64(texts[i]) for i in small], dtype=np.uint64)
+        xs = np.array([_md5_word_hash(texts[i]) for i in small], dtype=np.uint64)
         xs &= np.uint64(0x7FFFFFFF)
         vals = (xs[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) % np.uint64(_MH_PRIME)
         sig[small] = vals.astype(np.int64)
@@ -983,6 +987,69 @@ def minhash_candidates(sf_dir: str, bucket_cap: int = MINHASH_BUCKET_CAP) -> "ra
     return _pairs_by_bucket(
         ds, key_cols=["band_id", "band_hash"], id_col="doc_id", cap=bucket_cap, out_a="doc_a", out_b="doc_b"
     )
+
+
+def _minhash_candidates_sql() -> str:
+    """ANSI-SQL restatement of the ENTIRE minhash pipeline (tokenize ->
+    md5 word hash -> FNV shingle combine -> 64 Carter-Wegman perms ->
+    16x4 band fold -> star-capped bucket pairing), generated from the
+    same module constants the engine uses — the simhash playbook
+    applied to the full LSH composition.  uint64 wraparound is restated
+    as HUGEINT arithmetic mod 2^64 (every intermediate < 2^105, safely
+    inside HUGEINT), the 2^31 mask as % 2147483648."""
+    a_lit = ", ".join(str(int(a)) for a in _PERM_A)
+    b_lit = ", ".join(str(int(b)) for b in _PERM_B)
+    MIX, P64 = int(_SHINGLE_MIX), 1 << 64
+    return f"""
+WITH perms AS (
+  SELECT unnest(range(64)) AS perm,
+         unnest([{a_lit}]) AS a,
+         unnest([{b_lit}]) AS b
+), w AS (
+  SELECT doc_id, text,
+         list_transform(regexp_extract_all(text, '[^\\t\\n\\f\\r ]+'),
+                        s -> CAST(concat('0x', substr(md5(s), 1, 16)) AS UBIGINT)) AS wh
+  FROM documents WHERE text IS NOT NULL
+), si AS (
+  SELECT doc_id, wh, unnest(range(1, len(wh) - 1)) AS i
+  FROM w WHERE len(wh) >= 3
+), sx AS (
+  SELECT doc_id,
+         CAST((((((CAST(wh[i] AS HUGEINT) * {MIX}) % {P64}
+               + wh[i+1]) * {MIX}) % {P64}
+               + wh[i+2]) % {P64}) % 2147483648 AS UBIGINT) AS x
+  FROM si
+  UNION ALL
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substr(md5(text), 1, 16)) AS UBIGINT) % 2147483648 AS UBIGINT)
+  FROM w WHERE len(wh) < 3
+), sigs AS (
+  SELECT doc_id, perm,
+         CAST(min((x * CAST(a AS UBIGINT) + CAST(b AS UBIGINT)) % 2147483647) AS UBIGINT) AS lane
+  FROM sx CROSS JOIN perms GROUP BY doc_id, perm
+), l4 AS (
+  SELECT doc_id, CAST(perm // 4 AS INTEGER) AS band_id, list(lane ORDER BY perm) AS ls
+  FROM sigs GROUP BY doc_id, perm // 4
+), bh AS (
+  SELECT doc_id, band_id,
+         CAST((((((((CAST(ls[1] AS HUGEINT) * {MIX}) % {P64}
+               + ls[2]) * {MIX}) % {P64}
+               + ls[3]) * {MIX}) % {P64}
+               + ls[4]) % {P64}) // 2 AS BIGINT) AS band_hash
+  FROM l4
+), bkt AS (
+  SELECT band_id, band_hash, min(doc_id) AS rep, count(*) AS n
+  FROM bh GROUP BY band_id, band_hash
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bh a
+JOIN bh b ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+JOIN bkt k ON k.band_id = a.band_id AND k.band_hash = a.band_hash
+WHERE k.n <= {MINHASH_BUCKET_CAP} OR a.doc_id = k.rep
+"""
+
+
+MINHASH_CANDIDATES_SQL = _minhash_candidates_sql()
 
 
 class JaccardVerifier(_SelectiveDocReader):
@@ -2462,6 +2529,51 @@ def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
     regs = np.zeros(1 << HLL_P, dtype=np.uint8)
     regs[merged["register_id"].to_numpy()] = merged["rank"].to_numpy().astype(np.uint8)
     return pd.DataFrame({"approx_distinct": [int(round(_hll_estimate(regs)))]})
+
+
+def approx_distinct_users_checked(sf_dir: str, bound: float = 0.05) -> pd.DataFrame:
+    """HLL estimate pinned against the engine's own DISTRIBUTED exact
+    distinct count — the hard driver signal for the sketch (r3 verdict
+    next-#5): the oracle recomputes the exact count in SQL and asserts
+    the same ``hll_within_bound`` verdict, so a drifting sketch (or a
+    broken exact distinct) flips the hash. The estimate itself stays
+    engine-internal (not SQL-reproducible by nature); what crosses the
+    compare boundary is the exact count and the bounded-error claim.
+
+    Exact leg: per-batch distinct user_ids -> one pre-combined
+    hash exchange (shard_aggregate) -> count of surviving keys; the
+    shuffle moves O(distinct keys x blocks) rows, never raw events."""
+    from bank_statement_pdf_parser_ray.stages.agg import shard_aggregate
+
+    est = int(approx_distinct_users(sf_dir)["approx_distinct"].iloc[0])
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        ids = pc.unique(t.column("user_id").drop_null().combine_chunks())
+        return pa.table(
+            {"user_id": ids.cast(pa.int64()), "p": pa.array(np.ones(len(ids), np.int64))}
+        )
+
+    exact = shard_aggregate(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]).map_batches(
+            batch_distinct, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["user_id"],
+        [("p", "max")],
+        ["user_id", "p"],
+    ).count()
+    return pd.DataFrame(
+        {
+            "exact_distinct": pd.Series([exact], dtype="int64"),
+            "hll_within_bound": [abs(est - exact) / max(exact, 1) <= bound],
+        }
+    )
+
+
+APPROX_DISTINCT_USERS_CHECKED_SQL = """
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       true AS hll_within_bound
+FROM events
+"""
 
 
 def approx_quantiles_events(

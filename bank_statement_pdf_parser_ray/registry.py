@@ -275,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_mixture": dp.temperature_mixture,
         "prep_corpus": dp.prep_corpus,
         "approx_distinct_users": dp.approx_distinct_users,
+        "approx_distinct_users_checked": dp.approx_distinct_users_checked,
         "approx_distinct_per_type": dp.approx_distinct_per_type,
         "distinct_langs": q.distinct_langs,
         "json_props_sum": q.json_props_sum,
@@ -542,6 +543,10 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": dp.MIXTURE_SAMPLE_SQL,
         "corpus_clean": dp.CORPUS_CLEAN_SQL,
         "embedding_neardup": dp.EMBEDDING_NEARDUP_SQL,
+        "minhash_candidates": dp.MINHASH_CANDIDATES_SQL,
+        "approx_distinct_users_checked": dp.APPROX_DISTINCT_USERS_CHECKED_SQL,
+        "extract_links": co.EXTRACT_LINKS_SQL,
+        "host_stats": co.HOST_STATS_SQL,
         "knn_cosine_filtered": dp.KNN_COSINE_FILTERED_SQL,
         "hard_negatives": dp.HARD_NEGATIVES_SQL,
         # knn_cosine_ivf_indexed at default full probe is exact over the

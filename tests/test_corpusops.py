@@ -473,19 +473,31 @@ class TestExtractLinks:
         assert out["href"].tolist() == sorted(out["href"], key=lambda h: (-got[h][0], h))
 
     def test_corpus_runs(self):
-        out = co.extract_links("sf0.001")
+        import ray.data as rd
+
+        from bank_statement_pdf_parser_ray.sources.corpus import gen_corpus
+
+        out = co.links_histogram(rd.from_arrow(gen_corpus(30, seed=42, mega_turns=200)))
         assert len(out) > 0
         assert (out["n_links"] >= out["n_docs"]).all()
+
+    def test_documents_query_matches_synthesis(self):
+        out = co.extract_links("/root/testdata/sf0.001")
+        assert len(out) > 0
+        # every synthesized absolute href lands on one of the 7 hosts or /rel/
+        assert out["href"].str.match(r"^(https://h[0-6]\.example\.org/p[0-2]|/rel/\d+)$").all()
 
 
 class TestHostStats:
     """host_stats host lift + rollup vs a pure-Python urllib reference
     over planted absolute/relative/multi-host payloads."""
 
-    def test_matches_urllib_reference(self, monkeypatch):
+    def test_matches_urllib_reference(self):
         import re
         from collections import defaultdict
         from urllib.parse import urlparse
+
+        import ray.data as rd
 
         payloads = [
             '<a href="http://a.com/x">1</a> <a href="http://a.com/y">2</a>',
@@ -493,42 +505,34 @@ class TestHostStats:
             '<a href="http://a.com/x">dup</a> plain tail',
             '<a href="ftp://c.net">5</a> <a href="/rel/2">6</a> no more',
         ]
-
-        def fake_gen(n, seed, mega_turns):
-            n = len(payloads)
-            return pa.table(
+        n = len(payloads)
+        src = rd.from_arrow(
+            pa.table(
                 {
                     "conv_id": [f"c{i}" for i in range(n)],
-                    "turn_idx": pa.array(range(n), pa.int32()),
-                    "role": ["user"] * n,
                     "text": payloads,
-                    "tool": [""] * n,
-                    "ts": pa.array([0] * n, pa.timestamp("us")),
                 }
             )
-
-        import bank_statement_pdf_parser_ray.sources.corpus as corpus_mod
-
-        monkeypatch.setattr(corpus_mod, "gen_corpus", fake_gen)
-        out = co.host_stats("sf0.001")
+        )
+        out = co.host_histogram(src, doc_col="conv_id")
 
         links = defaultdict(int)
         docs = defaultdict(set)
+        paths = defaultdict(set)
         for i, p in enumerate(payloads):
             for m in re.finditer(r'href="([^"]*)"', p):
                 href = m.group(1)
                 host = urlparse(href).netloc if "://" in href else ""
                 links[host] += 1
                 docs[host].add(i)
-        got = {r["host"]: (r["n_links"], r["n_docs"]) for _, r in out.iterrows()}
-        assert got == {h: (n, len(docs[h])) for h, n in links.items()}
+                paths[host].add(href)
+        got = {r["host"]: (r["n_links"], r["n_docs"], r["n_paths"]) for _, r in out.iterrows()}
+        assert got == {h: (nl, len(docs[h]), len(paths[h])) for h, nl in links.items()}
         # ordering: links desc, host asc
         assert out["host"].tolist() == sorted(got, key=lambda h: (-got[h][0], h))
-        # min_paths is a lower bound on distinct hrefs and at least 1
-        assert (out["min_paths"] >= 1).all()
 
     def test_corpus_reconciles_with_links(self):
-        hosts = co.host_stats("sf0.001")
-        links = co.extract_links("sf0.001")
+        hosts = co.host_stats("/root/testdata/sf0.001")
+        links = co.extract_links("/root/testdata/sf0.001")
         assert hosts["n_links"].sum() == links["n_links"].sum()
         assert len(hosts) <= len(links)
