@@ -5,20 +5,28 @@ corpus is overwhelmingly JPEG — so the multimodal decode path
 (``MediaDecodeActor``) gets a real compressed format here rather than a
 stub: baseline sequential DCT, Huffman entropy coding, 8-bit precision.
 
-- ``decode_jpeg_luma(blob)`` decodes a baseline JFIF stream and returns
-  the luma plane as float32 in [0, 1]. Grayscale (1 component) and
-  YCbCr (3 components, any sampling factors up to 2x2 — 4:4:4 / 4:2:2
-  / 4:2:0) are supported; chroma blocks are entropy-decoded to keep the
-  bitstream aligned but skip the IDCT. Restart markers (DRI/RSTn) are
-  honored. Progressive (SOF2), arithmetic coding, and 12-bit precision
-  raise ``JpegUnsupported`` — callers treat that as "needs a codec lib".
+- ``decode_jpeg_luma(blob)`` decodes a baseline (SOF0/1) or PROGRESSIVE
+  (SOF2) JFIF stream and returns the luma plane as float32 in [0, 1].
+  Grayscale (1 component) and YCbCr (3 components, any sampling factors
+  up to 2x2 — 4:4:4 / 4:2:2 / 4:2:0) are supported; chroma blocks are
+  entropy-decoded to keep the bitstream aligned but skip the IDCT.
+  Restart markers (DRI/RSTn) are honored. Progressive covers both
+  spectral selection and successive approximation (T.81 G.1.2: DC
+  first/refine, AC first with EOBn runs, AC refinement with embedded
+  correction bits); progressive chroma AC scans are skipped whole
+  (each is its own entropy segment, so alignment is preserved).
+  Arithmetic coding and 12-bit precision raise ``JpegUnsupported`` —
+  callers treat that as "needs a codec lib".
 - ``encode_jpeg_gray(img, quality)`` emits a standards-valid grayscale
   baseline JPEG (Annex K quantization + Huffman tables, IJG quality
-  scaling). It exists so tests and the synthetic corpus can manufacture
-  REAL JPEG bytes deterministically; any external baseline decoder
-  reads its output.
+  scaling); ``encode_jpeg_gray_progressive`` emits the same quantized
+  coefficients as a 6-scan progressive stream (DC 2 passes, two AC
+  spectral bands x 2 successive-approximation passes), so progressive
+  decode is pinned BIT-IDENTICAL to baseline decode on the same input.
+  They exist so tests and the synthetic corpus can manufacture REAL
+  JPEG bytes deterministically; any external decoder reads the output.
 
-Everything is public knowledge: ITU-T T.81 (1992) Annexes F/K and the
+Everything is public knowledge: ITU-T T.81 (1992) Annexes F/G/K and the
 IJG quality-scaling formula. The DCT is the exact orthonormal DCT-II
 via an 8x8 cosine matrix (float64), applied to all blocks of an image
 in one einsum — the per-symbol Huffman loop is the only Python loop.
@@ -34,6 +42,7 @@ __all__ = [
     "JpegUnsupported",
     "decode_jpeg_luma",
     "encode_jpeg_gray",
+    "encode_jpeg_gray_progressive",
     "encode_jpeg_color420",
     "quant_table",
 ]
@@ -206,10 +215,11 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg_luma(blob: bytes) -> np.ndarray:
-    """Decode a baseline JPEG; return luma as float32 HxW in [0, 1].
+    """Decode a baseline or progressive JPEG; return luma as float32
+    HxW in [0, 1].
 
-    Raises ``JpegUnsupported`` for non-baseline streams and
-    ``ValueError`` for corrupt ones.
+    Raises ``JpegUnsupported`` for unsupported coding processes and
+    ``ValueError`` for corrupt streams.
     """
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
@@ -218,6 +228,8 @@ def decode_jpeg_luma(blob: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
     restart_interval = 0
     frame = None  # (h, w, comps) ; comps = [(cid, hs, vs, tq)]
+    progressive = False
+    prog = None  # _ProgState once the first progressive SOS is seen
     n = len(blob)
     while pos < n:
         if blob[pos] != 0xFF:
@@ -250,7 +262,7 @@ def decode_jpeg_luma(blob: bytes) -> np.ndarray:
                 vals = list(body[off + 17 : off + 17 + nv])
                 huff[(tc, th)] = _decode_lut(bits, vals)
                 off += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = body[0], struct.unpack_from(">H", body, 1)[0], struct.unpack_from(">H", body, 3)[0], body[5]
             if prec != 8:
                 raise JpegUnsupported(f"{prec}-bit precision")
@@ -259,7 +271,8 @@ def decode_jpeg_luma(blob: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * ci], body[7 + 3 * ci], body[8 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegUnsupported(f"SOF{marker - 0xC0} (non-baseline coding)")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
@@ -273,15 +286,28 @@ def decode_jpeg_luma(blob: bytes) -> np.ndarray:
                 cs, tt = body[1 + 2 * si], body[2 + 2 * si]
                 scan.append((comp_ids.index(cs), tt >> 4, tt & 0x0F))
             data_start = pos + seg_len
-            return _decode_scan(blob, data_start, frame, scan, qtabs, huff, restart_interval)
+            if not progressive:
+                return _decode_scan(blob, data_start, frame, scan, qtabs, huff, restart_interval)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            segments, end_pos = _split_entropy(blob, data_start)
+            if prog is None:
+                prog = _ProgState(frame)
+            prog.decode_scan(scan, ss, se, ah, al, segments, huff, restart_interval)
+            pos = end_pos
+            continue
         pos += seg_len
+    if progressive and prog is not None:
+        return prog.output(qtabs)
     raise ValueError("no SOS marker in stream")
 
 
-def _split_entropy(blob: bytes, start: int) -> list[bytes]:
+def _split_entropy(blob: bytes, start: int) -> tuple[list[bytes], int]:
     """Entropy-coded data from `start` to the next real marker, split on
     RSTn boundaries, with 0xFF00 byte stuffing removed — one de-stuffed
-    buffer per restart interval (one buffer total when DRI is unused)."""
+    buffer per restart interval (one buffer total when DRI is unused).
+    Also returns the byte position of the terminating marker so a
+    multi-scan (progressive) parse can continue from there."""
     segments: list[bytes] = []
     cur = bytearray()
     pos = start
@@ -303,7 +329,7 @@ def _split_entropy(blob: bytes, start: int) -> list[bytes]:
         else:  # any real marker ends the scan
             break
     segments.append(bytes(cur))
-    return segments
+    return segments, min(pos, n)
 
 
 def _decode_scan(blob, data_start, frame, scan, qtabs, huff, restart_interval):
@@ -312,7 +338,7 @@ def _decode_scan(blob, data_start, frame, scan, qtabs, huff, restart_interval):
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    segments = _split_entropy(blob, data_start)
+    segments, _ = _split_entropy(blob, data_start)
     # luma component geometry
     li = 0  # luma is always the first frame component
     lci, lhs, lvs = li, comps[li][1], comps[li][2]
@@ -346,7 +372,15 @@ def _decode_scan(blob, data_start, frame, scan, qtabs, huff, restart_interval):
                             zz[ZIGZAG] = coefs
                             luma_coefs[row * luma_bw + col] = zz * q[: len(q)]
             mcu += 1
-    # one vectorized IDCT over every luma block
+    # luma plane covers ceil(w*hs/hmax) x ceil(h*vs/vmax) source samples
+    lw = -(-w * lhs // hmax)
+    lh = -(-h * lvs // vmax)
+    return _idct_luma(luma_coefs, luma_bh, luma_bw, lh, lw)
+
+
+def _idct_luma(luma_coefs: np.ndarray, luma_bh: int, luma_bw: int, lh: int, lw: int) -> np.ndarray:
+    """(n_blocks, 64) DEQUANTIZED raster-order coefficients -> float32
+    luma plane in [0, 1] — one vectorized IDCT over every block."""
     blocks = luma_coefs.reshape(-1, 8, 8).astype(np.float64)
     # plain chained matmul keeps the contraction order pinned so the
     # rounded output is reproducible bit-for-bit across numpy builds
@@ -357,9 +391,6 @@ def _decode_scan(blob, data_start, frame, scan, qtabs, huff, restart_interval):
         .transpose(0, 2, 1, 3)
         .reshape(luma_bh * 8, luma_bw * 8)
     )
-    # luma plane covers ceil(w*hs/hmax) x ceil(h*vs/vmax) source samples
-    lw = -(-w * lhs // hmax)
-    lh = -(-h * lvs // vmax)
     return (img[:lh, :lw] / 255.0).astype(np.float32)
 
 
@@ -393,6 +424,219 @@ def _decode_block(reader: _BitReader, dsym, dlen, asym, alen) -> np.ndarray:
         out[k] = _extend(reader.get(s), s)
         k += 1
     return out
+
+
+# --- progressive decoder (T.81 Annex G.1.2) ----------------------------------
+
+
+class _ProgState:
+    """Cross-scan coefficient accumulator for progressive (SOF2) decode.
+
+    Stores QUANTIZED coefficients in zigzag order per component block;
+    each SOS merges its (spectral band, bit plane) contribution; the
+    IDCT runs once at EOI. Chroma coefficients are stored for DC scans
+    (interleaved DC must consume their bits to stay aligned) but chroma
+    AC scans are skipped whole — every progressive AC scan is single-
+    component with its own entropy segment, so skipping costs nothing.
+    """
+
+    def __init__(self, frame) -> None:
+        h, w, comps = frame
+        self.frame = frame
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        self.mcux = -(-w // (8 * self.hmax))
+        self.mcuy = -(-h // (8 * self.vmax))
+        self.coef: dict[int, np.ndarray] = {}
+        for ci, (_cid, hs, vs, _tq) in enumerate(comps):
+            self.coef[ci] = np.zeros((self.mcuy * vs * self.mcux * hs, 64), dtype=np.int64)
+        self.eobrun = 0
+
+    def _grid(self, ci: int) -> tuple[int, int]:
+        """Non-interleaved block grid (rows, cols) of one component:
+        ceil of the component's sample dims over 8 (T.81 A.2.2)."""
+        h, w, comps = self.frame
+        _, hs, vs, _ = comps[ci]
+        ch = -(-h * vs // self.vmax)
+        cw = -(-w * hs // self.hmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    def decode_scan(self, scan, ss, se, ah, al, segments, huff, ri) -> None:
+        if ss == 0:
+            if se != 0:
+                raise ValueError("progressive DC scan with Se != 0")
+            self._dc_scan(scan, ah, al, segments, huff, ri)
+        else:
+            if len(scan) != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            if scan[0][0] != 0:
+                return  # chroma AC never reaches the luma output
+            self._ac_scan(scan[0], ss, se, ah, al, segments, huff, ri)
+
+    # -- DC scans --------------------------------------------------------------
+
+    def _dc_block(self, reader, arr, idx, ci, dc_t, ah, al, preds, huff) -> None:
+        if ah == 0:
+            dsym, dlen = huff[(0, dc_t)]
+            p = reader.peek16()
+            ln = int(dlen[p])
+            if ln == 0:
+                raise ValueError("invalid DC Huffman prefix")
+            reader.skip(ln)
+            t = int(dsym[p])
+            preds[ci] += _extend(reader.get(t), t)
+            arr[idx, 0] = preds[ci] << al
+        else:  # refinement: one appended magnitude bit per block
+            arr[idx, 0] += reader.get(1) << al
+
+    def _dc_scan(self, scan, ah, al, segments, huff, ri) -> None:
+        h, w, comps = self.frame
+        preds = [0] * len(comps)
+        reader = _BitReader(segments[0])
+        seg_idx = 0
+        cnt = 0
+        if len(scan) > 1:  # interleaved: MCU grid, every scan component
+            for my in range(self.mcuy):
+                for mx in range(self.mcux):
+                    if ri and cnt and cnt % ri == 0:
+                        seg_idx += 1
+                        reader = _BitReader(segments[seg_idx])
+                        preds = [0] * len(comps)
+                    for ci, dc_t, _ in scan:
+                        _, hs, vs, _tq = comps[ci]
+                        bw = self.mcux * hs
+                        for by in range(vs):
+                            for bx in range(hs):
+                                idx = (my * vs + by) * bw + (mx * hs + bx)
+                                self._dc_block(reader, self.coef[ci], idx, ci, dc_t, ah, al, preds, huff)
+                    cnt += 1
+        else:  # single-component: the component's own (unpadded) grid
+            ci, dc_t, _ = scan[0]
+            bh_eff, bw_eff = self._grid(ci)
+            bw = self.mcux * comps[ci][1]
+            for byi in range(bh_eff):
+                for bxi in range(bw_eff):
+                    if ri and cnt and cnt % ri == 0:
+                        seg_idx += 1
+                        reader = _BitReader(segments[seg_idx])
+                        preds = [0] * len(comps)
+                    self._dc_block(reader, self.coef[ci], byi * bw + bxi, ci, dc_t, ah, al, preds, huff)
+                    cnt += 1
+
+    # -- AC scans --------------------------------------------------------------
+
+    def _ac_scan(self, sc, ss, se, ah, al, segments, huff, ri) -> None:
+        ci, _, ac_t = sc
+        asym, alen = huff[(1, ac_t)]
+        bh_eff, bw_eff = self._grid(ci)
+        bw = self.mcux * self.frame[2][ci][1]
+        arr = self.coef[ci]
+        reader = _BitReader(segments[0])
+        seg_idx = 0
+        self.eobrun = 0
+        cnt = 0
+        for byi in range(bh_eff):
+            for bxi in range(bw_eff):
+                if ri and cnt and cnt % ri == 0:
+                    seg_idx += 1
+                    reader = _BitReader(segments[seg_idx])
+                    self.eobrun = 0
+                row = arr[byi * bw + bxi]
+                if ah == 0:
+                    self._ac_first(reader, row, ss, se, al, asym, alen)
+                else:
+                    self._ac_refine(reader, row, ss, se, al, asym, alen)
+                cnt += 1
+
+    def _ac_first(self, reader, row, ss, se, al, asym, alen) -> None:
+        """G.1.2.2: first AC scan of a band — values at bit plane Al,
+        zero runs, ZRL, and EOBn end-of-band runs."""
+        if self.eobrun > 0:
+            self.eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            p = reader.peek16()
+            ln = int(alen[p])
+            if ln == 0:
+                raise ValueError("invalid AC Huffman prefix")
+            reader.skip(ln)
+            rs = int(asym[p])
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL: 16 zero coefficients
+                    k += 16
+                    continue
+                self.eobrun = (1 << r) - 1  # EOBn: this band + eobrun more
+                if r:
+                    self.eobrun += reader.get(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            row[k] = _extend(reader.get(s), s) << al
+            k += 1
+
+    def _ac_refine(self, reader, row, ss, se, al, asym, alen) -> None:
+        """G.1.2.3: AC successive-approximation refinement — newly
+        nonzero coefficients arrive as ±1<<Al; previously nonzero ones
+        take one embedded correction bit each, read in positional order
+        while walking runs and end-of-band spans."""
+        p1 = 1 << al
+        k = ss
+        if self.eobrun == 0:
+            while k <= se:
+                p = reader.peek16()
+                ln = int(alen[p])
+                if ln == 0:
+                    raise ValueError("invalid AC Huffman prefix")
+                reader.skip(ln)
+                rs = int(asym[p])
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r != 15:
+                        self.eobrun = 1 << r
+                        if r:
+                            self.eobrun += reader.get(r)
+                        break
+                    val = 0  # ZRL: span 16 zero-history coefficients
+                elif s == 1:
+                    val = p1 if reader.get(1) else -p1
+                else:
+                    raise ValueError("AC refinement magnitude > 1")
+                while k <= se:
+                    c = int(row[k])
+                    if c != 0:
+                        if reader.get(1) and (abs(c) & p1) == 0:
+                            row[k] = c + (p1 if c > 0 else -p1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val != 0 and k <= se:
+                    row[k] = val
+                k += 1
+        if self.eobrun > 0:
+            while k <= se:  # end-of-band span: correction bits only
+                c = int(row[k])
+                if c != 0:
+                    if reader.get(1) and (abs(c) & p1) == 0:
+                        row[k] = c + (p1 if c > 0 else -p1)
+                k += 1
+            self.eobrun -= 1
+
+    def output(self, qtabs) -> np.ndarray:
+        h, w, comps = self.frame
+        _, lhs, lvs, tq = comps[0]
+        zig = self.coef[0]
+        ras = np.zeros_like(zig)
+        ras[:, ZIGZAG] = zig
+        coefs = ras * qtabs[tq][None, :]
+        luma_bh, luma_bw = self.mcuy * lvs, self.mcux * lhs
+        lw = -(-w * lhs // self.hmax)
+        lh = -(-h * lvs // self.vmax)
+        return _idct_luma(coefs, luma_bh, luma_bw, lh, lw)
 
 
 # --- encoder (grayscale baseline) --------------------------------------------
@@ -539,6 +783,128 @@ def encode_jpeg_gray(img: np.ndarray, quality: int = 75, restart_interval: int =
             mcu += 1
     out += wtr.flush()
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _enc_ac_first(wtr: _BitWriter, band: np.ndarray, ac_codes) -> None:
+    """One block's first-scan band encode (values already point-
+    transformed): zero runs, ZRL, EOB0 for the trailing run."""
+    r = 0
+    for v in band:
+        v = int(v)
+        if v == 0:
+            r += 1
+            continue
+        while r >= 16:
+            c, ln = ac_codes[0xF0]
+            wtr.put(c, ln)
+            r -= 16
+        t, code = _magnitude(v)
+        c, ln = ac_codes[(r << 4) | t]
+        wtr.put(c, ln)
+        wtr.put(code, t)
+        r = 0
+    if r:
+        c, ln = ac_codes[0x00]  # EOB (run of 1 — no EOBn symbols needed)
+        wtr.put(c, ln)
+
+
+def _enc_ac_refine(wtr: _BitWriter, band: np.ndarray, al: int, ac_codes) -> None:
+    """One block's refinement-scan band encode (G.1.2.3 / libjpeg
+    encode_mcu_AC_refine shape): newly nonzero coefficients emit
+    (run, 1) + sign; previously nonzero ones buffer their correction
+    bit, flushed after the next emitted symbol so the decoder reads
+    them in positional order during its run/EOB walks."""
+    r = 0
+    br: list[int] = []
+    for v in band:
+        t = abs(int(v)) >> al
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            c, ln = ac_codes[0xF0]
+            wtr.put(c, ln)
+            r -= 16
+            for bit in br:
+                wtr.put(bit, 1)
+            br = []
+        if t > 1:  # previously nonzero: one correction bit
+            br.append(t & 1)
+            continue
+        c, ln = ac_codes[(r << 4) | 1]
+        wtr.put(c, ln)
+        wtr.put(1 if v > 0 else 0, 1)
+        for bit in br:
+            wtr.put(bit, 1)
+        br = []
+        r = 0
+    if r or br:
+        c, ln = ac_codes[0x00]
+        wtr.put(c, ln)
+        for bit in br:
+            wtr.put(bit, 1)
+
+
+def encode_jpeg_gray_progressive(img: np.ndarray, quality: int = 75) -> bytes:
+    """uint8 HxW grayscale -> PROGRESSIVE (SOF2) JFIF bytes carrying the
+    exact same quantized coefficients as ``encode_jpeg_gray``, so the
+    decoded output is pinned bit-identical to the baseline path.
+
+    Six scans exercise every progressive decode branch: DC first at
+    Al=1 + DC refinement; two spectral bands (1-5, 6-63) each as an
+    Al=1 first scan and an Ah=1->Al=0 refinement scan with embedded
+    correction bits."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8 or img.ndim != 2:
+        raise ValueError("encode_jpeg_gray_progressive wants a uint8 HxW array")
+    h, w = img.shape
+    q = quant_table(quality)
+    flat = _plane_blocks(img, q).reshape(-1, 64)
+    dc_codes = _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_codes = _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    zz_q = np.empty(64, dtype=np.uint8)
+    zz_q[:] = q[ZIGZAG]
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, b"\x00" + zz_q.tobytes())
+    out += _seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += _seg(0xC4, b"\x00" + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS))
+    out += _seg(0xC4, b"\x10" + bytes(_AC_LUMA_BITS) + bytes(_AC_LUMA_VALS))
+
+    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+        return _seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    # scan 1: DC first, point transform 1 (arithmetic shift per G.1.2.1)
+    wtr = _BitWriter()
+    pred = 0
+    for b in flat:
+        v = int(b[0]) >> 1
+        t, code = _magnitude(v - pred)
+        c, ln = dc_codes[t]
+        wtr.put(c, ln)
+        wtr.put(code, t)
+        pred = v
+    out += sos(0, 0, 0, 1) + wtr.flush()
+    # scan 2: DC refinement — one bit per block
+    wtr = _BitWriter()
+    for b in flat:
+        wtr.put(int(b[0]) & 1, 1)
+    out += sos(0, 0, 1, 0) + wtr.flush()
+    # scans 3-6: two spectral bands, first (Al=1) then refine (Al=0)
+    for ss, se in ((1, 5), (6, 63)):
+        wtr = _BitWriter()
+        for b in flat:
+            band = b[ss : se + 1]
+            sent = np.sign(band) * (np.abs(band) >> 1)  # toward-zero /2
+            _enc_ac_first(wtr, sent, ac_codes)
+        out += sos(ss, se, 0, 1) + wtr.flush()
+    for ss, se in ((1, 5), (6, 63)):
+        wtr = _BitWriter()
+        for b in flat:
+            _enc_ac_refine(wtr, b[ss : se + 1], 0, ac_codes)
+        out += sos(ss, se, 1, 0) + wtr.flush()
+    out += b"\xff\xd9"
     return bytes(out)
 
 

@@ -1887,11 +1887,12 @@ class MediaDecodeActor:
     binary PGM (P5), PPM (P6), 24-bit uncompressed BMP, and — via the
     from-scratch ``core.jpeg`` / ``core.png`` / ``core.gif`` codecs —
     baseline sequential JPEG (grayscale and YCbCr up to 2x2 sampling,
-    restart markers honored; luma plane out), non-interlaced 8-bit PNG
-    (all five color types, all five scanline filters, chunk CRCs
-    verified), and GIF87a/89a first frames (from-scratch variable-width
-    LZW, global/local palettes, interlace, extension skipping).
-    Formats still needing a codec library (WebP, progressive JPEG,
+    restart markers honored; luma plane out), PROGRESSIVE JPEG (SOF2
+    spectral selection + successive approximation, T.81 G.1.2),
+    non-interlaced 8-bit PNG (all five color types, all five scanline
+    filters, chunk CRCs verified), and GIF87a/89a first frames
+    (from-scratch variable-width LZW, global/local palettes, interlace,
+    extension skipping). Formats still needing a codec library (WebP,
     Adam7/16-bit PNG) fall back to a deterministic fake so the plumbing
     stays testable; a real deployment drops PIL/ffmpeg into
     `_decode_image`. Reported height/width are the SOURCE dims for real
@@ -2105,7 +2106,10 @@ def media_features(sf_dir: str) -> "ray.data.Dataset":
 
     def to_media(t: pa.Table) -> pa.Table:
         from bank_statement_pdf_parser_ray.core.gif import encode_gif_gray
-        from bank_statement_pdf_parser_ray.core.jpeg import encode_jpeg_gray
+        from bank_statement_pdf_parser_ray.core.jpeg import (
+            encode_jpeg_gray,
+            encode_jpeg_gray_progressive,
+        )
         from bank_statement_pdf_parser_ray.core.png import encode_png_gray
 
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
@@ -2122,9 +2126,10 @@ def media_features(sf_dir: str) -> "ray.data.Dataset":
             elif k == 1:
                 blobs.append(_synth_bmp(raster))
             elif k == 2:
-                blobs.append(
-                    encode_jpeg_gray(np.frombuffer(raster, np.uint8).reshape(48, 64), quality=35)
-                )
+                # odd ids arrive progressive (SOF2): both JPEG coding
+                # processes run through the driver query, not just tests
+                enc = encode_jpeg_gray_progressive if i & 1 else encode_jpeg_gray
+                blobs.append(enc(np.frombuffer(raster, np.uint8).reshape(48, 64), quality=35))
             elif k == 3:
                 blobs.append(encode_png_gray(np.frombuffer(raster, np.uint8).reshape(48, 64)))
             else:  # interlace on odd ids: covers the deinterlace path too
@@ -4675,11 +4680,20 @@ def _synth_image_blob(doc_id: int, text: str) -> bytes:
     (PNG/GIF/PGM are lossless and would match across formats anyway;
     JPEG is lossy and needs the same-format guarantee)."""
     raster = _synth_raster(doc_id, text)
-    fmt = hashlib.md5(raster).digest()[0] & 3
+    digest = hashlib.md5(raster).digest()
+    fmt = digest[0] & 3
     if fmt == 0:
-        from bank_statement_pdf_parser_ray.core.jpeg import encode_jpeg_gray
+        from bank_statement_pdf_parser_ray.core.jpeg import (
+            encode_jpeg_gray,
+            encode_jpeg_gray_progressive,
+        )
 
-        return encode_jpeg_gray(np.frombuffer(raster, np.uint8).reshape(48, 64), quality=35)
+        # half the JPEG slot arrives progressive (SOF2) — real web
+        # corpora mix coding processes; keyed on content so duplicated
+        # texts still share an encoding (both decode bit-identically,
+        # but the lossy same-format guarantee stays conservative)
+        enc = encode_jpeg_gray_progressive if digest[1] & 1 else encode_jpeg_gray
+        return enc(np.frombuffer(raster, np.uint8).reshape(48, 64), quality=35)
     if fmt == 1:
         from bank_statement_pdf_parser_ray.core.png import encode_png_gray
 

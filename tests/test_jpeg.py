@@ -88,13 +88,52 @@ class TestColor420:
         assert np.array_equal(a, b)
 
 
+class TestProgressive:
+    """SOF2 decode (spectral selection + successive approximation) is
+    pinned BIT-IDENTICAL to baseline decode: both encoders carry the
+    same quantized coefficients, so any decoder divergence — EOB runs,
+    ZRL spans, correction-bit order, DC point transform — flips a
+    pixel."""
+
+    @pytest.mark.parametrize("shape", [(48, 64), (33, 41), (8, 8), (17, 9)])
+    @pytest.mark.parametrize("quality", [20, 35, 75, 92])
+    def test_bit_parity_with_baseline(self, shape, quality):
+        from bank_statement_pdf_parser_ray.core.jpeg import encode_jpeg_gray_progressive
+
+        rng = np.random.default_rng(hash(shape) % 1000 + quality)
+        img = rng.integers(0, 256, shape, np.uint8)
+        base = decode_jpeg_luma(encode_jpeg_gray(img, quality))
+        prog = decode_jpeg_luma(encode_jpeg_gray_progressive(img, quality))
+        assert np.array_equal(base, prog)
+
+    def test_smooth_and_flat_images(self):
+        from bank_statement_pdf_parser_ray.core.jpeg import encode_jpeg_gray_progressive
+
+        grad = np.clip(np.add.outer(np.linspace(0, 200, 48), np.linspace(0, 255, 64)) / 2, 0, 255).astype(np.uint8)
+        flat = np.full((24, 24), 77, np.uint8)
+        for img in (grad, flat):
+            b = decode_jpeg_luma(encode_jpeg_gray(img, 50))
+            p = decode_jpeg_luma(encode_jpeg_gray_progressive(img, 50))
+            assert np.array_equal(b, p)
+
+    def test_is_actually_sof2(self):
+        from bank_statement_pdf_parser_ray.core.jpeg import encode_jpeg_gray_progressive
+
+        blob = encode_jpeg_gray_progressive(np.zeros((8, 8), np.uint8), 75)
+        assert b"\xff\xc2" in blob and b"\xff\xc0" not in blob
+        assert blob.count(b"\xff\xda") == 6  # six scans
+
+    def test_media_actor_decodes_progressive(self):
+        from bank_statement_pdf_parser_ray.core.jpeg import encode_jpeg_gray_progressive
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import MediaDecodeActor
+
+        img = (np.add.outer(np.arange(48), np.arange(64)) % 256).astype(np.uint8)
+        out = MediaDecodeActor._decode_image(encode_jpeg_gray_progressive(img, 90))
+        assert out is not None and out.shape == (48, 64)
+        assert np.abs(out * 255 - img).mean() < 3.0
+
+
 class TestDecoderGuards:
-    def test_progressive_raises_unsupported(self):
-        blob = bytearray(encode_jpeg_gray(np.zeros((8, 8), np.uint8), 75))
-        sof = bytes(blob).find(b"\xff\xc0")
-        blob[sof + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-        with pytest.raises(JpegUnsupported):
-            decode_jpeg_luma(bytes(blob))
 
     def test_not_a_jpeg_raises(self):
         with pytest.raises(ValueError):
