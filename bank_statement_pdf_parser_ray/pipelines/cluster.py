@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -182,25 +183,51 @@ def semantic_dedup(
             }
         )
 
-    def within_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["vec_id"].to_numpy(dtype=np.int64)
-        m = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+    def within_pairs(g: pa.Table) -> pa.Table:
+        # Arrow shard kernel: a shard holds MANY whole clusters; the
+        # per-cluster all-pairs matmul runs over contiguous runs of the
+        # cluster-sorted shard (cluster count is model-sized, so the
+        # per-run loop is bounded by k, not by rows).
+        empty = pa.table({"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        g = g.take(
+            pc.sort_indices(g, sort_keys=[("cluster_id", "ascending"), ("vec_id", "ascending")])
+        )
+        cid = g.column("cluster_id").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        m = _list_matrix(g.column("embedding")).astype(np.float64)
         m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-        sims = m @ m.T
-        ai, bj = np.nonzero(sims >= threshold)
-        keep = ids[ai] < ids[bj]
-        return pd.DataFrame(
+        n = len(cid)
+        first = np.ones(n, dtype=bool)
+        first[1:] = cid[1:] != cid[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], n)
+        a_out, b_out = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            sims = m[s:e] @ m[s:e].T
+            ai, bj = np.nonzero(sims >= threshold)
+            keep = ai < bj  # ids sorted asc within the run
+            a_out.append(ids[s:e][ai[keep]])
+            b_out.append(ids[s:e][bj[keep]])
+        if not a_out:
+            return empty
+        return pa.table(
             {
-                "vec_a": ids[ai][keep].astype("int64"),
-                "vec_b": ids[bj][keep].astype("int64"),
+                "vec_a": pa.array(np.concatenate(a_out), pa.int64()),
+                "vec_b": pa.array(np.concatenate(b_out), pa.int64()),
             }
         )
 
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return (
-        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096)
-        .groupby("cluster_id")
-        .map_groups(within_pairs, batch_format="pandas")
+    return shard_map_groups(
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096),
+        ["cluster_id"],
+        within_pairs,
     )
 
 
@@ -239,16 +266,38 @@ def cluster_sample(
             }
         )
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(m)
+    def merge(g: pa.Table) -> pa.Table:
+        # Arrow shard kernel: sort by (cluster, -sim, vec_id), keep the
+        # first m rows of every cluster run — one pass, no per-group
+        # pandas.
+        n = g.num_rows
+        if n == 0:
+            return g
+        g = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[
+                    ("cluster_id", "ascending"),
+                    ("sim", "descending"),
+                    ("vec_id", "ascending"),
+                ],
+            )
+        )
+        cid = g.column("cluster_id").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        pos = np.arange(n)
+        first = np.ones(n, dtype=bool)
+        first[1:] = cid[1:] != cid[:-1]
+        keep = pos - np.maximum.accumulate(np.where(first, pos, 0)) < m
+        return g.filter(pa.array(keep))
 
-    out = (
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
+    out = shard_map_groups(
         ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096)
-        .groupby("cluster_id")
-        .map_groups(merge, batch_format="pandas")
-        .to_pandas()
-    )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096),
+        ["cluster_id"],
+        merge,
+    ).to_pandas()
     out["cluster_id"] = out["cluster_id"].astype("int64")
     out["vec_id"] = out["vec_id"].astype("int64")
     return out.sort_values(["cluster_id", "vec_id"]).reset_index(drop=True)

@@ -1516,18 +1516,53 @@ def _partial_table(out_q: list, out_v: list, out_s: list) -> pa.Table:
 
 
 def _knn_merge(cand: "ray.data.Dataset", k: int) -> pa.Table:
-    """The DISTRIBUTED exact merge shared by every kNN variant:
-    groupby(query_id).map_groups keeps only the true top-k per query, so
-    the driver receives k rows per query, never the candidate set
-    (tree-reduce shape; SCALE.md §8)."""
+    """The DISTRIBUTED exact merge shared by every kNN variant: one
+    query-hash exchange (shard_map_groups) keeps only the true top-k
+    per query, so the driver receives k rows per query, never the
+    candidate set (tree-reduce shape; SCALE.md §8). Arrow kernel: one
+    shard-wide sort by (query, -sim, vec_id), run-relative rank, mask
+    — many whole queries per call, no per-group pandas."""
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
 
-    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g["query_id"] != g["vec_id"]]
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k).reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
-        return g[["query_id", "vec_id", "rank"]]
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+        }
+    )
 
-    top = cand.groupby("query_id").map_groups(merge_topk, batch_format="pandas").to_pandas()
+    def merge_topk(g: pa.Table) -> pa.Table:
+        g = g.filter(pc.not_equal(g.column("query_id"), g.column("vec_id")))
+        n = g.num_rows
+        if n == 0:
+            return empty
+        g = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[
+                    ("query_id", "ascending"),
+                    ("sim", "descending"),
+                    ("vec_id", "ascending"),
+                ],
+            )
+        )
+        qid = g.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        pos = np.arange(n)
+        first = np.ones(n, dtype=bool)
+        first[1:] = qid[1:] != qid[:-1]
+        rank = pos - np.maximum.accumulate(np.where(first, pos, 0)) + 1
+        keep = rank <= k
+        g = g.filter(pa.array(keep))
+        return pa.table(
+            {
+                "query_id": g.column("query_id"),
+                "vec_id": g.column("vec_id"),
+                "rank": pa.array(rank[keep], pa.int64()),
+            }
+        )
+
+    top = shard_map_groups(cand, ["query_id"], merge_topk).to_pandas()
     top = top.sort_values(["query_id", "rank"]).reset_index(drop=True)
     return pa.Table.from_pandas(top, preserve_index=False)
 

@@ -1427,10 +1427,31 @@ def user_first_last(sf_dir: str) -> pd.DataFrame:
     ``map_groups`` then folds the per-block extremes, never the raw
     events."""
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"], kind="mergesort")
-        g = df.groupby("user_id", sort=False)
-        return pd.concat([g.head(1), g.tail(1)]).drop_duplicates()
+    def partial(t: pa.Table) -> pa.Table:
+        # Arrow run-boundary pick (r3 verdict #7: no pandas partials):
+        # sort the batch by (user, ts, event_id); each user-run's first
+        # and last rows are its local extremes.
+        n = t.num_rows
+        if n == 0:
+            return t
+        t = t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[
+                    ("user_id", "ascending"),
+                    ("ts", "ascending"),
+                    ("event_id", "ascending"),
+                ],
+            )
+        )
+        uid = t.column("user_id")
+        uv = pc.fill_null(uid, 0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        un = pc.is_valid(uid).to_numpy(zero_copy_only=False)
+        first = np.ones(n, dtype=bool)
+        first[1:] = (uv[1:] != uv[:-1]) | (un[1:] != un[:-1])
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], n) - 1
+        return t.take(pa.array(np.unique(np.concatenate([starts, ends])), pa.int64()))
 
     def fold(g: pa.Table) -> pa.Table:
         # whole-shard fold: sort by (user, ts, event_id); the run's
@@ -1480,7 +1501,7 @@ def user_first_last(sf_dir: str) -> pd.DataFrame:
     from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
 
     ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
-    parts = ds.map_batches(partial, batch_format="pandas", batch_size=8192)
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=8192)
     out = shard_map_groups(parts, ["user_id"], fold).to_pandas()
     out["user_id"] = out["user_id"].astype("int64")
     return out.sort_values("user_id").reset_index(drop=True)
