@@ -5275,7 +5275,14 @@ def ingest_dedup(sf_dir: str) -> "ray.data.Dataset":
 
     wave2 = _docs(sf_dir, ["doc_id", "text"])
     novel = wave2.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
-    return novel.groupby("text_md5").aggregate(Min("doc_id", alias_name="doc_id"))
+    # materialize BEFORE tearing the pool down: the probe closures in a
+    # lazy Dataset would re-execute against dead actors, and without a
+    # teardown every warm bench invocation leaks a live 8-actor pool
+    # (r3 advice). A production ingest keeps ONE long-lived index
+    # across waves and calls shutdown() at drain time instead.
+    out = novel.groupby("text_md5").aggregate(Min("doc_id", alias_name="doc_id")).materialize()
+    idx.shutdown()
+    return out
 
 
 INGEST_DEDUP_SQL = """
@@ -5447,8 +5454,19 @@ def knn_cosine_ivf_indexed(
     if not os.path.exists(done):
         import shutil
 
-        shutil.rmtree(base, ignore_errors=True)
-        vector_index_build(sf_dir, base, n_centroids)
+        # build-then-rename (the snapshot_index publish pattern): a
+        # concurrent process never sees a partial index and never has a
+        # directory it is reading rmtree'd out from under it (r3 advice)
+        tmp = f"{base}.build.{os.getpid()}_{int.from_bytes(os.urandom(4), 'big')}"
+        vector_index_build(sf_dir, tmp, n_centroids)
+        try:
+            os.rename(tmp, base)
+        except OSError:
+            if os.path.exists(done):  # another process published first
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:  # stale partial dir from a crashed run: replace it
+                shutil.rmtree(base, ignore_errors=True)
+                os.rename(tmp, base)
     cent_t = pq.read_table(done)
     cent = np.array(cent_t.column("centroid").to_pylist(), dtype=np.float64)
 
@@ -5486,6 +5504,14 @@ def knn_cosine_ivf_indexed(
         for f in sorted(os.listdir(d))
         if f.endswith(".parquet")
     ]
+    if not paths:  # every probed cell empty: no neighbors, not a crash
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
     ds = ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
     cand = ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096)
     return _knn_merge(cand, k)

@@ -121,6 +121,16 @@ class DedupIndex:
     def size(self) -> int:
         return sum(ray.get([s.size.remote() for s in self.shards]))
 
+    def shutdown(self) -> None:
+        """Kill the shard actors. Call once every probe that needs the
+        index has MATERIALIZED (a lazy Dataset holding a probe closure
+        would otherwise re-execute against dead actors); repeated
+        bench/warm runs that skip this leak one live pool per
+        invocation (r3 advice)."""
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
+
 
 def snapshot_index(idx: DedupIndex, path: str) -> int:
     """Persist the index as one parquet file of (shard, digest) rows —
