@@ -346,6 +346,12 @@ def run_bench() -> dict:
         "hard_negatives",
         "warc_ingest",
         "bucketed_join_revenue",
+        "extract_links",
+        "host_stats",
+        "approx_distinct_users_checked",
+        "ingest_dedup",
+        "user_first_last",
+        "session_stats",
     ]
     qtimes = {}
     for name in bench_queries:
