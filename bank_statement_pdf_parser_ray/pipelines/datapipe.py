@@ -1923,15 +1923,16 @@ class MediaDecodeActor:
     from-scratch ``core.jpeg`` / ``core.png`` / ``core.gif`` codecs —
     baseline sequential JPEG (grayscale and YCbCr up to 2x2 sampling,
     restart markers honored; luma plane out), PROGRESSIVE JPEG (SOF2
-    spectral selection + successive approximation, T.81 G.1.2),
-    non-interlaced 8-bit PNG (all five color types, all five scanline
-    filters, chunk CRCs verified), and GIF87a/89a first frames
-    (from-scratch variable-width LZW, global/local palettes, interlace,
-    extension skipping). Formats still needing a codec library (WebP,
-    Adam7/16-bit PNG) fall back to a deterministic fake so the plumbing
-    stays testable; a real deployment drops PIL/ffmpeg into
-    `_decode_image`. Reported height/width are the SOURCE dims for real
-    decodes, the target dims for the fake."""
+    spectral selection + successive approximation, T.81 G.1.2), PNG at
+    every legal depth (1/2/4/8/16-bit, all five color types, all five
+    scanline filters, Adam7 interlace, chunk CRCs verified), and
+    GIF87a/89a first frames (from-scratch variable-width LZW,
+    global/local palettes, interlace, extension skipping). Formats
+    still needing a codec library (WebP, compressed audio/video) fall
+    back to a deterministic fake so the plumbing stays testable; a
+    real deployment drops PIL/ffmpeg into `_decode_image`. Reported
+    height/width are the SOURCE dims for real decodes, the target dims
+    for the fake."""
 
     def __init__(self, target_size: tuple[int, int] = (32, 32)) -> None:
         self.target = target_size
@@ -1955,7 +1956,7 @@ class MediaDecodeActor:
             try:
                 return decode_png_luma(blob)
             except ValueError:
-                return None  # interlaced/16-bit or corrupt: codec-lib territory
+                return None  # corrupt stream: codec-lib territory
         if blob[:6] in (b"GIF87a", b"GIF89a"):
             from bank_statement_pdf_parser_ray.core.gif import decode_gif_luma
 
@@ -4730,9 +4731,16 @@ def _synth_image_blob(doc_id: int, text: str) -> bytes:
         enc = encode_jpeg_gray_progressive if digest[1] & 1 else encode_jpeg_gray
         return enc(np.frombuffer(raster, np.uint8).reshape(48, 64), quality=35)
     if fmt == 1:
-        from bank_statement_pdf_parser_ray.core.png import encode_png_gray
+        from bank_statement_pdf_parser_ray.core.png import (
+            encode_png_gray,
+            encode_png_gray_interlaced,
+        )
 
-        return encode_png_gray(np.frombuffer(raster, np.uint8).reshape(48, 64))
+        # half the PNG slot arrives Adam7-interlaced (content-keyed,
+        # lossless — the deinterlace scatter runs through the driver
+        # query, not just unit tests)
+        enc = encode_png_gray_interlaced if digest[2] & 1 else encode_png_gray
+        return enc(np.frombuffer(raster, np.uint8).reshape(48, 64))
     if fmt == 2:
         from bank_statement_pdf_parser_ray.core.gif import encode_gif_gray
 

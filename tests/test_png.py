@@ -114,7 +114,7 @@ class TestRejection:
         with pytest.raises(ValueError):
             decode_png_luma(bytes(blob))
 
-    def test_interlaced_unsupported(self):
+    def test_truncated_interlaced_stream_rejected(self):
         ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
         blob = (
             b"\x89PNG\r\n\x1a\n"
@@ -122,18 +122,18 @@ class TestRejection:
             + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
             + _chunk(b"IEND", b"")
         )
-        with pytest.raises(PngUnsupported):
+        with pytest.raises(ValueError):  # 2x2 Adam7 needs 4 passes of bytes
             decode_png_luma(blob)
 
-    def test_16bit_unsupported(self):
-        ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    def test_illegal_depth_for_color_type_rejected(self):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)  # 4-bit RGB: illegal
         blob = (
             b"\x89PNG\r\n\x1a\n"
             + _chunk(b"IHDR", ihdr)
             + _chunk(b"IDAT", zlib.compress(bytes(10)))
             + _chunk(b"IEND", b"")
         )
-        with pytest.raises(PngUnsupported):
+        with pytest.raises(ValueError):
             decode_png_luma(blob)
 
     def test_bad_signature_and_truncation(self):
@@ -152,14 +152,60 @@ class TestActorWiring:
         assert out is not None and out.shape == (48, 64)
         assert np.array_equal((out * 255).round().astype(np.uint8), img)
 
-    def test_interlaced_falls_back_to_fake_path(self):
+    def test_corrupt_interlaced_falls_back_to_fake_path(self):
         from bank_statement_pdf_parser_ray.pipelines.datapipe import MediaDecodeActor
 
         ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
-        blob = (
+        blob = (  # interlace flag set but stream holds one pass's bytes
             b"\x89PNG\r\n\x1a\n"
             + _chunk(b"IHDR", ihdr)
             + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
             + _chunk(b"IEND", b"")
         )
         assert MediaDecodeActor._decode_image(blob) is None
+
+    def test_actor_decodes_interlaced_and_16bit(self):
+        from bank_statement_pdf_parser_ray.core.png import (
+            encode_png_gray16,
+            encode_png_gray_interlaced,
+        )
+        from bank_statement_pdf_parser_ray.pipelines.datapipe import MediaDecodeActor
+
+        img = _rng_img(48, 64, seed=5)
+        out = MediaDecodeActor._decode_image(encode_png_gray_interlaced(img))
+        assert out is not None and np.array_equal((out * 255).round().astype(np.uint8), img)
+        img16 = (img.astype(np.uint16) << 8) | 0x7F
+        out16 = MediaDecodeActor._decode_image(encode_png_gray16(img16))
+        assert out16 is not None and np.allclose(out16, img16.astype(np.float32) / 65535.0)
+
+
+class TestExtendedDepths:
+    """Round 4: every legal (depth, interlace) combination decodes
+    LOSSLESS against the source raster via the fixture encoders."""
+
+    @pytest.mark.parametrize("shape", [(48, 64), (33, 41), (1, 1), (7, 3), (9, 16)])
+    def test_adam7_lossless(self, shape):
+        from bank_statement_pdf_parser_ray.core.png import encode_png_gray_interlaced
+
+        img = _rng_img(*shape, seed=shape[0])
+        out = decode_png_luma(encode_png_gray_interlaced(img))
+        assert np.array_equal(out, img.astype(np.float32) / 255.0)
+
+    @pytest.mark.parametrize("shape", [(48, 64), (33, 41), (7, 3)])
+    def test_16bit_lossless(self, shape):
+        from bank_statement_pdf_parser_ray.core.png import encode_png_gray16
+
+        rng = np.random.default_rng(shape[1])
+        img = rng.integers(0, 65536, shape).astype(np.uint16)
+        out = decode_png_luma(encode_png_gray16(img))
+        assert np.allclose(out, img.astype(np.float32) / 65535.0)
+
+    @pytest.mark.parametrize("depth", [1, 2, 4])
+    @pytest.mark.parametrize("shape", [(48, 64), (5, 13)])
+    def test_subbyte_lossless(self, depth, shape):
+        from bank_statement_pdf_parser_ray.core.png import encode_png_gray_depth
+
+        rng = np.random.default_rng(depth * 10 + shape[1])
+        img = rng.integers(0, 1 << depth, shape).astype(np.uint8)
+        out = decode_png_luma(encode_png_gray_depth(img, depth))
+        assert np.array_equal(out, img.astype(np.float32) / ((1 << depth) - 1))
