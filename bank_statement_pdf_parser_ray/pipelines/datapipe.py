@@ -2108,6 +2108,28 @@ def warc_ingest(sf_dir: str) -> "ray.data.Dataset":
     return read_warc(files)
 
 
+# The whole synth -> WARC -> parse -> strip round trip is DuckDB-
+# checkable because every derived value is a pure function of the
+# documents row: the URL embeds (source, doc_id), the response
+# record-id is 'resp-' + md5(url), doc_id is the top-63 bits of
+# md5('<urn:uuid:' || rid || '>'), and the boilerplate strip recovers
+# the escaped body text losslessly. A drifting record-id convention,
+# HTTP split, gzip framing, or strip regression all flip the hash.
+WARC_INGEST_SQL = """
+WITH u AS (
+  SELECT doc_id AS orig_id, coalesce(text, '') AS text,
+         'https://example.org/' || source || '/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+)
+SELECT CAST(CAST(concat('0x', substr(md5('<urn:uuid:resp-' || md5(url) || '>'), 1, 16)) AS UBIGINT) >> 1 AS BIGINT) AS doc_id,
+       url,
+       'text/html' AS content_type,
+       text,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM u
+"""
+
+
 def _synth_bmp(raster: bytes) -> bytes:
     """Minimal 24-bit uncompressed BMP (bottom-up rows, 4-byte stride
     padding) of the 48x64 document raster."""
@@ -5068,6 +5090,61 @@ def approx_distinct_per_type(sf_dir: str) -> pd.DataFrame:
         out_t.append(None if pd.isna(tv) else tv)
         out_n.append(int(round(_hll_estimate(regs))))
     return pd.DataFrame({"event_type": out_t, "approx_distinct": np.array(out_n, dtype=np.int64)})
+
+
+def approx_distinct_per_type_checked(sf_dir: str, bound: float = 0.05) -> pd.DataFrame:
+    """The keyed HLL's hard driver signal (the
+    ``approx_distinct_users_checked`` playbook per group): every
+    group's sketch estimate pinned against the engine's own exact
+    per-key distinct (one pre-combined distinct-pair exchange), with
+    the oracle recomputing the exact counts and the bounded-error
+    verdicts in SQL. NULL event_type forms its own group; its flag
+    rides the same row."""
+    est = approx_distinct_per_type(sf_dir).set_index("event_type")["approx_distinct"]
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("user_id")))
+        g = pa.TableGroupBy(t.select(["event_type", "user_id"]), ["event_type", "user_id"]).aggregate([])
+        return g.rename_columns(["event_type", "user_id"])
+
+    def count_shard(g: pa.Table) -> pa.Table:
+        d = pa.TableGroupBy(g, ["event_type", "user_id"]).aggregate([])
+        c = pa.TableGroupBy(d, ["event_type"]).aggregate([([], "count_all")])
+        return c.rename_columns(["event_type", "exact_distinct"])
+
+    from bank_statement_pdf_parser_ray.stages.agg import shard_aggregate, shard_map_groups
+
+    # shard on event_type so a shard holds whole groups; in-shard pair
+    # distinct is then globally exact
+    exact = (
+        shard_map_groups(
+            ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+            .map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True),
+            ["event_type"],
+            count_shard,
+        )
+        .to_pandas()
+        .set_index("event_type")["exact_distinct"]
+    )
+    out = pd.DataFrame(
+        {
+            "event_type": exact.index,
+            "exact_distinct": exact.to_numpy().astype("int64"),
+            "hll_within_bound": [
+                abs(int(est.get(tv, 0)) - int(n)) / max(int(n), 1) <= bound
+                for tv, n in exact.items()
+            ],
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+APPROX_DISTINCT_PER_TYPE_CHECKED_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       true AS hll_within_bound
+FROM events GROUP BY event_type
+"""
 
 
 def neardup_clean(sf_dir: str, threshold: float = 0.8) -> "ray.data.Dataset":

@@ -277,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": dp.approx_distinct_users,
         "approx_distinct_users_checked": dp.approx_distinct_users_checked,
         "approx_distinct_per_type": dp.approx_distinct_per_type,
+        "approx_distinct_per_type_checked": dp.approx_distinct_per_type_checked,
         "distinct_langs": q.distinct_langs,
         "json_props_sum": q.json_props_sum,
         # text analysis
@@ -545,6 +546,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": dp.EMBEDDING_NEARDUP_SQL,
         "minhash_candidates": dp.MINHASH_CANDIDATES_SQL,
         "approx_distinct_users_checked": dp.APPROX_DISTINCT_USERS_CHECKED_SQL,
+        "warc_ingest": dp.WARC_INGEST_SQL,
+        "approx_distinct_per_type_checked": dp.APPROX_DISTINCT_PER_TYPE_CHECKED_SQL,
         "extract_links": co.EXTRACT_LINKS_SQL,
         "host_stats": co.HOST_STATS_SQL,
         "knn_cosine_filtered": dp.KNN_COSINE_FILTERED_SQL,
