@@ -362,11 +362,23 @@ def events_sessionized(sf_dir: str) -> "ray.data.Dataset":
         uv = pc.fill_null(uid, 0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         un = pc.is_valid(uid).to_numpy(zero_copy_only=False)
         new_user = np.concatenate(([True], (uv[1:] != uv[:-1]) | (un[1:] != un[:-1])))
-        ts_us = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts_valid = pc.is_valid(g.column("ts")).to_numpy(zero_copy_only=False)
+        ts_us = (
+            pc.fill_null(g.column("ts"), 0)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         gap = np.empty(len(ts_us), dtype=np.int64)
         gap[0] = GAP_US + 1
         gap[1:] = ts_us[1:] - ts_us[:-1]
-        new_sess = new_user | (gap > GAP_US)
+        # oracle: new session iff lag(ts) IS NULL (first row of the
+        # user OR previous row has NULL ts — NULLs sort last, so every
+        # NULL-ts row after the first opens its own session) or the
+        # valid-ts gap exceeds 30min. A NULL-ts row directly after a
+        # valid one CONTINUES that session (NULL > gap is not true).
+        prev_valid = np.concatenate(([False], ts_valid[:-1]))
+        new_sess = new_user | ~prev_valid | (prev_valid & ts_valid & (gap > GAP_US))
         sid = np.cumsum(new_sess)  # global (within-shard) session index, 1-based
         pos = np.arange(len(uv))
         run_start = np.maximum.accumulate(np.where(new_user, pos, 0))
@@ -2593,15 +2605,36 @@ def session_stats(sf_dir: str) -> pd.DataFrame:
             )
         g = _sorted_shard(g)
         first_u, _ = _uid_runs(g.column("user_id"))
-        ts_us = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
-        new_sess = first_u.copy()
-        new_sess[1:] |= (ts_us[1:] - ts_us[:-1]) > GAP_US
+        ts_valid = pc.is_valid(g.column("ts")).to_numpy(zero_copy_only=False)
+        ts_us = (
+            pc.fill_null(g.column("ts"), 0)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n = len(ts_us)
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = GAP_US + 1
+        gap[1:] = ts_us[1:] - ts_us[:-1]
+        # same lag-IS-NULL convention as events_sessionized: a NULL-ts
+        # row continues the previous session; every NULL-ts row AFTER
+        # one opens its own
+        prev_valid = np.concatenate(([False], ts_valid[:-1]))
+        new_sess = first_u | ~prev_valid | (prev_valid & ts_valid & (gap > GAP_US))
         starts = np.flatnonzero(new_sess)
-        ends = np.append(starts[1:], len(ts_us)) - 1
+        ends = np.append(starts[1:], n)
+        counts = ends - starts
+        # SQL min/max(ts) ignore NULL: duration spans the session's
+        # VALID timestamps; an all-NULL session has NULL duration
+        # (excluded from the sum, still counted as a session)
+        lo = np.minimum.reduceat(np.where(ts_valid, ts_us, np.iinfo(np.int64).max), starts)
+        hi = np.maximum.reduceat(np.where(ts_valid, ts_us, np.iinfo(np.int64).min), starts)
+        nvalid = np.add.reduceat(ts_valid.astype(np.int64), starts)
+        dur = np.where(nvalid > 0, (hi - lo).astype(np.float64), np.nan)
         return pa.table(
             {
-                "n_events": pa.array(np.append(starts[1:], len(ts_us)) - starts, pa.int64()),
-                "dur_us": pa.array(ts_us[ends] - ts_us[starts], pa.int64()),
+                "n_events": pa.array(counts, pa.int64()),
+                "dur_us": pa.array(dur, pa.float64(), mask=nvalid == 0),
             }
         )
 
@@ -2619,7 +2652,8 @@ def session_stats(sf_dir: str) -> pd.DataFrame:
                 "k": pa.array([len(n)], pa.int64()),
                 "sn": pa.array([n.sum()], pa.float64()),
                 "mx": pa.array([n.max() if len(n) else 0.0], pa.float64()),
-                "sd": pa.array([d.sum()], pa.float64()),
+                # SQL sum() skips the NULL durations of all-NULL-ts sessions
+                "sd": pa.array([np.nansum(d)], pa.float64()),
             }
         )
 

@@ -74,6 +74,22 @@ def _uid_runs(uid: "pa.ChunkedArray | pa.Array") -> tuple[np.ndarray, np.ndarray
     return first, run_start
 
 
+def _ts_with_null_peers(ts_col: "pa.ChunkedArray | pa.Array", window_us: int) -> tuple[np.ndarray, np.ndarray]:
+    """(int64 ts array, validity mask) where NULL timestamps become a
+    shared sentinel BEYOND every valid window probe: SQL RANGE frames
+    treat NULL order keys as one peer group (excluded from every
+    non-NULL row's range, each NULL row's frame = the peer group), and
+    a shared out-of-reach key reproduces exactly that under the usual
+    searchsorted probes. Sorted order is preserved (NULLs already sort
+    last within each run)."""
+    valid = pc.is_valid(ts_col).to_numpy(zero_copy_only=False)
+    raw = pc.fill_null(ts_col, 0).cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+    if valid.all():
+        return raw, valid
+    sent = (int(raw[valid].max()) if valid.any() else 0) + 2 * window_us
+    return np.where(valid, raw, sent), valid
+
+
 def _run_local_key(ts_s: np.ndarray, run_start: np.ndarray, window_us: int) -> np.ndarray:
     """Monotone int64 key that makes ONE global ``np.searchsorted``
     answer per-run window probes: ``run_id * spacing + (ts - run_min)``
@@ -114,7 +130,9 @@ def asof_join_events(sf_dir: str) -> "ray.data.Dataset":
         if n == 0:
             return g
         _, run_start = _uid_runs(g.column("user_id"))
-        ts_s = g.column("ts").cast(pa.int64()).to_numpy()
+        ts_col = g.column("ts")
+        ts_valid = pc.is_valid(ts_col).to_numpy(zero_copy_only=False)
+        ts_s = pc.fill_null(ts_col, 0).cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
         val_s = g.column("value").to_numpy(zero_copy_only=False)
         # Arrow-native mask (no per-row string objects); NULL-valued
         # views are NOT matches — mirroring the oracle, which skips
@@ -128,19 +146,28 @@ def asof_join_events(sf_dir: str) -> "ray.data.Dataset":
         src = np.where(is_view, np.arange(n), -1)
         last_view = np.maximum.accumulate(src)
         last_view = np.where(last_view >= run_start, last_view, -1)
+        # last_view_ts is the oracle's max(VALID ts) over prior matching
+        # views — NULL-ts views (sorted last) update the VALUE fill but
+        # never the timestamp fill
+        src_ts = np.where(is_view & ts_valid, np.arange(n), -1)
+        last_view_t = np.maximum.accumulate(src_ts)
+        last_view_t = np.where(last_view_t >= run_start, last_view_t, -1)
         # explicit purchase mask — NOT ~is_view, which would sweep in
         # null-valued view rows excluded from the match mask above
         take = pc.equal(g.column("event_type"), "purchase").to_numpy(zero_copy_only=False)
         lv = last_view[take]
+        lvt = last_view_t[take]
         has = lv >= 0
+        has_t = lvt >= 0
         lv_safe = np.where(has, lv, 0)
+        lvt_safe = np.where(has_t, lvt, 0)
         idx = pa.array(np.flatnonzero(take))
         return pa.table(
             {
                 "event_id": g.column("event_id").take(idx),
                 "user_id": g.column("user_id").take(idx),
                 "ts": g.column("ts").take(idx),
-                "last_view_ts": pa.array(ts_s[lv_safe], pa.int64(), mask=~has).cast(pa.timestamp("us")),
+                "last_view_ts": pa.array(ts_s[lvt_safe], pa.int64(), mask=~has_t).cast(pa.timestamp("us")),
                 "last_view_value": pa.array(val_s[lv_safe], pa.float64(), mask=~has),
             }
         )
@@ -192,7 +219,7 @@ def events_rolling(sf_dir: str) -> "ray.data.Dataset":
         if n == 0:
             return g
         _, run_start = _uid_runs(g.column("user_id"))
-        ts_s = g.column("ts").cast(pa.int64()).to_numpy()
+        ts_s, ts_valid = _ts_with_null_peers(g.column("ts"), US_PER_HOUR)
         key = _run_local_key(ts_s, run_start, US_PER_HOUR)
         val_s = g.column("value").to_numpy(zero_copy_only=False)
         valid = pc.is_valid(g.column("value")).to_numpy(zero_copy_only=False)
@@ -424,7 +451,13 @@ def events_lag_lead(sf_dir: str) -> "ray.data.Dataset":
             return g
         first, _ = _uid_runs(g.column("user_id"))
         last = np.concatenate((first[1:], [True]))
-        ts_s = g.column("ts").cast(pa.int64()).to_numpy()
+        ts_valid = pc.is_valid(g.column("ts")).to_numpy(zero_copy_only=False)
+        ts_s = (
+            pc.fill_null(g.column("ts"), 0)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         val_s = g.column("value").to_numpy(zero_copy_only=False)
         valid_s = pc.is_valid(g.column("value")).to_numpy(zero_copy_only=False)
         prev_val = np.concatenate(([0.0], val_s[:-1]))
@@ -432,7 +465,9 @@ def events_lag_lead(sf_dir: str) -> "ray.data.Dataset":
         next_val = np.concatenate((val_s[1:], [0.0]))
         next_valid = np.concatenate((valid_s[1:], [False])) & ~last
         prev_ts = np.concatenate(([0], ts_s[:-1]))
-        has_prev = ~first
+        # lag(ts) of a NULL-ts neighbor is NULL even when the position
+        # exists — validity shifts with the value
+        has_prev = np.concatenate(([False], ts_valid[:-1])) & ~first
         return pa.table(
             {
                 "event_id": g.column("event_id"),
@@ -543,18 +578,21 @@ def range_join_counts(sf_dir: str) -> "ray.data.Dataset":
         if n == 0:
             return g
         _, run_start = _uid_runs(g.column("user_id"))
-        ts_s = g.column("ts").cast(pa.int64()).to_numpy()
+        ts_s, ts_valid = _ts_with_null_peers(g.column("ts"), US_PER_5MIN)
         key = _run_local_key(ts_s, run_start, US_PER_5MIN)
         lo = np.searchsorted(key, key - US_PER_5MIN, side="left")
         hi = np.searchsorted(key, key + US_PER_5MIN, side="right")
         # _uid_runs groups NULL users into one run, but the oracle's
         # b.user_id = a.user_id never matches NULL: those rows count 0.
+        # Likewise BETWEEN over a NULL ts (either side) never matches —
+        # NULL-ts probe rows count 0, and the sentinel key keeps NULL-ts
+        # rows out of every valid window.
         uvalid = pc.is_valid(g.column("user_id")).to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "event_id": g.column("event_id"),
                 "user_id": g.column("user_id"),
-                "n_near": pa.array(np.where(uvalid, hi - lo - 1, 0), pa.int64()),
+                "n_near": pa.array(np.where(uvalid & ts_valid, hi - lo - 1, 0), pa.int64()),
             }
         )
 
@@ -595,9 +633,18 @@ def events_ranked(sf_dir: str, n_tiles: int = 4) -> "ray.data.Dataset":
         if n == 0:
             return g
         first_u, run_start = _uid_runs(g.column("user_id"))
-        ts_s = g.column("ts").cast(pa.int64()).to_numpy()
+        # peer boundaries are validity-aware: SQL ranking treats all
+        # NULL ts as ONE peer group (sorted last), whereas a bare NaN
+        # comparison would make every NULL row its own peer
+        tsv = pc.is_valid(g.column("ts")).to_numpy(zero_copy_only=False)
+        ts_s = (
+            pc.fill_null(g.column("ts"), 0)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         new = first_u.copy()
-        new[1:] |= ts_s[1:] != ts_s[:-1]
+        new[1:] |= (ts_s[1:] != ts_s[:-1]) | (tsv[1:] != tsv[:-1])
         pos = np.arange(n)
         # global 1-based position of the last peer-group start at-or-
         # before each row; minus the user's offset = SQL rank. The
@@ -664,9 +711,16 @@ def events_percent_rank(sf_dir: str) -> "ray.data.Dataset":
         if n == 0:
             return g
         first_u, run_start = _uid_runs(g.column("user_id"))
-        ts_s = g.column("ts").cast(pa.int64()).to_numpy()
+        # validity-aware ts peers: all NULL ts form ONE peer group
+        tsv = pc.is_valid(g.column("ts")).to_numpy(zero_copy_only=False)
+        ts_s = (
+            pc.fill_null(g.column("ts"), 0)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         new = first_u.copy()
-        new[1:] |= ts_s[1:] != ts_s[:-1]
+        new[1:] |= (ts_s[1:] != ts_s[:-1]) | (tsv[1:] != tsv[:-1])
         pos = np.arange(n)
         gmax = np.maximum.accumulate(np.where(new, pos + 1, 0))
         rnk = gmax - run_start
@@ -954,7 +1008,10 @@ def _latest_cut(t: pa.Table) -> pa.Table:
     uid = t.column("user_id").to_numpy(zero_copy_only=False)
     et = t.column("event_type").to_numpy(zero_copy_only=False)
     ts = t.column("ts").cast(pa.int64())
-    tsn = pc.fill_null(ts, np.iinfo(np.int64).min).to_numpy(zero_copy_only=False)
+    # NULL ts must LOSE the argmax; the fill must survive the lexsort
+    # negation below (negating int64 min wraps to itself, which made
+    # NULL-ts rows SORT FIRST — caught by the NULL-ts fuzz)
+    tsn = pc.fill_null(ts, -(1 << 62)).to_numpy(zero_copy_only=False)
     eid = t.column("event_id").to_numpy(zero_copy_only=False)
     order = np.lexsort((-eid, -tsn, et, uid))
     u_s, e_s = uid[order], et[order]

@@ -365,7 +365,13 @@ class TestRandomizedOracleParity:
                     [None if m else int(u) for m, u in zip(rng.random(n) < 0.06, rng.integers(0, 4, n))],
                     pa.int64(),
                 ),
-                "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+                # ~4% NULL ts: window membership, ordering ties, and
+                # session/run boundaries must all agree with the SQL
+                # NULL conventions, not just on dense valid timestamps
+                "ts": pa.array(
+                    [None if m else int(v) for m, v in zip(rng.random(n) < 0.04, ts)],
+                    pa.int64(),
+                ).cast(pa.timestamp("us")),
                 "event_type": pa.array(rng.choice(["purchase", "view", "click"], n)),
                 "value": pa.array(
                     [
