@@ -1116,32 +1116,126 @@ def fuzzy_pairs(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    def pairs(g: pa.Table) -> pa.Table:
-        order = np.argsort(g.column("doc_id").to_numpy(), kind="stable")
-        ids = g.column("doc_id").to_numpy()[order]
-        prefs = [g.column("pref")[int(i)].as_py() for i in order]
-        a_out, b_out, d_out = [], [], []
-        n = len(ids)
-        for i in range(n):
-            pi = prefs[i]
-            for j in range(i + 1, n):
-                d = _lev_le(pi, prefs[j], FUZZY_K)
-                if d is not None:
-                    a_out.append(int(ids[i]))
-                    b_out.append(int(ids[j]))
-                    d_out.append(d)
-        return pa.table(
+    def pairs_shard(g: pa.Table) -> pa.Table:
+        # coarse shard: MANY whole blocks per call (the groupby("block")
+        # form paid a 2.3 s sort exchange for 5k tiny rows at sf0.1 —
+        # per-block Python calls and 64-way block splits, SCALE.md §13);
+        # here one Arrow sort per shard and the banded DP runs over
+        # contiguous block runs
+        empty = pa.table(
             {
-                "doc_a": pa.array(a_out, pa.int64()),
-                "doc_b": pa.array(b_out, pa.int64()),
-                "dist": pa.array(d_out, pa.int64()),
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "dist": pa.array([], pa.int64()),
             }
         )
+        n = g.num_rows
+        if n == 0:
+            return empty
+        g = g.take(
+            pc.sort_indices(g, sort_keys=[("block", "ascending"), ("doc_id", "ascending")])
+        )
+        codes = pc.dictionary_encode(g.column("block").combine_chunks()).indices.to_numpy(
+            zero_copy_only=False
+        )
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        # BYTE sequences: DuckDB levenshtein (the oracle) measures
+        # UTF-8 bytes, not codepoints — a multibyte substitution costs
+        # its byte count on both sides
+        prefs = [p.encode("utf-8") for p in g.column("pref").to_pylist()]
+        lens = np.array([len(b) for b in prefs], dtype=np.int64)
+        first = np.ones(n, dtype=bool)
+        first[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], n)
+        # shared byte matrix for the whole shard
+        Pmax = int(lens.max()) if n else 0
+        mat = np.zeros((n, Pmax), dtype=np.uint8)
+        for r, b in enumerate(prefs):
+            mat[r, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        # all within-block pairs of the shard MERGED into one lane set:
+        # a per-block DP paid allocator/dispatch overhead on thousands
+        # of tiny vector ops (measured 4.6 s/shard at sf0.1); one merged
+        # banded DP is ~170 ops total regardless of block count
+        iu_parts, ju_parts = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            iu, ju = np.triu_indices(m, k=1)
+            iu_parts.append(s + iu)
+            ju_parts.append(s + ju)
+        if not iu_parts:
+            return empty
+        gi = np.concatenate(iu_parts)
+        gj = np.concatenate(ju_parts)
+        la, lb = lens[gi], lens[gj]
+        # |la-lb| > K already exceeds the cutoff — drop before the DP
+        pre = np.abs(la - lb) <= FUZZY_K
+        gi, gj, la, lb = gi[pre], gj[pre], la[pre], lb[pre]
+        if not len(gi):
+            return empty
+        A, B = mat[gi], mat[gj]
+        npairs = len(gi)
+        # Ukkonen-banded Wagner-Fischer on BYTES, vectorized across
+        # pairs: only |j - i| <= K cells can stay <= K, so each row is
+        # 2K+1 lanes; dtype int16 keeps the traffic small. Answer for a
+        # pair sits at (la, lb), offset lb-la+K — inside the band by
+        # the prefilter.
+        W = FUZZY_K
+        INF = np.int16(127)
+        width = 2 * W + 1
+        prev = np.full((npairs, width), INF, dtype=np.int16)
+        prev[:, W:] = np.arange(W + 1, dtype=np.int16)  # row 0: dp[0][j] = j
+        o_ans = (lb - la + W).astype(np.int64)
+        d = np.full(npairs, -1, dtype=np.int64)
+        zero_rows = la == 0
+        if zero_rows.any():
+            d[zero_rows] = lb[zero_rows]
+        la_max = int(la.max())
+        rows = np.arange(npairs)
+        for i in range(1, la_max + 1):
+            cur = np.full((npairs, width), INF, dtype=np.int16)
+            ai = A[:, i - 1]
+            for o in range(width):
+                j = i + o - W
+                if j < 0:
+                    continue
+                if j == 0:
+                    cur[:, o] = i
+                    continue
+                if j > Pmax:
+                    break
+                bj = B[:, j - 1]
+                cost = (ai != bj).astype(np.int16)
+                best = prev[:, o] + cost  # diagonal (i-1, j-1)
+                if o + 1 < width:
+                    best = np.minimum(best, prev[:, o + 1] + 1)  # up (i-1, j)
+                if o > 0:
+                    best = np.minimum(best, cur[:, o - 1] + 1)  # left (i, j-1)
+                # cells past this pair's b end are invalid
+                np.minimum(best, INF, out=best)
+                best[j > lb] = INF
+                cur[:, o] = best
+            hit = la == i
+            if hit.any():
+                d[hit] = cur[rows[hit], o_ans[hit]]
+            prev = cur
+        keep = (d >= 0) & (d <= FUZZY_K)
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[gi[keep]], pa.int64()),
+                "doc_b": pa.array(ids[gj[keep]], pa.int64()),
+                "dist": pa.array(d[keep], pa.int64()),
+            }
+        )
+
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         prep, batch_format="pyarrow", zero_copy_batch=True
     )
-    return ds.groupby("block").map_groups(pairs, batch_format="pyarrow")
+    return shard_map_groups(ds, ["block"], pairs_shard)
 
 
 FUZZY_PAIRS_SQL = """
