@@ -838,6 +838,7 @@ class MinHashActor:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         rows_per_band = _MINHASH_PERMS // _LSH_BANDS
+        t = t.filter(pc.is_valid(t.column("text")))  # oracle: WHERE text IS NOT NULL
         texts = t.column("text").to_pylist()
         n_docs = len(texts)
         sig = _minhash_sigs_batch(texts).astype(np.uint64)
@@ -1375,6 +1376,9 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, sample: int = 256) 
         pads.dataset(f"{sf_dir}/documents.parquet")
         .to_table(columns=["doc_id", "text"], filter=pc.field("doc_id") < sample)
     )
+    # NULL text never pairs (the oracle's NULL-shingle comparisons are
+    # NULL, i.e. excluded)
+    t = t.filter(pc.is_valid(t.column("text")))
     ids = t.column("doc_id").to_pylist()
     shingle_sets = [_shingles(s) for s in t.column("text").to_pylist()]
     a_out, b_out, j_out = [], [], []
@@ -2112,21 +2116,35 @@ def warc_ingest(sf_dir: str) -> "ray.data.Dataset":
 # checkable because every derived value is a pure function of the
 # documents row: the URL embeds (source, doc_id), the response
 # record-id is 'resp-' + md5(url), doc_id is the top-63 bits of
-# md5('<urn:uuid:' || rid || '>'), and the boilerplate strip recovers
-# the escaped body text losslessly. A drifting record-id convention,
+# md5('<urn:uuid:' || rid || '>'), and the boilerplate strip's text
+# canon is restated as regex steps (CRLF -> LF, horizontal-whitespace
+# runs collapse to one space, per-line trim, blank-line runs collapse
+# to one, outer newlines trimmed). A drifting record-id convention,
 # HTTP split, gzip framing, or strip regression all flip the hash.
 WARC_INGEST_SQL = """
 WITH u AS (
   SELECT doc_id AS orig_id, coalesce(text, '') AS text,
          'https://example.org/' || source || '/' || CAST(doc_id AS VARCHAR) AS url
   FROM documents
+), c AS (
+  SELECT url,
+         trim(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '\\r\\n?', chr(10), 'g'),
+                 '[ \\t\\x{00A0}]+', ' ', 'g'),
+               '(?m)^ +| +$', '', 'g'),
+             '\\n{3,}', chr(10) || chr(10), 'g'),
+           chr(10)) AS text
+  FROM u
 )
 SELECT CAST(CAST(concat('0x', substr(md5('<urn:uuid:resp-' || md5(url) || '>'), 1, 16)) AS UBIGINT) >> 1 AS BIGINT) AS doc_id,
        url,
        'text/html' AS content_type,
        text,
        CAST(length(text) AS BIGINT) AS n_chars
-FROM u
+FROM c
 """
 
 

@@ -1,9 +1,9 @@
 """Planted-fixture tests for the corpus-hygiene operators
 (pipelines/corpusops.py): passage-level global dedup, Gopher quality
 gates, BM25 search. The randomized DuckDB parity fuzz
-(test_windows.py::TestRandomizedDocumentsParity) covers messy-text
-composition; these pin the SEMANTICS on corpora where the expected
-answer is known by construction."""
+(TestRandomizedDocsOracleParity below) covers messy-text composition
+across 34 docs-table oracle pairs; these pin the SEMANTICS on corpora
+where the expected answer is known by construction."""
 
 from __future__ import annotations
 
@@ -536,3 +536,118 @@ class TestHostStats:
         links = co.extract_links("/root/testdata/sf0.001")
         assert hosts["n_links"].sum() == links["n_links"].sum()
         assert len(hosts) <= len(links)
+
+
+class TestRandomizedDocsOracleParity:
+    """Engine vs DuckDB over seeded RANDOM documents tables that are
+    messier than the shared fixtures: NULL text, empty strings,
+    whitespace-only docs, multibyte words, planted exact duplicates —
+    the corpus sibling of test_windows' randomized events family.
+    Round-4 catches: MinHashActor and ngram_jaccard_pairs crashed on
+    NULL text; warc_ingest's oracle lacked the boilerplate strip's
+    whitespace canon."""
+
+    OPS = [
+        "exact_dedup",
+        "minhash_candidates",
+        "dup_char_windows",
+        "exact_substr_dedup",
+        "passage_dedup",
+        "gopher_quality",
+        "c4_filters",
+        "simhash",
+        "doc_fingerprint",
+        "langid",
+        "quality_score",
+        "token_count",
+        "normalize_ws",
+        "repetition_ratio",
+        "pii_scrub",
+        "hash_split",
+        "decontaminate",
+        "extract_links",
+        "host_stats",
+        "warc_ingest",
+        "corpus_clean",
+        "sample_documents",
+        "fuzzy_pairs",
+        "fuzzy_clusters",
+        "ngram_jaccard_pairs",
+        "tfidf_topterms",
+        "unigram_logprob",
+        "vocab_topk",
+        "bm25_search",
+        "chunk_documents",
+        "source_cap",
+        "leakage_safe_split",
+        "shuffle_rank",
+        "epoch_plan",
+    ]
+
+    @pytest.mark.parametrize("seed", [1, 2, 3])
+    def test_docs_family_matches_duckdb(self, seed, tmp_path):
+        import duckdb
+        import importlib.util, os
+
+        spec = importlib.util.spec_from_file_location(
+            "_entry_for_docs_fuzz", os.path.join(os.path.dirname(__file__), "..", "__ray_entry__.py")
+        )
+        entry = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(entry)
+
+        rng = np.random.default_rng(seed)
+        words = ["table", "sort", "merge", "é-word", "中文词", "naïve", "co op", "x" * 30, "a", "the"]
+        texts = []
+        n = 120
+        for i in range(n):
+            r = rng.random()
+            if r < 0.06:
+                texts.append(None)
+            elif r < 0.10:
+                texts.append("")
+            elif r < 0.14:
+                texts.append("   \t\n  ")
+            elif r < 0.20 and texts:
+                prev = [t for t in texts if t]
+                texts.append(prev[int(rng.integers(0, len(prev)))] if prev else "dup")
+            else:
+                k = int(rng.integers(1, 60))
+                texts.append(" ".join(str(rng.choice(words)) for _ in range(k)))
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array([str(x) for x in rng.choice(["en", "de", "fr", "zz"], n)]),
+                "source": pa.array([str(x) for x in rng.choice(["web", "book", "code"], n)]),
+                "n_chars": pa.array([0 if s is None else len(s) for s in texts], pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+        def canon(df):
+            df = df[sorted(df.columns)].copy()
+            for c in df.columns:
+                if pd.api.types.is_datetime64_any_dtype(df[c]):
+                    df[c] = df[c].astype("datetime64[us]")
+                elif pd.api.types.is_integer_dtype(df[c]):
+                    df[c] = df[c].astype("int64")
+            return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')")
+        Q, O = entry.queries(), entry.oracle_sql()
+        for name in self.OPS:
+            r = Q[name](str(tmp_path))
+            got = canon(r if isinstance(r, pd.DataFrame) else r.to_pandas())
+            exp = canon(con.sql(O[name]).df())
+            assert list(got.columns) == list(exp.columns), name
+            assert len(got) == len(exp), (name, len(got), len(exp))
+            for c in got.columns:
+                if pd.api.types.is_float_dtype(exp[c]):
+                    ga = got[c].to_numpy(dtype=float)
+                    ea = exp[c].to_numpy(dtype=float)
+                    assert (np.isnan(ga) == np.isnan(ea)).all(), (name, c)
+                    assert np.allclose(np.nan_to_num(ga), np.nan_to_num(ea), rtol=0, atol=1e-9), (name, c)
+                else:
+                    assert got[c].tolist() == exp[c].tolist(), (name, c)
+        con.close()
