@@ -123,9 +123,20 @@ def pagerank_nations(sf_dir: str) -> pd.DataFrame:
     n = len(nkeys)
 
     e = pagerank_edges(sf_dir)
-    src = np.searchsorted(nkeys, e["src"].to_numpy())
-    dst = np.searchsorted(nkeys, e["dst"].to_numpy())
-    rank = power_iteration(n, src, dst, e["w"].to_numpy(dtype=float))
+    sv = e["src"].to_numpy(dtype=float)
+    dv = e["dst"].to_numpy(dtype=float)
+    w = e["w"].to_numpy(dtype=float)
+    # dirty-dimension semantics, matching the oracle's join shape
+    # (fuzz catch): NULL/dangling SRC edges contribute nothing (no rank
+    # row joins them); a REAL src's edges toward a dangling dst still
+    # count in its out-weight — that mass leaks, it is not renormalized
+    m_src = np.isin(sv, nkeys)
+    outw = np.zeros(n)
+    np.add.at(outw, np.searchsorted(nkeys, sv[m_src]), w[m_src])
+    m_tr = m_src & np.isin(dv, nkeys)
+    src = np.searchsorted(nkeys, sv[m_tr])
+    dst = np.searchsorted(nkeys, dv[m_tr])
+    rank = power_iteration(n, src, dst, w[m_tr], outw=outw)
     return pd.DataFrame({"n_name": nnames, "pagerank": np.round(rank, 8)})
 
 
@@ -136,12 +147,16 @@ def power_iteration(
     w: np.ndarray,
     n_iters: int = N_ITERS,
     damping: float = DAMPING,
+    outw: "np.ndarray | None" = None,
 ) -> np.ndarray:
     """The rank recurrence on 0..n-1 node ids (vectorized np.add.at
     scatter per iteration — the driver-side leg of the split; the edge
-    arrays are the model-sized aggregate, never the raw graph)."""
-    outw = np.zeros(n)
-    np.add.at(outw, src, w)
+    arrays are the model-sized aggregate, never the raw graph).
+    ``outw`` may be supplied when the out-weight denominator covers
+    MORE edges than the transitions (mass toward dangling nodes)."""
+    if outw is None:
+        outw = np.zeros(n)
+        np.add.at(outw, src, w)
     frac = w / outw[src]  # normalized edge transition weight
     rank = np.full(n, 1.0 / n)
     for _ in range(n_iters):
@@ -219,14 +234,24 @@ def triangle_count(sf_dir: str) -> pd.DataFrame:
     n = len(nkeys)
 
     e = pagerank_edges(sf_dir)
-    src = np.searchsorted(nkeys, e["src"].to_numpy())
-    dst = np.searchsorted(nkeys, e["dst"].to_numpy())
-    a = np.zeros((n, n), dtype=np.int64)
+    sv = e["src"].to_numpy(dtype=float)
+    dv = e["dst"].to_numpy(dtype=float)
+    fin = ~np.isnan(sv) & ~np.isnan(dv)  # NULL endpoints never join (SQL)
+    # the oracle's wedge enumeration runs over the RAW edge set, so a
+    # triangle through a dangling (non-nation) vertex still counts for
+    # its real corners: build the adjacency over the observed node
+    # UNION, report only nation rows (dirty-dimension fuzz catch)
+    nodes = np.unique(np.concatenate([nkeys.astype(np.float64), sv[fin], dv[fin]]))
+    src = np.searchsorted(nodes, sv[fin])
+    dst = np.searchsorted(nodes, dv[fin])
+    m = len(nodes)
+    a = np.zeros((m, m), dtype=np.int64)
     off = src != dst  # drop self-loops
     a[src[off], dst[off]] = 1
     a = np.maximum(a, a.T)  # undirected
     tri = np.diagonal(a @ a @ a) // 2
-    return pd.DataFrame({"n_name": nnames, "n_tri": tri.astype(np.int64)})
+    tri_nation = tri[np.searchsorted(nodes, nkeys.astype(np.float64))]
+    return pd.DataFrame({"n_name": nnames, "n_tri": tri_nation.astype(np.int64)})
 
 
 TRIANGLE_COUNT_SQL = """
@@ -270,6 +295,9 @@ def nation_hops(sf_dir: str, source: int = 0) -> pd.DataFrame:
     instead of min-hops); noted because this corpus's node set never
     exceeds nations."""
     edges = pagerank_edges(sf_dir)
+    # NULL endpoints never join in the recursive closure; DANGLING ones
+    # stay — the oracle's BFS walks through them (fuzz catch)
+    edges = edges.dropna(subset=["src", "dst"])
     adj: dict[int, set[int]] = {}
     for s, d in zip(edges["src"].astype(int), edges["dst"].astype(int)):
         adj.setdefault(s, set()).add(d)

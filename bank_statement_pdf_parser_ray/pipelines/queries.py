@@ -48,7 +48,9 @@ def lineitem_agg(sf_dir: str) -> pd.DataFrame:
         rev = pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))
         t = t.append_column("rev", rev)
         g = pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
-            [("l_quantity", "sum"), ("rev", "sum"), ("l_quantity", "count")]
+            # count_all, not count(l_quantity): the oracle's count(*)
+            # includes NULL-quantity rows (NULL-ts/price fuzz catch)
+            [("l_quantity", "sum"), ("rev", "sum"), ([], "count_all")]
         )
         return g.rename_columns(["l_returnflag", "l_linestatus", "p_qty", "p_rev", "p_n"])
 
@@ -262,7 +264,9 @@ def broadcast_join(sf_dir: str) -> pd.DataFrame:
             t = t.filter(valid)
             seg = pc.take(self.vals, idx.filter(valid))
             t = t.append_column("c_mktsegment", seg)
-            g = pa.TableGroupBy(t, ["c_mktsegment"]).aggregate([("o_totalprice", "sum"), ("o_totalprice", "count")])
+            g = pa.TableGroupBy(t, ["c_mktsegment"]).aggregate(
+                [("o_totalprice", "sum"), ([], "count_all")]  # oracle count(*) incl. NULL prices
+            )
             return g.rename_columns(["c_mktsegment", "p_sum", "p_n"])
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
@@ -451,13 +455,18 @@ def hash_join_revenue(sf_dir: str) -> pd.DataFrame:
 
     def partial(t: pa.Table) -> pa.Table:
         # vectorized Arrow probe (pc.index_in + pc.take), not a per-row
-        # dict.get loop (VERDICT round 1, item 9); nation is a complete
-        # FK target so no inner-join filtering is needed here
+        # dict.get loop (VERDICT round 1, item 9); dangling or NULL
+        # nation keys DROP like the SQL inner join (dirty-dimension
+        # fuzz catch — a None group key also crashes the sort exchange)
         lut = ray.get(nlut_ref)
         idx = pc.index_in(t.column("c_nationkey"), value_set=lut.column("n_nationkey").combine_chunks())
-        names = pc.take(lut.column("n_name").combine_chunks(), idx)
+        valid = pc.is_valid(idx)
+        t = t.filter(valid)
+        names = pc.take(lut.column("n_name").combine_chunks(), idx.filter(valid))
         t2 = pa.table({"n_name": names, "o_totalprice": t.column("o_totalprice")})
-        g = pa.TableGroupBy(t2, ["n_name"]).aggregate([("o_totalprice", "sum"), ("o_totalprice", "count")])
+        g = pa.TableGroupBy(t2, ["n_name"]).aggregate(
+            [("o_totalprice", "sum"), ([], "count_all")]  # oracle count(*)
+        )
         return g.rename_columns(["n_name", "p_sum", "p_n"])
 
     joined = joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
@@ -528,6 +537,9 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
     r_idx = pc.index_in(regkey, value_set=region.column("r_regionkey").combine_chunks())
     rname = pc.take(region.column("r_name").combine_chunks(), r_idx)
     lut = pa.table({"s_suppkey": supp.column("s_suppkey"), "r_name": rname}).combine_chunks()
+    # a supplier whose nation/region hop dangled has a NULL r_name: the
+    # SQL inner joins drop it, so it must not survive as a None group
+    lut = lut.filter(pc.is_valid(lut.column("r_name")))
     lut_ref = ray.put(lut)
 
     def partial(t: pa.Table) -> pa.Table:
@@ -538,7 +550,7 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
         names = pc.take(lu.column("r_name").combine_chunks(), idx.filter(valid))
         rev = pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))
         t2 = pa.table({"r_name": names, "rev": rev})
-        g = pa.TableGroupBy(t2, ["r_name"]).aggregate([("rev", "sum"), ("rev", "count")])
+        g = pa.TableGroupBy(t2, ["r_name"]).aggregate([("rev", "sum"), ([], "count_all")])
         return g.rename_columns(["r_name", "p_sum", "p_n"])
 
     ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
@@ -585,7 +597,7 @@ def part_brand_revenue(sf_dir: str) -> pd.DataFrame:
         rev = pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))
         t2 = pa.table({"p_brand": brand, "rev": rev, "l_quantity": t.column("l_quantity")})
         g = pa.TableGroupBy(t2, ["p_brand"]).aggregate(
-            [("rev", "sum"), ("l_quantity", "sum"), ("rev", "count")]
+            [("rev", "sum"), ("l_quantity", "sum"), ([], "count_all")]  # oracle count(*)
         )
         return g.rename_columns(["p_brand", "p_rev", "p_qty", "p_n"])
 
@@ -670,14 +682,22 @@ def _exists_cogroup(sf_dir: str, threshold: float, keep_matched: bool) -> pd.Dat
         is_probe = g.column("is_probe")
         probe_k = pc.unique(pc.filter(g.column("c_custkey"), is_probe))
         custg = g.filter(pc.invert(is_probe))
-        mask = pc.is_in(custg.column("c_custkey"), value_set=probe_k)
+        # NULL-safe EXISTS: a NULL customer key matches nothing (semi
+        # drops it, anti KEEPS it) — fill before inverting so the anti
+        # branch doesn't silently drop NULL-key rows
+        mask = pc.fill_null(pc.is_in(custg.column("c_custkey"), value_set=probe_k), False)
         if not keep_matched:
             mask = pc.invert(mask)
         return custg.filter(mask).select(["c_custkey", "c_mktsegment"])
 
     from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
 
-    return shard_map_groups(cust.union(probe), ["c_custkey"], select_shard).to_pandas()
+    out = shard_map_groups(cust.union(probe), ["c_custkey"], select_shard).to_pandas()
+    if "c_custkey" not in out.columns:  # all-empty result loses its schema
+        out = pd.DataFrame(
+            {"c_custkey": pd.Series([], dtype="int64"), "c_mktsegment": pd.Series([], dtype=object)}
+        )
+    return out
 
 
 def anti_join_customers(sf_dir: str, threshold: float = 400_000.0) -> pd.DataFrame:
@@ -1163,7 +1183,7 @@ def _orders_fine_agg(sf_dir: str) -> pd.DataFrame:
         g = pa.TableGroupBy(
             t.select(["o_orderpriority", "o_orderstatus", "o_totalprice"]),
             ["o_orderpriority", "o_orderstatus"],
-        ).aggregate([("o_totalprice", "sum"), ("o_totalprice", "count")])
+        ).aggregate([("o_totalprice", "sum"), ([], "count_all")])  # oracle count(*)
         return g.rename_columns(["o_orderpriority", "o_orderstatus", "p_sum", "p_n"])
 
     return (
@@ -1270,21 +1290,28 @@ def lineitem_corr(sf_dir: str) -> pd.DataFrame:
     def partial(t: pa.Table) -> pa.Table:
         x = t.column("l_quantity").cast(pa.float64())
         y = t.column("l_extendedprice").cast(pa.float64())
+        # SQL corr/covar use PAIRWISE deletion: a row where either side
+        # is NULL contributes to count(*) but to none of the co-moment
+        # sums (NULL-price fuzz catch)
+        both = pc.and_(pc.is_valid(x), pc.is_valid(y))
+        xm = pc.if_else(both, x, pa.scalar(0.0))
+        ym = pc.if_else(both, y, pa.scalar(0.0))
         tbl = pa.table(
             {
                 "k": t.column("l_returnflag"),
-                "x": x,
-                "y": y,
-                "xx": pc.multiply(x, x),
-                "yy": pc.multiply(y, y),
-                "xy": pc.multiply(x, y),
+                "x": xm,
+                "y": ym,
+                "xx": pc.multiply(xm, xm),
+                "yy": pc.multiply(ym, ym),
+                "xy": pc.multiply(xm, ym),
+                "pair": pc.cast(both, pa.int64()),
                 "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
             }
         )
         g = pa.TableGroupBy(tbl, ["k"]).aggregate(
-            [("x", "sum"), ("y", "sum"), ("xx", "sum"), ("yy", "sum"), ("xy", "sum"), ("one", "sum")]
+            [("x", "sum"), ("y", "sum"), ("xx", "sum"), ("yy", "sum"), ("xy", "sum"), ("pair", "sum"), ("one", "sum")]
         )
-        return g.rename_columns(["l_returnflag", "p_x", "p_y", "p_xx", "p_yy", "p_xy", "p_n"])
+        return g.rename_columns(["l_returnflag", "p_x", "p_y", "p_xx", "p_yy", "p_xy", "p_pair", "p_n"])
 
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
     out = (
@@ -1296,11 +1323,12 @@ def lineitem_corr(sf_dir: str) -> pd.DataFrame:
             Sum("p_xx", alias_name="sxx"),
             Sum("p_yy", alias_name="syy"),
             Sum("p_xy", alias_name="sxy"),
+            Sum("p_pair", alias_name="n_pair"),
             Sum("p_n", alias_name="n"),
         )
         .to_pandas()
     )
-    n = out["n"].to_numpy(dtype=float)
+    n = out["n_pair"].to_numpy(dtype=float)  # co-moments divide by PAIR count
     sx, sy = out["sx"].to_numpy(dtype=float), out["sy"].to_numpy(dtype=float)
     sxx, syy, sxy = (out[c].to_numpy(dtype=float) for c in ("sxx", "syy", "sxy"))
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -1814,10 +1842,14 @@ def bloom_join_revenue(sf_dir: str) -> pd.DataFrame:
             j.column("c_nationkey").cast(pa.int32()),
             value_set=lut.column("n_nationkey").combine_chunks(),
         )
-        names = pc.take(lut.column("n_name").combine_chunks(), idx)
+        # dangling/NULL nation keys drop like the SQL inner join (a
+        # None group key would also crash the n_name sort exchange)
+        valid = pc.is_valid(idx)
+        j = j.filter(valid)
+        names = pc.take(lut.column("n_name").combine_chunks(), idx.filter(valid))
         t2 = pa.table({"n_name": names, "o_totalprice": j.column("o_totalprice")})
         g2 = pa.TableGroupBy(t2, ["n_name"]).aggregate(
-            [("o_totalprice", "sum"), ("o_totalprice", "count")]
+            [("o_totalprice", "sum"), ([], "count_all")]  # oracle count(*)
         )
         return g2.rename_columns(["n_name", "p_sum", "p_n"])
 
@@ -1958,7 +1990,7 @@ def incremental_agg(sf_dir: str) -> pd.DataFrame:
             )
             t = t.append_column("rev", rev)
             g = pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
-                [("l_quantity", "sum"), ("rev", "sum"), ("l_quantity", "count")]
+                [("l_quantity", "sum"), ("rev", "sum"), ([], "count_all")]  # oracle count(*)
             )
             return g.rename_columns(["l_returnflag", "l_linestatus", "p_qty", "p_rev", "p_n"])
 
@@ -2285,14 +2317,17 @@ def orders_above_cust_avg(sf_dir: str) -> "ray.data.Dataset":
     o_custkey, o_totalprice)."""
 
     def above_avg(g: pa.Table) -> pa.Table:
-        v = g.column("o_totalprice").to_numpy(zero_copy_only=False)
-        keep = v > v.mean()
-        return pa.table(
-            {
-                "o_orderkey": pa.array(g.column("o_orderkey").to_numpy(zero_copy_only=False)[keep], pa.int64()),
-                "o_custkey": pa.array(g.column("o_custkey").to_numpy(zero_copy_only=False)[keep], pa.int64()),
-                "o_totalprice": pa.array(v[keep], pa.float64()),
-            }
+        # SQL semantics under NULLs (fuzz catch): the window avg IGNORES
+        # NULL prices, a NULL price never satisfies `> a`, and the NULL
+        # customer partition is a group of its own — rows selected with
+        # Arrow take so NULL keys survive the output unchanged.
+        price = g.column("o_totalprice")
+        pv = pc.is_valid(price).to_numpy(zero_copy_only=False)
+        v = price.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        m = v[pv].mean() if pv.any() else np.nan
+        keep = pv & (v > m)
+        return g.select(["o_orderkey", "o_custkey", "o_totalprice"]).take(
+            pa.array(np.flatnonzero(keep), pa.int64())
         )
 
     return (
@@ -2870,6 +2905,14 @@ def q3_shipping(sf_dir: str, k: int = 10) -> pd.DataFrame:
     from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
 
     out = shard_map_groups(orders.union(li), ["l_orderkey"], q3_shard).to_pandas()
+    if "revenue" not in out.columns:  # zero qualifying rows: schema-less empty
+        return pd.DataFrame(
+            {
+                "l_orderkey": pd.Series([], dtype="int64"),
+                "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+                "revenue": pd.Series([], dtype=float),
+            }
+        )
     out = out.sort_values(
         ["revenue", "o_orderdate", "l_orderkey"], ascending=[False, True, True]
     ).head(k)
@@ -3331,16 +3374,21 @@ def table_diff(sf_dir: str) -> "ray.data.Dataset":
         is_b = g.column("is_b")
         a = g.filter(pc.invert(is_b)).select(["okey", "price"]).rename_columns(["okey", "price_a"])
         b = g.filter(is_b).select(["okey", "price"]).rename_columns(["okey", "price_b"])
+        # explicit presence flags: a NULL price must not masquerade as
+        # an absent side (a NULL-price row present in both snapshots is
+        # UNCHANGED, not 'added' — NULL-price fuzz catch)
+        a = a.append_column("in_a", pa.array(np.ones(a.num_rows, dtype=bool)))
+        b = b.append_column("in_b", pa.array(np.ones(b.num_rows, dtype=bool)))
         j = a.join(b, keys=["okey"], join_type="full outer")
         pa_, pb_ = j.column("price_a"), j.column("price_b")
+        absent_a = pc.is_null(j.column("in_a"))
+        absent_b = pc.is_null(j.column("in_b"))
         change = pc.if_else(
-            pc.is_null(pa_),
+            absent_a,
             pa.scalar("added"),
-            pc.if_else(pc.is_null(pb_), pa.scalar("removed"), pa.scalar("changed")),
+            pc.if_else(absent_b, pa.scalar("removed"), pa.scalar("changed")),
         )
-        keep = pc.or_kleene(
-            pc.or_(pc.is_null(pa_), pc.is_null(pb_)), pc.not_equal(pa_, pb_)
-        )
+        keep = pc.or_kleene(pc.or_(absent_a, absent_b), pc.not_equal(pa_, pb_))
         out = pa.table(
             {
                 "o_orderkey": j.column("okey"),
