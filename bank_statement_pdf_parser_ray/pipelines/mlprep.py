@@ -287,16 +287,19 @@ def _grouped_value_stats(sf_dir: str) -> "pa.Table":
 
     def partial(t: pa.Table) -> pa.Table:
         v = t.column("value")
+        # valid NaN is MISSING for the scaler family (a stored NaN is
+        # indistinguishable from NULL once it enters a one-pass moment
+        # sum, and one NaN would poison its whole category); the three
+        # consumers' oracles state the same convention with an isnan
+        # CASE. NULL handling as before: counts divide by observations.
+        obs = pc.and_(pc.is_valid(v), pc.invert(pc.is_nan(pc.fill_null(v, 0.0))))
+        vm = pc.if_else(obs, v, pa.scalar(None, pa.float64()))
         tbl = pa.table(
             {
                 "event_type": t.column("event_type"),
-                "v": v,
-                "v2": pc.multiply(v, v),
-                # count only NON-NULL values: avg/stddev_samp/var_samp
-                # divide by the non-NULL count, and pyarrow's sum/min/max
-                # already skip nulls — a raw row count would diverge the
-                # moment events.value carries a NULL (ADVICE round 2)
-                "one": pc.cast(pc.is_valid(v), pa.int64()),
+                "v": vm,
+                "v2": pc.multiply(vm, vm),
+                "one": pc.cast(obs, pa.int64()),
             }
         )
         g = pa.TableGroupBy(tbl, ["event_type"]).aggregate(
@@ -383,15 +386,19 @@ def standardize_events(sf_dir: str) -> "pd.DataFrame":
 
 
 STANDARDIZE_EVENTS_SQL = """
-WITH s AS (
+WITH ev AS (
+  SELECT event_id, event_type,
+         CASE WHEN isnan(value) THEN NULL ELSE value END AS value
+  FROM events
+), s AS (
   SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd,
          min(value) AS mn, max(value) AS mx, count(*) AS n
-  FROM events GROUP BY event_type
+  FROM ev GROUP BY event_type
 )
 SELECT e.event_id, e.event_type,
        (e.value - s.m) / nullif(s.sd, 0) AS z,
        (e.value - s.mn) / nullif(s.mx - s.mn, 0) AS minmax
-FROM events e JOIN s USING (event_type)
+FROM ev e JOIN s USING (event_type)
 ORDER BY e.event_id
 """
 
@@ -445,14 +452,22 @@ def target_encode_events(sf_dir: str) -> "pd.DataFrame":
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+# valid NaN is declared MISSING for the encoder (the engine's one-pass
+# (n, sum) fit cannot distinguish a stored NaN from NULL, and a single
+# NaN would poison its whole category) — the oracle states that with
+# the isnan CASE, like events_stats' fuzz convention.
 TARGET_ENCODE_EVENTS_SQL = """
-WITH g AS (SELECT avg(value) AS gm FROM events)
+WITH e AS (
+  SELECT event_id, event_type,
+         CASE WHEN isnan(value) THEN NULL ELSE value END AS value
+  FROM events
+), g AS (SELECT avg(value) AS gm FROM e)
 SELECT event_id,
        (sum(value) OVER w - value)
-             / nullif(count(*) OVER w - 1, 0) AS te_loo,
+             / nullif(count(value) OVER w - 1, 0) AS te_loo,
        (sum(value) OVER w - value + 10.0 * (SELECT gm FROM g))
-             / (count(*) OVER w - 1 + 10.0) AS te_smooth
-FROM events
+             / (count(value) OVER w - 1 + 10.0) AS te_smooth
+FROM e
 WINDOW w AS (PARTITION BY event_type)
 ORDER BY event_id
 """
@@ -511,9 +526,12 @@ def ab_welch_ttest(sf_dir: str, control: str = "view") -> "pd.DataFrame":
 
 
 AB_WELCH_TTEST_SQL = """
-WITH s AS (
-  SELECT event_type, count(*) AS n, avg(value) AS m, var_samp(value) AS v
-  FROM events GROUP BY event_type
+WITH ev AS (
+  SELECT event_type, CASE WHEN isnan(value) THEN NULL ELSE value END AS value
+  FROM events
+), s AS (
+  SELECT event_type, count(value) AS n, avg(value) AS m, var_samp(value) AS v
+  FROM ev GROUP BY event_type
 ),
 c AS (SELECT n, m, v FROM s WHERE event_type = 'view')
 SELECT s.event_type, s.n,

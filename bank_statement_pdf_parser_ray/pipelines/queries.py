@@ -316,7 +316,10 @@ def json_props_sum(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", ["event_type", "props"])
     ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     out = ds.groupby("event_type").aggregate(Sum("p_sum", alias_name="sum_k")).to_pandas()
-    out["sum_k"] = out["sum_k"].astype("int64")
+    # a group whose props never carry the field sums to SQL NULL; pandas
+    # (like DuckDB's .df()) can only carry that as float64 NaN
+    if not out["sum_k"].isna().any():
+        out["sum_k"] = out["sum_k"].astype("int64")
     return out
 
 
@@ -1076,13 +1079,12 @@ def union_distinct_users(sf_dir: str) -> pd.DataFrame:
         filter=pc.field("value") > 90.0,
     ).map_batches(local_unique, batch_format="pyarrow", zero_copy_batch=True)
     vals = clicks.union(high).unique("user_id")
-    # SQL UNION keeps NULL as one distinct value; sort NULLS LAST like
-    # the oracle's ORDER BY
-    out = pd.DataFrame({"user_id": pd.array(vals, dtype="Int64")})
-    out = out.sort_values("user_id", na_position="last").reset_index(drop=True)
-    if not out["user_id"].isna().any():
-        out["user_id"] = out["user_id"].astype("int64")
-    return out
+    # SQL UNION keeps NULL as one distinct value; pandas (like DuckDB's
+    # .df()) carries a NULL BIGINT as float64 NaN, so use int64 only
+    # for NULL-free results; sort NULLS LAST like the oracle's ORDER BY
+    has_null = any(v is None for v in vals)
+    out = pd.DataFrame({"user_id": pd.Series(vals, dtype="float64" if has_null else "int64")})
+    return out.sort_values("user_id", na_position="last").reset_index(drop=True)
 
 
 UNION_DISTINCT_USERS_SQL = """
@@ -1440,9 +1442,12 @@ def user_top_event(sf_dir: str) -> pd.DataFrame:
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     out = shard_map_groups(parts, ["user_id"], top_shard).to_pandas()
     out = out.rename(columns={"event_type": "top_event"})
-    out["user_id"] = out["user_id"].astype("int64")
+    # the NULL-user group keeps its row (SQL GROUP BY); its key is only
+    # representable as float64 NaN in pandas, matching DuckDB's .df()
+    if not out["user_id"].isna().any():
+        out["user_id"] = out["user_id"].astype("int64")
     out["n"] = out["n"].astype("int64")
-    return out.sort_values("user_id").reset_index(drop=True)
+    return out.sort_values("user_id", na_position="last").reset_index(drop=True)
 
 
 USER_TOP_EVENT_SQL = """
@@ -1490,8 +1495,16 @@ def user_first_last(sf_dir: str) -> pd.DataFrame:
         first = np.ones(n, dtype=bool)
         first[1:] = (uv[1:] != uv[:-1]) | (un[1:] != un[:-1])
         starts = np.flatnonzero(first)
-        ends = np.append(starts[1:], n) - 1
-        return t.take(pa.array(np.unique(np.concatenate([starts, ends])), pa.int64()))
+        ends = np.append(starts[1:], n)
+        # the "last" candidate under ts DESC NULLS LAST is the run's
+        # last VALID-ts row (a NULL-ts row only wins an all-NULL run);
+        # keep start, last-valid and run-end so the fold sees all three
+        tsv = pc.is_valid(t.column("ts")).to_numpy(zero_copy_only=False)
+        lastv = np.maximum.accumulate(np.where(tsv, np.arange(n), -1))[ends - 1]
+        lastv = np.where(lastv >= starts, lastv, ends - 1)
+        return t.take(
+            pa.array(np.unique(np.concatenate([starts, lastv, ends - 1])), pa.int64())
+        )
 
     def fold(g: pa.Table) -> pa.Table:
         # whole-shard fold: sort by (user, ts, event_id); the run's
@@ -1523,8 +1536,15 @@ def user_first_last(sf_dir: str) -> pd.DataFrame:
         un = pc.is_valid(uid).to_numpy(zero_copy_only=False)
         first = np.ones(n, dtype=bool)
         first[1:] = (uv[1:] != uv[:-1]) | (un[1:] != un[:-1])
-        starts = pa.array(np.flatnonzero(first))
-        lasts = pa.array(np.append(np.flatnonzero(first)[1:], n) - 1)
+        s = np.flatnonzero(first)
+        e = np.append(s[1:], n)
+        # ts DESC NULLS LAST: last = last VALID-ts row of the run, the
+        # run end only when every ts is NULL (then event_id DESC picks
+        # the max id, which IS the run end under the asc sort)
+        tsv = pc.is_valid(g.column("ts")).to_numpy(zero_copy_only=False)
+        lastv = np.maximum.accumulate(np.where(tsv, np.arange(n), -1))[e - 1]
+        starts = pa.array(s)
+        lasts = pa.array(np.where(lastv >= s, lastv, e - 1))
         out = pa.table(
             {
                 "user_id": uid.take(starts),
@@ -1574,6 +1594,8 @@ def distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Sum
 
     def pairs(t: pa.Table) -> pa.Table:
+        # COUNT(DISTINCT user_id) excludes NULL users (NULL-uid fuzz)
+        t = t.filter(pc.is_valid(t.column("user_id")))
         g = pa.TableGroupBy(t, ["event_type", "user_id"]).aggregate([([], "count_all")])
         return g.select(["event_type", "user_id"])
 
@@ -1635,17 +1657,19 @@ def events_by_month(sf_dir: str) -> pd.DataFrame:
         )
         return agg.rename_columns(["month", "p_n", "p_valid", "p_total"])
 
-    out = (
-        _read(sf_dir, "events", ["ts", "value"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("month")
-        .aggregate(
-            Sum("p_n", alias_name="n"),
-            Sum("p_valid", alias_name="n_valid"),
-            Sum("p_total", alias_name="raw_total"),
-        )
-        .to_pandas()
-    )
+    from bank_statement_pdf_parser_ray.stages.agg import shard_aggregate
+
+    # house exchange rather than ray groupby: a NULL month must stay
+    # ONE group (the NULL-ts fuzz caught per-block NULL groups leaking
+    # through the sort-based groupby)
+    out = shard_aggregate(
+        _read(sf_dir, "events", ["ts", "value"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["month"],
+        [("p_n", "sum"), ("p_valid", "sum"), ("p_total", "sum")],
+        ["month", "n", "n_valid", "raw_total"],
+    ).to_pandas()
     out["n"] = out["n"].astype("int64")
     out["total"] = np.where(out["n_valid"] > 0, np.round(out["raw_total"], 6), np.nan)
     out = out[["month", "n", "total"]]

@@ -1435,6 +1435,9 @@ def events_hopping(sf_dir: str) -> "pa.Table":
     sum SQL would make NaN (Ray's Sum-over-partials would silently skip
     them)."""
     def partial(t: pa.Table) -> pa.Table:
+        # a NULL ts owns no window: the oracle's unnest over a NULL
+        # series emits nothing, so the row drops here too (fuzz catch)
+        t = t.filter(pc.is_valid(t.column("ts")))
         # float divide BEFORE floor so pre-1970 (negative) timestamps
         # bucket identically to the oracle's floor(epoch(ts)/900)
         ts_us = pc.cast(pc.cast(t.column("ts"), pa.int64()), pa.float64())
@@ -1969,18 +1972,30 @@ def user_scd2(sf_dir: str) -> "ray.data.Dataset":
         interval_is_last = last_of_user[
             np.concatenate((starts[1:] - 1, [n - 1]))
         ]
-        ts = g.column("ts").cast(pa.int64()).to_numpy()
-        nxt = np.concatenate((starts[1:], [n]))
-        valid_to = np.where(interval_is_last, 0, ts[np.minimum(nxt, n - 1)])
+        tsv = pc.is_valid(g.column("ts")).to_numpy(zero_copy_only=False)
+        ts = (
+            pc.fill_null(g.column("ts"), 0)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        # valid_from inherits the start row's (possibly NULL) ts;
+        # valid_to is the NEXT start's ts — NULL when there is no next
+        # start in the user OR that start has NULL ts, and the oracle's
+        # is_current is literally `valid_to IS NULL` (NULL-ts fuzz)
+        vt_idx = np.concatenate((starts[1:], [0]))
+        valid_to_null = interval_is_last | ~tsv[vt_idx]
         return pa.table(
             {
                 "user_id": g.column("user_id").take(pa.array(starts)),
                 "event_type": pa.array(et[starts], pa.string()),
-                "valid_from": pa.array(ts[starts], pa.int64()).cast(pa.timestamp("us")),
-                "valid_to": pa.array(valid_to, pa.int64(), mask=interval_is_last).cast(
+                "valid_from": pa.array(ts[starts], pa.int64(), mask=~tsv[starts]).cast(
                     pa.timestamp("us")
                 ),
-                "is_current": pa.array(interval_is_last.astype(np.int64), pa.int64()),
+                "valid_to": pa.array(ts[vt_idx], pa.int64(), mask=valid_to_null).cast(
+                    pa.timestamp("us")
+                ),
+                "is_current": pa.array(valid_to_null.astype(np.int64), pa.int64()),
             }
         )
 

@@ -310,6 +310,22 @@ class TestRandomizedOracleParity:
         "value_drift_psi",
         "type_drift_chi2",
         "robust_zscore",
+        # round-4 batch 2: enrolled after the NULL-ts sweep fixed them
+        "ab_welch_ttest",
+        "approx_distinct_per_type_checked",
+        "approx_distinct_users_checked",
+        "distinct_users_per_type",
+        "events_by_month",
+        "events_hopping",
+        "json_props_sum",
+        "profile_events",
+        "standardize_events",
+        "target_encode_events",
+        "union_distinct_users",
+        "user_first_last",
+        "user_scd2",
+        "user_top_event",
+        "winsorize_events",
     ]
 
     @pytest.mark.parametrize("seed", [1, 2, 3])
@@ -379,6 +395,13 @@ class TestRandomizedOracleParity:
                         for m, nm, v in zip(null_mask, nan_mask, vals)
                     ],
                     pa.float64(),
+                ),
+                "props": pa.array(
+                    [
+                        None if rng.random() < 0.15 else '{"k": %d}' % rng.integers(0, 99)
+                        for _ in range(n)
+                    ],
+                    pa.string(),
                 ),
             }
         )
