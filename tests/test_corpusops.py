@@ -582,6 +582,16 @@ class TestRandomizedDocsOracleParity:
         "leakage_safe_split",
         "shuffle_rank",
         "epoch_plan",
+        # round-4 batch 2: the minhash composition chain, mixture/tier
+        # engines and the cross-wave dedup index under the same dirt
+        "dedup_clusters",
+        "minhash_verified",
+        "neardup_clean",
+        "distinct_langs",
+        "hybrid_search",
+        "ingest_dedup",
+        "perplexity_buckets",
+        "temperature_mixture",
     ]
 
     @pytest.mark.parametrize("seed", [1, 2, 3])
@@ -623,6 +633,18 @@ class TestRandomizedDocsOracleParity:
             }
         )
         pq.write_table(t, str(tmp_path / "documents.parquet"))
+        # small embeddings table so hybrid_search's vector branch runs
+        vecs = rng.normal(size=(40, 16)).astype(np.float32)
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(np.arange(40), pa.int64()),
+                    "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+                    "label": pa.array([int(x) for x in rng.integers(0, 4, 40)], pa.int32()),
+                }
+            ),
+            str(tmp_path / "embeddings.parquet"),
+        )
 
         def canon(df):
             df = df[sorted(df.columns)].copy()
@@ -635,6 +657,7 @@ class TestRandomizedDocsOracleParity:
 
         con = duckdb.connect()
         con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')")
+        con.sql(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{tmp_path}/embeddings.parquet')")
         Q, O = entry.queries(), entry.oracle_sql()
         for name in self.OPS:
             r = Q[name](str(tmp_path))

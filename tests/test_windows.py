@@ -628,7 +628,7 @@ class TestRandomizedEmbeddingsParity:
     returns -1 for it, the engine treats it as all-zero sims — outputs
     must still agree), tiny norms, duplicate similarity values."""
 
-    OPS = ["knn_cosine", "knn_cosine_filtered", "knn_cosine_ivf_full", "hard_negatives", "embedding_neardup", "vector_funcs", "explode_embedding", "embedding_dim_stats", "semantic_decontaminate"]
+    OPS = ["knn_cosine", "knn_cosine_filtered", "knn_cosine_ivf_full", "hard_negatives", "embedding_neardup", "vector_funcs", "explode_embedding", "embedding_dim_stats", "semantic_decontaminate", "knn_cosine_ivf_indexed", "label_centroids"]
 
     @pytest.mark.parametrize("seed", [21, 22])
     def test_embeddings_family_matches_duckdb(self, seed, tmp_path):
