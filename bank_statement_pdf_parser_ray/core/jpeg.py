@@ -234,6 +234,11 @@ def decode_jpeg_luma(blob: bytes) -> np.ndarray:
     while pos < n:
         if blob[pos] != 0xFF:
             raise ValueError(f"marker sync lost at byte {pos}")
+        if pos + 1 >= n:
+            # A lone trailing 0xFF (truncated stream): IndexError here
+            # would escape MediaDecodeActor's ValueError fallback and
+            # crash the decode task instead of yielding a None row.
+            raise ValueError("truncated JPEG stream (lone 0xFF at EOF)")
         marker = blob[pos + 1]
         pos += 2
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI / bare RSTn

@@ -22,6 +22,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from bank_statement_pdf_parser_ray.stages.agg import null_safe_group
+
 from bank_statement_pdf_parser_ray.pipelines.datapipe import _docs, _tfidf_tf
 
 # ---------------------------------------------------------------------------
@@ -78,9 +80,9 @@ def _frequent_passages(sf_dir: str, min_docs: int) -> pa.Array:
             return pa.table({"chunk": pa.array([], pa.string()), "p_n": pa.array([], pa.int64())})
         # distinct (doc, passage) first: the global count is over DISTINCT
         # docs, and within a batch each doc appears exactly once
-        d = pa.TableGroupBy(
-            pa.table({"i": pa.array(i, pa.int64()), "chunk": chunks}), ["i", "chunk"]
-        ).aggregate([([], "count_all")])
+        d = null_safe_group(
+            pa.table({"i": pa.array(i, pa.int64()), "chunk": chunks}), ["i", "chunk"], [([], "count_all")]
+        )
         g = pa.TableGroupBy(d.select(["chunk"]), ["chunk"]).aggregate([([], "count_all")])
         return g.rename_columns(["chunk", "p_n"])
 
@@ -214,9 +216,9 @@ def gopher_quality(sf_dir: str) -> "ray.data.Dataset":
         stop = pc.is_in(words, value_set=_GOPHER_STOPWORDS).to_numpy(zero_copy_only=False)
         n_stop = np.bincount(parent, weights=stop.astype(np.float64), minlength=n)
         # distinct words per doc: the distinct (i, word) table's row count
-        d = pa.TableGroupBy(
-            pa.table({"i": pa.array(parent, pa.int64()), "word": words}), ["i", "word"]
-        ).aggregate([([], "count_all")])
+        d = null_safe_group(
+            pa.table({"i": pa.array(parent, pa.int64()), "word": words}), ["i", "word"], [([], "count_all")]
+        )
         n_uniq = np.bincount(
             d.column("i").to_numpy(zero_copy_only=False), minlength=n
         ).astype(np.float64)
@@ -482,7 +484,7 @@ def build_index(sf_dir: str) -> "ray.data.Dataset":
                 "doc_id": pa.array(did[parent[keep]], pa.int64()),
             }
         )
-        return pa.TableGroupBy(local, ["word", "doc_id"]).aggregate([])
+        return null_safe_group(local, ["word", "doc_id"], [])
 
     def posting(g: pa.Table) -> pa.Table:
         # whole-shard kernel (stages/agg.py): word runs via dictionary
@@ -632,9 +634,9 @@ def _dup_window_set(sf_dir: str, min_docs: int, budget_bytes: int | None = None)
         i, wins = _char_windows(t)
         if len(i) == 0:
             return pa.table({"win": pa.array([], pa.string()), "p_n": pa.array([], pa.int64())})
-        d = pa.TableGroupBy(
-            pa.table({"i": pa.array(i, pa.int64()), "win": wins}), ["i", "win"]
-        ).aggregate([([], "count_all")])
+        d = null_safe_group(
+            pa.table({"i": pa.array(i, pa.int64()), "win": wins}), ["i", "win"], [([], "count_all")]
+        )
         g = pa.TableGroupBy(d.select(["win"]), ["win"]).aggregate([([], "count_all")])
         return g.rename_columns(["win", "p_n"])
 
@@ -701,9 +703,26 @@ def dup_char_windows(
             }
         )
 
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         stats, batch_format="pyarrow", zero_copy_batch=True
     )
+    return _drain_probe(out, probe)
+
+
+def _drain_probe(ds: "ray.data.Dataset", probe) -> "ray.data.Dataset":
+    """Over-budget probes are an 8-actor pool whose lifetime the lazy
+    Dataset cannot own: materialize the consumer, tear the pool down,
+    return the materialized result (the r4 ingest_dedup pattern; no-op
+    teardown and fully lazy return for the broadcast representation).
+    A production run keeps ONE probe across the measurement+removal
+    passes and calls shutdown() at drain time instead."""
+    from bank_statement_pdf_parser_ray.state.window_set import ShardedWinSet
+
+    if isinstance(probe, ShardedWinSet):
+        out = ds.materialize()
+        probe.shutdown()
+        return out
+    return ds
 
 
 DUP_CHAR_WINDOWS_SQL = r"""
@@ -800,9 +819,10 @@ def exact_substr_dedup(
             }
         )
 
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         clean, batch_format="pyarrow", zero_copy_batch=True
     )
+    return _drain_probe(out, probe)
 
 
 EXACT_SUBSTR_DEDUP_SQL = r"""

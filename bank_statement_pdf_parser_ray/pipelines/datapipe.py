@@ -21,6 +21,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from bank_statement_pdf_parser_ray.stages.agg import null_safe_group
+
 from bank_statement_pdf_parser_ray.core.hashing import fingerprint as _fingerprint
 from bank_statement_pdf_parser_ray.core.hashing import hash_text_array, stable_hash64
 
@@ -305,7 +307,7 @@ def _tfidf_tf(t: pa.Table) -> pa.Table:
     words = pc.list_flatten(words_list)
     parent = pc.list_parent_indices(words_list).to_numpy(zero_copy_only=False)
     keep = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
-    tf = pa.TableGroupBy(
+    tf = null_safe_group(
         pa.table(
             {
                 "i": pa.array(parent[keep], pa.int64()),
@@ -313,7 +315,8 @@ def _tfidf_tf(t: pa.Table) -> pa.Table:
             }
         ),
         ["i", "word"],
-    ).aggregate([("word", "count")])
+        [("word", "count")],
+    )
     return tf.rename_columns(["i", "word", "tf"])
 
 
@@ -5118,15 +5121,26 @@ def approx_distinct_per_type_checked(sf_dir: str, bound: float = 0.05) -> pd.Dat
     the oracle recomputing the exact counts and the bounded-error
     verdicts in SQL. NULL event_type forms its own group; its flag
     rides the same row."""
-    est = approx_distinct_per_type(sf_dir).set_index("event_type")["approx_distinct"]
+    est_df = approx_distinct_per_type(sf_dir)
+
+    def _key(tv):
+        # The estimate leg's NULL group arrives as None, the exact
+        # leg's as NaN (pandas index) — normalize both to one sentinel
+        # so the lookup can't silently miss and yield est=0.
+        return "\x00<NULL>" if tv is None or pd.isna(tv) else tv
+
+    est = {
+        _key(tv): int(v)
+        for tv, v in zip(est_df["event_type"], est_df["approx_distinct"])
+    }
 
     def pairs(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t.column("user_id")))
-        g = pa.TableGroupBy(t.select(["event_type", "user_id"]), ["event_type", "user_id"]).aggregate([])
+        g = null_safe_group(t.select(["event_type", "user_id"]), ["event_type", "user_id"], [])
         return g.rename_columns(["event_type", "user_id"])
 
     def count_shard(g: pa.Table) -> pa.Table:
-        d = pa.TableGroupBy(g, ["event_type", "user_id"]).aggregate([])
+        d = null_safe_group(g, ["event_type", "user_id"], [])
         c = pa.TableGroupBy(d, ["event_type"]).aggregate([([], "count_all")])
         return c.rename_columns(["event_type", "exact_distinct"])
 
@@ -5149,7 +5163,7 @@ def approx_distinct_per_type_checked(sf_dir: str, bound: float = 0.05) -> pd.Dat
             "event_type": exact.index,
             "exact_distinct": exact.to_numpy().astype("int64"),
             "hll_within_bound": [
-                abs(int(est.get(tv, 0)) - int(n)) / max(int(n), 1) <= bound
+                abs(est.get(_key(tv), 0) - int(n)) / max(int(n), 1) <= bound
                 for tv, n in exact.items()
             ],
         }

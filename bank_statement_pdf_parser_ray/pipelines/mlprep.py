@@ -281,8 +281,6 @@ def _grouped_value_stats(sf_dir: str) -> "pa.Table":
     partials pre-combined inside every batch, reduced to a model-sized
     stat table (≤ |event types| rows) — the 'fit' of the scaler.
     At 100 TB the exchange moves O(types × blocks) 40-byte rows."""
-    from ray.data.aggregate import Max, Min, Sum
-
     from bank_statement_pdf_parser_ray.pipelines.queries import _read
 
     def partial(t: pa.Table) -> pa.Table:
@@ -307,19 +305,18 @@ def _grouped_value_stats(sf_dir: str) -> "pa.Table":
         )
         return g.rename_columns(["event_type", "p_v", "p_v2", "p_n", "p_mn", "p_mx"])
 
-    return (
-        _read(sf_dir, "events", ["event_type", "value"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("event_type")
-        .aggregate(
-            Sum("p_v", alias_name="s_v"),
-            Sum("p_v2", alias_name="s_v2"),
-            Sum("p_n", alias_name="n"),
-            Min("p_mn", alias_name="mn"),
-            Max("p_mx", alias_name="mx"),
-        )
-        .take_all()  # ≤ |event types| rows — the model, not the data
-    )
+    from bank_statement_pdf_parser_ray.stages.agg import shard_aggregate
+
+    # hash-shard reduce (Ray's sort groupby cannot partition a nullable
+    # string key — NULL-event_type fuzz)
+    return shard_aggregate(
+        _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["event_type"],
+        [("p_v", "sum"), ("p_v2", "sum"), ("p_n", "sum"), ("p_mn", "min"), ("p_mx", "max")],
+        ["event_type", "s_v", "s_v2", "n", "mn", "mx"],
+    ).take_all()  # ≤ |event types| rows — the model, not the data
 
 
 def standardize_events(sf_dir: str) -> "pd.DataFrame":
@@ -398,7 +395,7 @@ WITH ev AS (
 SELECT e.event_id, e.event_type,
        (e.value - s.m) / nullif(s.sd, 0) AS z,
        (e.value - s.mn) / nullif(s.mx - s.mn, 0) AS minmax
-FROM ev e JOIN s USING (event_type)
+FROM ev e JOIN s ON e.event_type IS NOT DISTINCT FROM s.event_type
 ORDER BY e.event_id
 """
 
@@ -510,7 +507,9 @@ def ab_welch_ttest(sf_dir: str, control: str = "view") -> "pd.DataFrame":
 
     n_c, m_c, v_c = moments(rows[control])
     out_rows = []
-    for et in sorted(rows):
+    # SQL `event_type <> 'view'` is NULL for the NULL group — excluded,
+    # like the oracle (and None would break the sort)
+    for et in sorted(k for k in rows if k is not None):
         if et == control:
             continue
         n_t, m_t, v_t = moments(rows[et])

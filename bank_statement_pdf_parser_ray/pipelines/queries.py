@@ -18,6 +18,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from bank_statement_pdf_parser_ray.stages.agg import null_safe_group
+
 
 def _join_partitions(sf_dir: str, *tables: str, part_bytes: int = 32 << 20) -> int:
     """Size a Dataset.join's hash-partition count from the INPUT bytes
@@ -301,8 +303,12 @@ DISTINCT_LANGS_SQL = "SELECT DISTINCT lang FROM documents"
 
 def json_props_sum(sf_dir: str) -> pd.DataFrame:
     """F6 json_get over events.props: vectorized JSON field extraction
-    then grouped sum (props is a JSON string like {"k": 87})."""
-    from ray.data.aggregate import Sum
+    then grouped sum (props is a JSON string like {"k": 87}).
+
+    Final reduce is the hash-shard exchange (stages/agg.py), not Ray's
+    sort-based groupby — the sort path cannot partition a nullable
+    string key (NULL-event_type fuzz)."""
+    from bank_statement_pdf_parser_ray.stages.agg import shard_aggregate
 
     def partial(t: pa.Table) -> pa.Table:
         extracted = pc.extract_regex(t.column("props"), pattern=r'"k":\s*(?P<k>-?\d+)')
@@ -315,7 +321,12 @@ def json_props_sum(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "events", ["event_type", "props"])
     ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    out = ds.groupby("event_type").aggregate(Sum("p_sum", alias_name="sum_k")).to_pandas()
+    out = (
+        shard_aggregate(ds, ["event_type"], [("p_sum", "sum")], ["event_type", "sum_k"])
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
     # a group whose props never carry the field sums to SQL NULL; pandas
     # (like DuckDB's .df()) can only carry that as float64 NaN
     if not out["sum_k"].isna().any():
@@ -917,8 +928,10 @@ def events_stats(sf_dir: str) -> pd.DataFrame:
     per batch before the shuffle, the classic one-pass distributed
     moments pattern (vs the oracle's streaming stddev_samp; both
     rounded to 6 decimals, far above the ~1e-10 moment-cancellation
-    noise at this value range)."""
-    from ray.data.aggregate import Sum
+    noise at this value range). Final reduce via the hash-shard
+    exchange — Ray's sort groupby cannot partition a nullable string
+    key (NULL-event_type fuzz)."""
+    from bank_statement_pdf_parser_ray.stages.agg import shard_aggregate
 
     def partial(t: pa.Table) -> pa.Table:
         v = t.column("value")
@@ -955,14 +968,15 @@ def events_stats(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", ["event_type", "value"])
     ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     out = (
-        ds.groupby("event_type")
-        .aggregate(
-            Sum("p_v", alias_name="s_v"),
-            Sum("p_v2", alias_name="s_v2"),
-            Sum("p_valid", alias_name="n_valid"),
-            Sum("p_n", alias_name="n"),
+        shard_aggregate(
+            ds,
+            ["event_type"],
+            [("p_v", "sum"), ("p_v2", "sum"), ("p_valid", "sum"), ("p_n", "sum")],
+            ["event_type", "s_v", "s_v2", "n_valid", "n"],
         )
         .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
     )
     nv = out["n_valid"].to_numpy(dtype=float)
     sv = out["s_v"].to_numpy(dtype=float)
@@ -1026,10 +1040,23 @@ def union_event_slices(sf_dir: str) -> pd.DataFrame:
         keep_clicks, batch_format="pyarrow", zero_copy_batch=True
     )
     both = high.union(clicks)
+
+    # per-batch combiner + hash-shard reduce (Ray's sort groupby cannot
+    # partition a nullable string key — NULL-event_type fuzz); SQL
+    # count(*) vs sum(value)-skips-NULL is preserved by the two partials
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["event_type"]).aggregate([([], "count_all"), ("value", "sum")])
+        return g.rename_columns(["event_type", "p_n", "p_s"])
+
+    from bank_statement_pdf_parser_ray.stages.agg import shard_aggregate
+
     out = (
-        both.groupby("event_type")
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
-        .to_pandas()
+        shard_aggregate(
+            both.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            ["event_type"],
+            [("p_n", "sum"), ("p_s", "sum")],
+            ["event_type", "n", "sum_value"],
+        ).to_pandas()
     )
     out["n"] = out["n"].astype("int64")
     out["sum_value"] = out["sum_value"].round(2)
@@ -1413,13 +1440,13 @@ def user_top_event(sf_dir: str) -> pd.DataFrame:
     it replaces paid one Python call per user — 10k at sf0.1)."""
 
     def partial(t: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(t, ["user_id", "event_type"]).aggregate([([], "count_all")])
+        g = null_safe_group(t, ["user_id", "event_type"], [([], "count_all")])
         return g.rename_columns(["user_id", "event_type", "p_n"])
 
     def top_shard(g: pa.Table) -> pa.Table:
         # merge partial counts, then run-first per user under the
         # pinned (n desc, event_type asc) order — all Arrow/numpy
-        m = pa.TableGroupBy(g, ["user_id", "event_type"]).aggregate([("p_n", "sum")])
+        m = null_safe_group(g, ["user_id", "event_type"], [("p_n", "sum")])
         m = m.rename_columns(["user_id", "event_type", "n"])
         order = pc.sort_indices(
             m,
@@ -1596,13 +1623,13 @@ def distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
     def pairs(t: pa.Table) -> pa.Table:
         # COUNT(DISTINCT user_id) excludes NULL users (NULL-uid fuzz)
         t = t.filter(pc.is_valid(t.column("user_id")))
-        g = pa.TableGroupBy(t, ["event_type", "user_id"]).aggregate([([], "count_all")])
+        g = null_safe_group(t, ["event_type", "user_id"], [([], "count_all")])
         return g.select(["event_type", "user_id"])
 
     def distinct_count_shard(g: pa.Table) -> pa.Table:
         # global pair distinct (exact: a user's rows never split across
         # shards) then the per-type partial count, one Arrow pass each
-        d = pa.TableGroupBy(g, ["event_type", "user_id"]).aggregate([([], "count_all")])
+        d = null_safe_group(g, ["event_type", "user_id"], [([], "count_all")])
         c = pa.TableGroupBy(d.select(["event_type"]), ["event_type"]).aggregate(
             [([], "count_all")]
         )
@@ -1613,11 +1640,15 @@ def distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
     parts = _read(sf_dir, "events", ["event_type", "user_id"]).map_batches(
         pairs, batch_format="pyarrow", zero_copy_batch=True
     )
+    from bank_statement_pdf_parser_ray.stages.agg import shard_aggregate
+
     out = (
-        shard_map_groups(parts, ["user_id"], distinct_count_shard)
-        .groupby("event_type")
-        .aggregate(Sum("p_n", alias_name="n_users"))
-        .to_pandas()
+        shard_aggregate(
+            shard_map_groups(parts, ["user_id"], distinct_count_shard),
+            ["event_type"],
+            [("p_n", "sum")],
+            ["event_type", "n_users"],
+        ).to_pandas()
     )
     out["n_users"] = out["n_users"].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
@@ -3655,12 +3686,17 @@ def type_drift_chi2(sf_dir: str) -> pd.DataFrame:
             ["event_type", "p_ref", "p_cur"]
         )
 
+    from bank_statement_pdf_parser_ray.stages.agg import shard_aggregate
+
     counts = (
-        ray.data.read_parquet(path, columns=["ts", "event_type"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("event_type")
-        .aggregate(Sum("p_ref", alias_name="n_ref"), Sum("p_cur", alias_name="n_cur"))
-        .to_pandas()
+        shard_aggregate(
+            ray.data.read_parquet(path, columns=["ts", "event_type"]).map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ["event_type"],
+            [("p_ref", "sum"), ("p_cur", "sum")],
+            ["event_type", "n_ref", "n_cur"],
+        ).to_pandas()
     )
     o_ref = counts["n_ref"].to_numpy(dtype=np.float64)
     o_cur = counts["n_cur"].to_numpy(dtype=np.float64)

@@ -1006,7 +1006,14 @@ def _latest_cut(t: pa.Table) -> pa.Table:
     (timestamps, NULL/NaN values) survives bit-exact. NULL ts sorts
     last (DuckDB DESC default), encoded as int64 min."""
     uid = t.column("user_id").to_numpy(zero_copy_only=False)
-    et = t.column("event_type").to_numpy(zero_copy_only=False)
+    # dictionary codes, NULL -> -1: lexsort only needs EQUAL types
+    # adjacent (argmax grouping), and an object ndarray with None would
+    # blow up the comparison (NULL-event_type fuzz)
+    et = (
+        pc.fill_null(pc.dictionary_encode(t.column("event_type").combine_chunks()).indices, -1)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64, copy=False)
+    )
     ts = t.column("ts").cast(pa.int64())
     # NULL ts must LOSE the argmax; the fill must survive the lexsort
     # negation below (negating int64 min wraps to itself, which made
@@ -2008,15 +2015,20 @@ def user_scd2(sf_dir: str) -> "ray.data.Dataset":
 USER_SCD2_SQL = """
 WITH ordered AS (
   SELECT user_id, event_type, ts, event_id,
-         lag(event_type) OVER w AS prev_type
+         lag(event_type) OVER w AS prev_type,
+         row_number() OVER w = 1 AS is_first
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 starts AS (
+  -- IS DISTINCT FROM, not <>: a NULL event_type is its own state (the
+  -- engine's convention), so (a -> NULL) starts an interval and
+  -- (NULL -> NULL) merges; plain <> would silently swallow NULL runs
+  -- into the previous interval (NULL-event_type fuzz)
   SELECT user_id, event_type, ts AS valid_from,
          lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
   FROM ordered
-  WHERE prev_type IS NULL OR prev_type <> event_type
+  WHERE is_first OR prev_type IS DISTINCT FROM event_type
 )
 SELECT user_id, event_type, valid_from, valid_to,
        CAST(valid_to IS NULL AS BIGINT) AS is_current
@@ -2254,8 +2266,10 @@ def funnel_windowed(sf_dir: str) -> "ray.data.Dataset":
                 }
             )
         et = g.column("event_type")
-        is_p = pc.equal(et, "purchase").to_numpy(zero_copy_only=False)
-        is_v = pc.equal(et, "view").to_numpy(zero_copy_only=False)
+        # NULL event_type compares to NULL — fill to False or the numpy
+        # view is an object array whose None entries break `&` (fuzz)
+        is_p = pc.fill_null(pc.equal(et, "purchase"), False).to_numpy(zero_copy_only=False)
+        is_v = pc.fill_null(pc.equal(et, "view"), False).to_numpy(zero_copy_only=False)
         ts = g.column("ts").cast(pa.int64()).to_numpy()
         uid_valid = pc.is_valid(g.column("user_id")).to_numpy(zero_copy_only=False)
         uid = pc.fill_null(g.column("user_id"), -1).to_numpy(zero_copy_only=False).astype(np.int64)

@@ -86,6 +86,9 @@ class BroadcastWinSet:
             return np.zeros(len(wins), dtype=bool)
         return pc.is_in(wins, value_set=hot).to_numpy(zero_copy_only=False)
 
+    def shutdown(self) -> None:  # uniform teardown API with ShardedWinSet
+        pass
+
 
 class ShardedWinSet:
     """Over-budget representation: probe the actor shards with the

@@ -388,7 +388,19 @@ class TestRandomizedOracleParity:
                     [None if m else int(v) for m, v in zip(rng.random(n) < 0.04, ts)],
                     pa.int64(),
                 ).cast(pa.timestamp("us")),
-                "event_type": pa.array(rng.choice(["purchase", "view", "click"], n)),
+                # ~4% NULL event_type: GROUP BY's NULL-forms-its-own-group
+                # convention must hold in every keyed kernel, and the
+                # *_checked estimate/exact key normalization (r4 advice:
+                # None-vs-NaN pandas index miss) gets exercised
+                "event_type": pa.array(
+                    [
+                        None if m else str(v)
+                        for m, v in zip(
+                            rng.random(n) < 0.04, rng.choice(["purchase", "view", "click"], n)
+                        )
+                    ],
+                    pa.string(),
+                ),
                 "value": pa.array(
                     [
                         None if m else (float("nan") if nm else float(v))
