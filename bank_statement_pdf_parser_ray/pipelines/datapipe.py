@@ -2680,23 +2680,49 @@ def approx_quantiles_events(
     (same finite-values policy as ``events_stats``). Approximate by
     construction, hence no SQL oracle; the exact per-key companion
     (``user_value_quantiles``) is the oracle-paired path."""
-    from ray.data.aggregate import Max as _Max
-    from ray.data.aggregate import Min as _Min
-    from ray.data.aggregate import Sum
+    sk = _hist_sketch(sf_dir, n_bins)
+    if sk is None:
+        return pd.DataFrame({"q": list(qs), "value_est": [np.nan] * len(qs)})
+    lo, hi, w, counts = sk
+    if w == 0.0:
+        return pd.DataFrame({"q": list(qs), "value_est": [lo] * len(qs)})
+    cdf = np.cumsum(counts)
+    total = int(cdf[-1])
+    est = []
+    for q in qs:
+        rank = max(1, int(np.ceil(q * total)))
+        b = int(np.searchsorted(cdf, rank, side="left"))
+        est.append(lo + (b + 0.5) * w)
+    return pd.DataFrame({"q": list(qs), "value_est": np.round(est, 6)})
 
+
+def _finite_events(sf_dir: str) -> "ray.data.Dataset":
     def finite(t: pa.Table) -> pa.Table:
         v = t.column("value")
         keep = pc.and_(pc.is_valid(v), pc.invert(pc.is_nan(pc.fill_null(v, 0.0))))
         return pa.table({"v": v.filter(keep)})
 
-    ds = _read_events(sf_dir).map_batches(finite, batch_format="pyarrow", zero_copy_batch=True)
+    return _read_events(sf_dir).map_batches(finite, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _hist_sketch(sf_dir: str, n_bins: int):
+    """Two streaming passes over the finite event values: global
+    (min, max), then equi-width bin counts over [lo, hi] — the shared
+    mergeable histogram behind the approximate-quantile family. Returns
+    (lo, hi, width, counts) — width 0.0 when degenerate — or None on an
+    empty/all-missing column."""
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Min as _Min
+    from ray.data.aggregate import Sum
+
+    ds = _finite_events(sf_dir)
     mm = ds.aggregate(_Min("v"), _Max("v"))
     lo, hi = mm["min(v)"], mm["max(v)"]
     if lo is None or hi is None:
-        return pd.DataFrame({"q": list(qs), "value_est": [np.nan] * len(qs)})
+        return None
     lo, hi = float(lo), float(hi)
     if hi <= lo:
-        return pd.DataFrame({"q": list(qs), "value_est": [lo] * len(qs)})
+        return lo, hi, 0.0, np.zeros(n_bins, dtype=np.int64)
     w = (hi - lo) / n_bins
 
     def hist_partial(t: pa.Table) -> pa.Table:
@@ -2716,14 +2742,87 @@ def approx_quantiles_events(
     )
     counts = np.zeros(n_bins, dtype=np.int64)
     counts[htab["bin"].to_numpy(dtype=np.int64)] = htab["n"].to_numpy(dtype=np.int64)
+    return lo, hi, w, counts
+
+
+def approx_quantiles_events_checked(
+    sf_dir: str, qs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99), n_bins: int = 2048
+) -> pd.DataFrame:
+    """The histogram sketch's hard driver signal: the engine computes
+    the EXACT order statistic at each sketch rank (``ceil(q*n)``-th
+    smallest) itself — histogram pass to locate each rank's bin, then
+    ONE more filtered streaming pass that collects only the candidate
+    bins' values (O(ranks x max-bin occupancy), never the column) —
+    and asserts the sketch's bin-width bound ``|est - exact| <=
+    (hi-lo)/n_bins``. That bound is a THEOREM for the discrete rank
+    statistic (the estimate is the midpoint of the bin containing that
+    very rank, so the true error is <= w/2); percentile_cont would NOT
+    work here — interpolation between adjacent order stats can span
+    arbitrarily many empty bins. The oracle recomputes the rank
+    statistic with a window rank and pins the verdict ``true``."""
+    sk = _hist_sketch(sf_dir, n_bins)
+    if sk is None:
+        # no finite values: the oracle's ranked CTE is empty
+        return pd.DataFrame(
+            {
+                "q": pd.Series(dtype="float64"),
+                "value_exact": pd.Series(dtype="float64"),
+                "hist_within_bound": pd.Series(dtype="bool"),
+            }
+        )
+    lo, hi, w, counts = sk
+    if w == 0.0:
+        return pd.DataFrame(
+            {"q": list(qs), "value_exact": np.round([lo] * len(qs), 6), "hist_within_bound": [True] * len(qs)}
+        )
     cdf = np.cumsum(counts)
     total = int(cdf[-1])
-    est = []
+    # sketch estimates from the SAME histogram (no second pass A), and
+    # the 1-indexed rank each estimate answers for
+    ests, ranks = [], []
     for q in qs:
         rank = max(1, int(np.ceil(q * total)))
         b = int(np.searchsorted(cdf, rank, side="left"))
-        est.append(lo + (b + 0.5) * w)
-    return pd.DataFrame({"q": list(qs), "value_est": np.round(est, 6)})
+        ests.append(lo + (b + 0.5) * w)
+        ranks.append(rank)
+    need_bins = sorted({int(np.searchsorted(cdf, r, side="left")) for r in ranks})
+    bins_arr = np.array(need_bins, dtype=np.int64)
+
+    def collect(t: pa.Table) -> pa.Table:
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        idx = np.clip(((v - lo) / w).astype(np.int64), 0, n_bins - 1)
+        keep = np.isin(idx, bins_arr)
+        return pa.table({"bin": pa.array(idx[keep], pa.int64()), "v": pa.array(v[keep], pa.float64())})
+
+    got = _finite_events(sf_dir).map_batches(collect, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    by_bin = {
+        int(b): np.sort(sub["v"].to_numpy())
+        for b, sub in got.groupby("bin")
+    }
+
+    def order_stat(rank1: int) -> float:
+        # rank1 is 1-indexed; its value sits in bin b at in-bin offset
+        # rank1 - cdf[b-1] - 1
+        b = int(np.searchsorted(cdf, rank1, side="left"))
+        below = int(cdf[b - 1]) if b > 0 else 0
+        return float(by_bin[b][rank1 - below - 1])
+
+    rows = []
+    for q, est, rank in zip(qs, ests, ranks):
+        exact = order_stat(rank)
+        rows.append((q, round(exact, 6), bool(abs(est - exact) <= w)))
+    return pd.DataFrame(rows, columns=["q", "value_exact", "hist_within_bound"])
+
+
+APPROX_QUANTILES_EVENTS_CHECKED_SQL = """
+WITH s AS (
+  SELECT value, row_number() OVER (ORDER BY value) AS rn, count(*) OVER () AS n
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+)
+SELECT q, round(value, 6) AS value_exact, true AS hist_within_bound
+FROM s, (VALUES (0.25), (0.5), (0.9), (0.99)) t(q)
+WHERE rn = greatest(1, CAST(ceil(q * n) AS BIGINT))
+"""
 
 
 def _read_events(sf_dir: str) -> "ray.data.Dataset":
@@ -3816,8 +3915,153 @@ def pack_sequences(sf_dir: str, seq_len: int = 512) -> "ray.data.Dataset":
     )
 
 
+def pack_sequences_checked(
+    sf_dir: str, seq_len: int = 512, bucket_rows: int = 4096
+) -> "ray.data.Dataset":
+    """``pack_sequences`` made a hard driver signal: the greedy
+    first-fit fold is DETERMINISTIC here because packing runs per
+    id-range bucket (``doc_id // bucket_rows``) in doc_id order —
+    a pure function of the data, independent of block layout — so the
+    whole pack is restatable as a recursive-CTE oracle. Same
+    tokenizer, truncation and capacity rule as pack_sequences.
+
+    Scale shape: one coarse-shard exchange on the int bucket key
+    (whole buckets co-locate); each shard sorts once and folds its
+    buckets sequentially — the fold is O(rows) with per-row constant
+    work, the inherent shape of first-fit (same trade pack_sequences
+    documents)."""
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column("text")), pc.is_valid(t.column("doc_id"))))
+        n_tok = pc.cast(
+            pc.fill_null(pc.count_substring_regex(t.column("text"), pattern=r"\S+"), 0),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        n_tok = np.minimum(n_tok, seq_len)
+        keep = n_tok > 0
+        ids = t.column("doc_id").cast(pa.int64()).to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "bucket": pa.array(ids // bucket_rows, pa.int64()),
+                "n_tok": pa.array(n_tok[keep], pa.int64()),
+            }
+        )
+
+    def pack_shard(g: pa.Table) -> pa.Table:
+        order = np.lexsort(
+            (
+                g.column("doc_id").to_numpy(zero_copy_only=False),
+                g.column("bucket").to_numpy(zero_copy_only=False),
+            )
+        )
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)[order]
+        bks = g.column("bucket").to_numpy(zero_copy_only=False)[order]
+        toks = g.column("n_tok").to_numpy(zero_copy_only=False)[order]
+        seq_key, seq_docs, seq_toks = [], [], []
+        cur_key, cur_bk, cur_docs, cur_toks = None, None, 0, 0
+        for i in range(len(ids)):
+            if cur_key is None or bks[i] != cur_bk or cur_toks + toks[i] > seq_len:
+                if cur_key is not None:
+                    seq_key.append(cur_key), seq_docs.append(cur_docs), seq_toks.append(cur_toks)
+                cur_key, cur_bk, cur_docs, cur_toks = int(ids[i]), bks[i], 0, 0
+            cur_docs += 1
+            cur_toks += int(toks[i])
+        if cur_key is not None:
+            seq_key.append(cur_key), seq_docs.append(cur_docs), seq_toks.append(cur_toks)
+        return pa.table(
+            {
+                "seq_id": pa.array(seq_key, pa.int64()),
+                "n_docs": pa.array(seq_docs, pa.int64()),
+                "n_tokens": pa.array(seq_toks, pa.int64()),
+                "fill": pa.array([x / seq_len for x in seq_toks], pa.float64()),
+            }
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return shard_map_groups(ds, ["bucket"], pack_shard)
+
+
+PACK_SEQUENCES_CHECKED_SQL = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, doc_id // 4096 AS bucket,
+         least(length(regexp_extract_all(text, '\S+')), 512) AS n_tok,
+         row_number() OVER (PARTITION BY doc_id // 4096 ORDER BY doc_id) AS rn
+  FROM documents
+  WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    AND length(regexp_extract_all(text, '\S+')) > 0
+),
+rec AS (
+  SELECT bucket, rn, doc_id, n_tok, doc_id AS seq_id, n_tok AS cum
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.bucket, t.rn, t.doc_id, t.n_tok,
+         CASE WHEN rec.cum + t.n_tok > 512 THEN t.doc_id ELSE rec.seq_id END,
+         CASE WHEN rec.cum + t.n_tok > 512 THEN t.n_tok ELSE rec.cum + t.n_tok END
+  FROM rec JOIN t ON t.bucket = rec.bucket AND t.rn = rec.rn + 1
+)
+SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(n_tok) AS DOUBLE) / 512.0 AS fill
+FROM rec GROUP BY seq_id
+"""
+
+
 HH_COUNTERS = 256
 HH_K = 20
+
+
+def _mg_merge(sketch: "pd.DataFrame", counters: int) -> tuple["pd.DataFrame", int, int]:
+    """Mergeable-summaries reduce of per-block Misra-Gries partials
+    (Agarwal et al. 2013): add counts word-wise, subtract the
+    (counters+1)-th largest merged count, drop non-positive. Returns
+    (merged word/p_n frame, n_total, deficit bound 2n/(c+1))."""
+    n_total = int(sketch.loc[sketch["word"] == "", "p_n"].sum())
+    merged = sketch[sketch["word"] != ""].groupby("word", as_index=False)["p_n"].sum()
+    cnt = merged["p_n"].to_numpy()
+    if len(cnt) > counters:
+        sub = int(np.partition(cnt, len(cnt) - counters - 1)[len(cnt) - counters - 1])
+        merged = merged.assign(p_n=merged["p_n"] - sub)
+        merged = merged[merged["p_n"] > 0]
+    return merged, n_total, 2 * n_total // (counters + 1)
+
+
+def _mg_sketch(sf_dir: str, counters: int) -> tuple["pd.DataFrame", int, int]:
+    """Distributed Misra-Gries sketch of the corpus token stream: the
+    shuffle-free per-block partial (vocab_topk tokenizer, in-block
+    exact count, MG decrement to <= counters rows + one '' sentinel row
+    carrying the block's token total) merged at the driver."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern_regex(t.column("text"), pattern=r"\s+"))
+        words = words.filter(pc.not_equal(words, ""))
+        n_blk = len(words)
+        g = pa.TableGroupBy(pa.table({"word": words}), ["word"]).aggregate([("word", "count")])
+        w = g.column("word").to_numpy(zero_copy_only=False)
+        cnt = g.column("word_count").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(cnt) > counters:
+            sub = np.partition(cnt, len(cnt) - counters - 1)[len(cnt) - counters - 1]
+            cnt = cnt - sub
+            keep = cnt > 0
+            w, cnt = w[keep], cnt[keep]
+        # sentinel row carries the block's total token weight ('' can
+        # never collide: empty tokens were dropped above)
+        return pa.table(
+            {
+                "word": pa.array(np.append(w, ""), pa.string()),
+                "p_n": pa.array(np.append(cnt, n_blk), pa.int64()),
+            }
+        )
+
+    return _mg_merge(
+        _docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas(),  # O(counters x blocks) sketch rows — not the corpus
+        counters,
+    )
 
 
 def heavy_hitters(sf_dir: str, k: int = HH_K, counters: int = HH_COUNTERS) -> pd.DataFrame:
@@ -3843,43 +4087,7 @@ def heavy_hitters(sf_dir: str, k: int = HH_K, counters: int = HH_COUNTERS) -> pd
     est_n the guaranteed-undercount estimate and err_bound the merged
     2n/(counters+1) deficit bound. Rows-only (the sketch's candidate
     set is hash/packing-order dependent); pytest pins the guarantees."""
-
-    def partial(t: pa.Table) -> pa.Table:
-        words = pc.list_flatten(pc.split_pattern_regex(t.column("text"), pattern=r"\s+"))
-        words = words.filter(pc.not_equal(words, ""))
-        n_blk = len(words)
-        g = pa.TableGroupBy(pa.table({"word": words}), ["word"]).aggregate([("word", "count")])
-        w = g.column("word").to_numpy(zero_copy_only=False)
-        cnt = g.column("word_count").to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(cnt) > counters:
-            sub = np.partition(cnt, len(cnt) - counters - 1)[len(cnt) - counters - 1]
-            cnt = cnt - sub
-            keep = cnt > 0
-            w, cnt = w[keep], cnt[keep]
-        # sentinel row carries the block's total token weight ('' can
-        # never collide: empty tokens were dropped above)
-        return pa.table(
-            {
-                "word": pa.array(np.append(w, ""), pa.string()),
-                "p_n": pa.array(np.append(cnt, n_blk), pa.int64()),
-            }
-        )
-
-    sketch = (
-        _docs(sf_dir, ["text"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()  # O(counters x blocks) sketch rows — not the corpus
-    )
-    n_total = int(sketch.loc[sketch["word"] == "", "p_n"].sum())
-    merged = (
-        sketch[sketch["word"] != ""].groupby("word", as_index=False)["p_n"].sum()
-    )
-    cnt = merged["p_n"].to_numpy()
-    if len(cnt) > counters:
-        sub = int(np.partition(cnt, len(cnt) - counters - 1)[len(cnt) - counters - 1])
-        merged["p_n"] = merged["p_n"] - sub
-        merged = merged[merged["p_n"] > 0]
-    err_bound = 2 * n_total // (counters + 1)
+    merged, n_total, err_bound = _mg_sketch(sf_dir, counters)
     out = (
         merged.rename(columns={"p_n": "est_n"})
         .sort_values(["est_n", "word"], ascending=[False, True])
@@ -3961,6 +4169,125 @@ def count_min_freq(sf_dir: str, k: int = HH_K, width: int = CM_WIDTH, depth: int
     )
     out["eps_n"] = np.int64(int(np.e / width * n_total) + 1)
     return out.sort_values("word").reset_index(drop=True)
+
+
+def _exact_word_topk(sf_dir: str, k: int) -> pd.DataFrame:
+    """Engine-exact top-k corpus words (count desc, word asc) — the
+    DETERMINISTIC probe set the sketch verdicts are pinned against
+    (the sketches' own candidate sets are block-packing dependent).
+    One O(vocab x blocks) pre-combined exchange (vocab_topk)."""
+    return vocab_topk(sf_dir, k).rename(columns={"n": "exact_n"})
+
+
+def heavy_hitters_checked(sf_dir: str, k: int = HH_K, counters: int = HH_COUNTERS) -> pd.DataFrame:
+    """The Misra-Gries sketch's hard driver signal (the
+    ``approx_distinct_users_checked`` playbook): for the engine's own
+    exact top-k words, assert the MG merged-summary guarantee
+    ``true - 2n/(c+1) <= est <= true`` (est = 0 when the word fell out
+    of the sketch — legal exactly when true <= bound). The oracle
+    recomputes the exact top-k and states the verdict as ``true``; any
+    broken decrement/merge (overcount, deficit beyond the bound, a
+    frequent word missing) flips a row to false and fails the hash."""
+    merged, _, err_bound = _mg_sketch(sf_dir, counters)
+    est = dict(zip(merged["word"], merged["p_n"].astype(int)))
+    exact = _exact_word_topk(sf_dir, k)
+    ok = [
+        est.get(w, 0) <= n and n - est.get(w, 0) <= err_bound
+        for w, n in zip(exact["word"], exact["exact_n"])
+    ]
+    out = pd.DataFrame(
+        {
+            "word": exact["word"],
+            "exact_n": exact["exact_n"].astype("int64"),
+            "mg_ok": ok,
+        }
+    )
+    return out.sort_values("word").reset_index(drop=True)
+
+
+HEAVY_HITTERS_CHECKED_SQL = r"""
+SELECT word, CAST(n AS BIGINT) AS exact_n, true AS mg_ok FROM (
+  SELECT word, count(*) AS n
+  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)
+  WHERE word <> ''
+  GROUP BY word
+  ORDER BY n DESC, word
+  LIMIT 20
+) ORDER BY word
+"""
+
+
+def count_min_freq_checked(
+    sf_dir: str, k: int = HH_K, width: int = CM_WIDTH, depth: int = CM_DEPTH
+) -> pd.DataFrame:
+    """The Count-Min sketch's hard driver signal: for the engine's own
+    exact top-k words, assert (a) the DETERMINISTIC overcount guarantee
+    ``cm >= true`` (CM never undercounts — any hashing/merge-linearity
+    bug shows up here) and (b) the ``cm - true <= eps*n`` tightness
+    bound (eps = e/width; probabilistic per the CM analysis but
+    deterministic for a fixed dataset + seeds, so a pass at the
+    driver's sf is stable). The oracle recomputes the exact counts and
+    pins both verdicts ``true``."""
+    import polars as pl
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern_regex(t.column("text"), pattern=r"\s+"))
+        words = words.filter(pc.not_equal(words, ""))
+        g = pa.TableGroupBy(pa.table({"word": words}), ["word"]).aggregate([("word", "count")])
+        cnt = g.column("word_count").to_numpy(zero_copy_only=False).astype(np.int64)
+        wcol = pl.from_arrow(g.select(["word"]))
+        mat = np.zeros((depth, width), dtype=np.int64)
+        for j in range(depth):
+            slots = (wcol.hash_rows(seed=j).to_numpy() % width).astype(np.int64)
+            mat[j] = np.bincount(slots, weights=cnt, minlength=width).astype(np.int64)
+        return pa.table(
+            {
+                "depth": pa.array(np.arange(depth, dtype=np.int64)),
+                "slots": pa.array(list(mat), pa.list_(pa.int64())),
+            }
+        )
+
+    sketch = (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # depth rows per block, 64 KiB each — not the corpus
+    )
+    mat = np.zeros((depth, width), dtype=np.int64)
+    for j in range(depth):
+        for r in sketch.loc[sketch["depth"] == j, "slots"]:
+            mat[j] += np.asarray(r, dtype=np.int64)
+    n_total = int(mat[0].sum())
+    eps_n = int(np.e / width * n_total) + 1
+
+    exact = _exact_word_topk(sf_dir, k)
+    pw = pl.DataFrame({"word": exact["word"].tolist()})
+    ests = np.empty((depth, len(exact)), dtype=np.int64)
+    for j in range(depth):
+        slots = (pw.hash_rows(seed=j).to_numpy() % width).astype(np.int64)
+        ests[j] = mat[j][slots]
+    upper = ests.min(axis=0)
+    true_n = exact["exact_n"].to_numpy(dtype=np.int64)
+    out = pd.DataFrame(
+        {
+            "word": exact["word"],
+            "exact_n": exact["exact_n"].astype("int64"),
+            "cm_ok": upper >= true_n,
+            "cm_tight": (upper - true_n) <= eps_n,
+        }
+    )
+    return out.sort_values("word").reset_index(drop=True)
+
+
+COUNT_MIN_FREQ_CHECKED_SQL = r"""
+SELECT word, CAST(n AS BIGINT) AS exact_n, true AS cm_ok, true AS cm_tight FROM (
+  SELECT word, count(*) AS n
+  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)
+  WHERE word <> ''
+  GROUP BY word
+  ORDER BY n DESC, word
+  LIMIT 20
+) ORDER BY word
+"""
 
 
 def char_entropy(sf_dir: str) -> pd.DataFrame:
@@ -5414,6 +5741,156 @@ SELECT h AS text_md5, min(doc_id) AS doc_id
 FROM w2
 WHERE h NOT IN (SELECT h FROM w1)
 GROUP BY h
+"""
+
+
+def wave_ingest(sf_dir: str) -> pd.DataFrame:
+    """The multi-wave ingest story END TO END as one oracle-paired
+    query (r4 verdict item 5 — previously pytest-only): wave 1
+    (doc_id % 3 != 0) is processed (whitespace-normalized, the
+    flagship M7 kernel) into a per-lang mergeable state (n_docs,
+    normalized chars) while its content digests register into the
+    shared DedupIndex; wave 2 is a FULL re-delivery probed against the
+    index so only never-seen content is processed (within-wave dups
+    collapse to the min-doc_id representative, as ingest_dedup); the
+    wave-2 delta merges into the saved state with one vectorized add.
+    The oracle is the single-pass recompute over wave1 + novel rows —
+    proving the incremental path loses nothing.
+
+    Scale shape: wave 1 is ONE pass that both registers digests
+    (16 B/distinct text to the actor pool) and emits per-lang partials;
+    the state aggregation's drain is the wave barrier. Wave 2's probe
+    adds one digest fan-out per batch and ships only novel (h, doc_id,
+    lang, norm_chars) rows into a digest-sharded argmin + in-shard
+    per-lang partial — O(langs x shards) rows reach the final merge.
+    Wave-1 data is never re-read."""
+    from bank_statement_pdf_parser_ray.stages.agg import shard_aggregate, shard_map_groups
+    from bank_statement_pdf_parser_ray.state.dedup_index import DedupIndex, text_digests
+
+    idx = DedupIndex(n_shards=8)
+
+    def _norm_len(text_col: "pa.ChunkedArray") -> "pa.Array":
+        return pc.cast(
+            pc.utf8_length(
+                pc.utf8_trim(
+                    pc.replace_substring_regex(text_col, pattern=r"\s+", replacement=" "),
+                    characters=_DUCKDB_TRIM_CHARS,
+                )
+            ),
+            pa.int64(),
+        )
+
+    def wave1_slice(t: pa.Table) -> pa.Table:
+        # NULL doc_id fails `doc_id % 3 <> 0` in SQL (three-valued) and
+        # can never be a min-doc_id representative — excluded both sides
+        t = t.filter(pc.and_(pc.is_valid(t.column("text")), pc.is_valid(t.column("doc_id"))))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 3 != 0))
+
+    def register_and_partial(t: pa.Table) -> pa.Table:
+        dg = [d for d in text_digests(t.column("text").to_pylist()) if d is not None]
+        if dg:
+            idx.add(dg)  # durable before the batch's partial commits
+        tbl = pa.table({"lang": t.column("lang"), "c": _norm_len(t.column("text"))})
+        g = pa.TableGroupBy(tbl, ["lang"]).aggregate([([], "count_all"), ("c", "sum")])
+        return g.rename_columns(["lang", "p_n", "p_c"])
+
+    w1 = _docs(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+        wave1_slice, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # draining the state aggregation IS the wave barrier: every batch's
+    # idx.add ran before its partial reached the exchange
+    state = shard_aggregate(
+        w1.map_batches(register_and_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang"],
+        [("p_n", "sum"), ("p_c", "sum")],
+        ["lang", "n_docs", "norm_chars"],
+    ).to_pandas()
+
+    def probe(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column("text")), pc.is_valid(t.column("doc_id"))))
+        dg = text_digests(t.column("text").to_pylist())
+        present = iter(idx.contains([d for d in dg if d is not None]))
+        keep, hexes = [], []
+        for i, d in enumerate(dg):
+            if d is None:
+                continue
+            if not next(present):
+                keep.append(i)
+                hexes.append(d.hex())
+        sub = t.take(pa.array(keep, pa.int64()))
+        return pa.table(
+            {
+                "h": pa.array(hexes, pa.string()),
+                "doc_id": sub.column("doc_id"),
+                "lang": sub.column("lang"),
+                "c": _norm_len(sub.column("text")),
+            }
+        )
+
+    def delta_shard(g: pa.Table) -> pa.Table:
+        # min-doc_id representative per digest (within-wave collapse),
+        # then the per-lang partial — both inside the one shard kernel
+        order = np.lexsort(
+            (
+                g.column("doc_id").to_numpy(zero_copy_only=False),
+                g.column("h").to_numpy(zero_copy_only=False),
+            )
+        )
+        h = g.column("h").to_numpy(zero_copy_only=False)[order]
+        first = np.ones(len(order), dtype=bool)
+        if len(order) > 1:
+            first[1:] = h[1:] != h[:-1]
+        reps = g.take(pa.array(order[first], pa.int64()))
+        gg = pa.TableGroupBy(reps.select(["lang", "c"]), ["lang"]).aggregate(
+            [([], "count_all"), ("c", "sum")]
+        )
+        return gg.rename_columns(["lang", "p_n", "p_c"])
+
+    novel = _docs(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True
+    )
+    delta = shard_aggregate(
+        shard_map_groups(novel, ["h"], delta_shard),
+        ["lang"],
+        [("p_n", "sum"), ("p_c", "sum")],
+        ["lang", "n_docs", "norm_chars"],
+    ).to_pandas()
+    idx.shutdown()
+    merged = (
+        pd.concat([state, delta], ignore_index=True)
+        .groupby("lang", as_index=False, dropna=False)[["n_docs", "norm_chars"]]
+        .sum()
+    )
+    merged["n_docs"] = merged["n_docs"].astype("int64")
+    merged["norm_chars"] = merged["norm_chars"].astype("int64")
+    return merged.sort_values("lang").reset_index(drop=True)
+
+
+WAVE_INGEST_SQL = r"""
+WITH w1 AS (
+  SELECT doc_id, lang, text FROM documents
+  WHERE doc_id % 3 <> 0 AND text IS NOT NULL
+),
+w1h AS (SELECT DISTINCT md5(text) AS h FROM w1),
+w2 AS (
+  SELECT doc_id, lang, text, md5(text) AS h FROM documents WHERE text IS NOT NULL
+),
+novel AS (
+  SELECT h, min(doc_id) AS doc_id FROM w2
+  WHERE h NOT IN (SELECT h FROM w1h) GROUP BY h
+),
+novel_rows AS (
+  SELECT w2.lang, w2.text FROM novel JOIN w2 USING (h, doc_id)
+),
+allrows AS (
+  SELECT lang, text FROM w1
+  UNION ALL
+  SELECT lang, text FROM novel_rows
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS BIGINT) AS norm_chars
+FROM allrows GROUP BY lang ORDER BY lang
 """
 
 

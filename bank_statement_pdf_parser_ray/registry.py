@@ -239,6 +239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_join_revenue": q.bloom_join_revenue,
         "heavy_hitters": dp.heavy_hitters,
         "count_min_freq": dp.count_min_freq,
+        "heavy_hitters_checked": dp.heavy_hitters_checked,
+        "count_min_freq_checked": dp.count_min_freq_checked,
         "pagerank_edges": gr.pagerank_edges,
         "nation_hops": gr.nation_hops,
         "pagerank_nations": gr.pagerank_nations,
@@ -270,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr": q.lineitem_corr,
         "value_histogram": q.value_histogram,
         "approx_quantiles_events": dp.approx_quantiles_events,
+        "approx_quantiles_events_checked": dp.approx_quantiles_events_checked,
         "sample_documents": q.sample_documents,
         "stratified_sample": dp.stratified_sample_documents,
         "temperature_mixture": dp.temperature_mixture,
@@ -297,6 +300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_decontaminate": dp.semantic_decontaminate,
         "mixture_sample": dp.mixture_sample,
         "pack_sequences": dp.pack_sequences,
+        "pack_sequences_checked": dp.pack_sequences_checked,
+        "wave_ingest": dp.wave_ingest,
         "langid": dp.langid,
         "doc_fingerprint": dp.doc_fingerprint,
         "passage_dedup": co.passage_dedup,
@@ -548,6 +553,11 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_users_checked": dp.APPROX_DISTINCT_USERS_CHECKED_SQL,
         "warc_ingest": dp.WARC_INGEST_SQL,
         "approx_distinct_per_type_checked": dp.APPROX_DISTINCT_PER_TYPE_CHECKED_SQL,
+        "heavy_hitters_checked": dp.HEAVY_HITTERS_CHECKED_SQL,
+        "count_min_freq_checked": dp.COUNT_MIN_FREQ_CHECKED_SQL,
+        "approx_quantiles_events_checked": dp.APPROX_QUANTILES_EVENTS_CHECKED_SQL,
+        "pack_sequences_checked": dp.PACK_SEQUENCES_CHECKED_SQL,
+        "wave_ingest": dp.WAVE_INGEST_SQL,
         "extract_links": co.EXTRACT_LINKS_SQL,
         "host_stats": co.HOST_STATS_SQL,
         "knn_cosine_filtered": dp.KNN_COSINE_FILTERED_SQL,

@@ -592,6 +592,13 @@ class TestRandomizedDocsOracleParity:
         "ingest_dedup",
         "perplexity_buckets",
         "temperature_mixture",
+        # round-5: sketches converted to hard signals (MG deficit and
+        # CM overcount bounds are theorems; cm_tight's collision slack
+        # is ~6e-6 at this vocab/width); the deterministic bucketed pack
+        "heavy_hitters_checked",
+        "count_min_freq_checked",
+        "pack_sequences_checked",
+        "wave_ingest",
     ]
 
     @pytest.mark.parametrize("seed", [1, 2, 3])

@@ -91,6 +91,9 @@ class TestRandomizedTpchOracleParity:
         "q3_shipping", "q5_region_revenue", "rollup_orders",
         "semi_join_customers", "skyline_orders", "table_diff",
         "triangle_count", "unpivot_lineitem",
+        # round-5: the five-table DQ suite (r4 verdict item 2 — the one
+        # oracle pair no fuzz family had swept)
+        "dq_checks",
     ]
 
     @staticmethod
@@ -157,6 +160,29 @@ class TestRandomizedTpchOracleParity:
             "l_linestatus": pa.array([str(s) for s in rng.choice(["O", "F"], nl)]),
             "l_shipdate": opt(rng, [int(x) * H for x in rng.integers(0, 2400, nl)], 0.04, pa.int64()).cast(pa.timestamp("us")),
         }), str(tmp / "lineitem.parquet"))
+        # dq_checks spans five tables: small dirty events + documents
+        # so the suite's predicate rules see NULLs/empties here too
+        ne = 60
+        pq.write_table(pa.table({
+            "event_id": pa.array(np.arange(ne), pa.int64()),
+            "user_id": opt(rng, [int(x) for x in rng.integers(0, 5, ne)], 0.06, pa.int64()),
+            "ts": opt(rng, [int(x) * H for x in rng.integers(0, 2400, ne)], 0.04, pa.int64()).cast(pa.timestamp("us")),
+            "event_type": pa.array([str(s) for s in rng.choice(["view", "click"], ne)]),
+            "value": opt(rng, [round(float(x), 2) for x in rng.uniform(0, 120, ne)], 0.1, pa.float64()),
+            "props": pa.array(["{}"] * ne),
+        }), str(tmp / "events.parquet"))
+        nd = 30
+        texts = [
+            None if rng.random() < 0.1 else ("" if rng.random() < 0.15 else f"doc text {i}")
+            for i in range(nd)
+        ]
+        pq.write_table(pa.table({
+            "doc_id": pa.array(np.arange(nd), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * nd),
+            "source": pa.array(["web"] * nd),
+            "n_chars": pa.array([0 if s is None else len(s) for s in texts], pa.int64()),
+        }), str(tmp / "documents.parquet"))
 
     @pytest.mark.parametrize("seed", [1, 2, 3])
     def test_tpch_family_matches_duckdb(self, seed, tmp_path):
@@ -180,7 +206,7 @@ class TestRandomizedTpchOracleParity:
             return df.sort_values(list(df.columns)).reset_index(drop=True)
 
         con = duckdb.connect()
-        for tbl in "region nation customer supplier part orders lineitem".split():
+        for tbl in "region nation customer supplier part orders lineitem events documents".split():
             con.sql(f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{tmp_path}/{tbl}.parquet')")
         Q, O = entry.queries(), entry.oracle_sql()
         for name in self.OPS:

@@ -326,6 +326,10 @@ class TestRandomizedOracleParity:
         "user_scd2",
         "user_top_event",
         "winsorize_events",
+        # round-5: the histogram sketch's hard signal (bin-width bound
+        # vs the engine's own exact rank statistic — a theorem, so
+        # random data cannot flake it)
+        "approx_quantiles_events_checked",
     ]
 
     @pytest.mark.parametrize("seed", [1, 2, 3])
