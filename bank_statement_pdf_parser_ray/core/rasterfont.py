@@ -190,11 +190,14 @@ def parse_pgm(blob: bytes) -> "np.ndarray | None":
     return data.reshape(h, w)
 
 
-def ocr_page(pgm: bytes) -> str:
+def ocr_page(blob: bytes) -> str:
     """Fixed-pitch template OCR: threshold, cut the 6x9 grid, match each
     cell's 35-bit signature against the font. Trailing spaces are
-    stripped per line (render_page never draws them anyway)."""
-    img = parse_pgm(pgm)
+    stripped per line (render_page never draws them anyway).
+
+    Accepts binary-P5 PGM or baseline TIFF (``core.tiff`` — scanned
+    statements in the wild ship as TIFF); anything else OCRs to ""."""
+    img = _page_gray(blob)
     if img is None:
         return ""
     ink = img < 128
@@ -214,10 +217,41 @@ def ocr_page(pgm: bytes) -> str:
     return "\n".join(lines)
 
 
-def rasterize_payload(text: str) -> str:
+def _page_gray(blob: bytes) -> "np.ndarray | None":
+    """Page bytes -> uint8 HxW: PGM or baseline TIFF, else None."""
+    if not blob:
+        return None
+    if blob[:2] == b"P5":
+        return parse_pgm(blob)
+    if blob[:4] in (b"II*\x00", b"MM\x00*"):
+        from bank_statement_pdf_parser_ray.core.tiff import decode_tiff_luma
+
+        try:
+            return (decode_tiff_luma(blob) * 255.0).round().astype(np.uint8)
+        except ValueError:
+            return None
+    return None
+
+
+def render_page_tiff(text: str) -> bytes:
+    """Rasterize like ``render_page`` but emit a scanned-statement-style
+    TIFF: LZW + horizontal predictor, WhiteIsZero photometric (the
+    bilevel-scanner convention) — exercising the core.tiff decode path
+    end-to-end through the flagship OCR route."""
+    from bank_statement_pdf_parser_ray.core.tiff import encode_tiff_gray
+
+    pgm = render_page(text)
+    img = parse_pgm(pgm)
+    assert img is not None
+    return encode_tiff_gray(img, compression="lzw", predictor=2, white_is_zero=True)
+
+
+def rasterize_payload(text: str, fmt: str = "pgm") -> str:
     """Wrap a rasterized page in the base64 text envelope the sniffer
-    recognizes (scanned-page stand-in for a binary column)."""
-    return RASTER_MARKER + "\n" + base64.b64encode(render_page(text)).decode("ascii")
+    recognizes (scanned-page stand-in for a binary column). ``fmt``
+    picks the page format: "pgm" (default) or "tiff"."""
+    page = render_page_tiff(text) if fmt == "tiff" else render_page(text)
+    return RASTER_MARKER + "\n" + base64.b64encode(page).decode("ascii")
 
 
 def raster_payload_pgm(payload: str) -> "bytes | None":

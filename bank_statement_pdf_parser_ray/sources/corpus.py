@@ -331,7 +331,11 @@ def gen_turn_text(rng: random.Random, raster_frac: float = 0.0) -> str:
         # files) never take this branch.
         from bank_statement_pdf_parser_ray.core.rasterfont import rasterize_payload
 
-        return rasterize_payload(text)
+        # a third of scanned pages arrive as LZW TIFF (WhiteIsZero,
+        # predictor 2 — the scanner convention), the rest as PGM; the
+        # draw stays INSIDE the opt-in branch so default corpora and
+        # their goldens are untouched
+        return rasterize_payload(text, fmt="tiff" if rng.random() < 1 / 3 else "pgm")
     return text
 
 

@@ -1371,8 +1371,8 @@ class TestHardNegatives:
 
 class TestMediaMixedFormats:
     def test_media_features_exercises_every_decoder(self, tmp_path):
-        """media_features' corpus mixes PGM/BMP/JPEG/PNG/GIF/unknown by
-        doc_id: real decodes report the 48x64 SOURCE dims, the codec
+        """media_features' corpus mixes PGM/BMP/JPEG/PNG/GIF/TIFF/unknown
+        by doc_id: real decodes report the 48x64 SOURCE dims, the codec
         stand-in reports the 32x32 target dims (fake path)."""
         import pyarrow.parquet as pq
 
@@ -1392,9 +1392,9 @@ class TestMediaMixedFormats:
         out = media_features(str(tmp_path)).to_pandas().set_index("media_id").sort_index()
         assert len(out) == 20
         for i in range(20):
-            if i % 6 == 5:  # unknown format -> fake path -> target dims
+            if i % 7 == 6:  # unknown format -> fake path -> target dims
                 assert (out.loc[i, "height"], out.loc[i, "width"]) == (32, 32)
-            else:  # PGM/BMP/JPEG/PNG/GIF all really decode -> source dims
+            else:  # PGM/BMP/JPEG/PNG/GIF/TIFF all really decode -> source dims
                 assert (out.loc[i, "height"], out.loc[i, "width"]) == (48, 64), i
         # lossless formats of the same raster must agree exactly on the
         # feature vector: PGM (id 0), BMP (id 1), PNG (id 3) rasters differ
