@@ -118,12 +118,17 @@ def _oracle_pass_rate(corpus: str, out_dir: str, part: int, cap: int) -> float:
 def run_bench() -> dict:
     import ray
 
+    # BSPP_OBJECT_STORE_BYTES pins a deliberately small object store for
+    # the spill-pressure experiment (SCALE.md §10): the streaming
+    # executor must degrade to disk spilling, not fail or corrupt.
+    store = os.environ.get("BSPP_OBJECT_STORE_BYTES")
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        **({"object_store_memory": int(store)} if store else {}),
     )
     from ray.data import DataContext
 
@@ -352,6 +357,12 @@ def run_bench() -> dict:
         "ingest_dedup",
         "user_first_last",
         "session_stats",
+        # round-5 additions
+        "heavy_hitters_checked",
+        "count_min_freq_checked",
+        "approx_quantiles_events_checked",
+        "pack_sequences_checked",
+        "wave_ingest",
     ]
     qtimes = {}
     for name in bench_queries:
