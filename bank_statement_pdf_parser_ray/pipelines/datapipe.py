@@ -2109,7 +2109,9 @@ def warc_ingest(sf_dir: str) -> "ray.data.Dataset":
                     '<div><a href="/terms">terms</a> <a href="/privacy">privacy</a></div>'
                     "</body></html>"
                 )
-                pages.append((f"https://example.org/{src}/{int(i)}", html_doc))
+                # NULL source joins into the URL as '' (the oracle's
+                # coalesce) — 'None' in a URL is not a semantics
+                pages.append((f"https://example.org/{src or ''}/{int(i)}", html_doc))
             shard = os.path.join(out_dir, f"part-{min(ids):012d}.warc.gz")
             tmp = shard + ".tmp"
             write_warc(pages, tmp)
@@ -2137,7 +2139,7 @@ def warc_ingest(sf_dir: str) -> "ray.data.Dataset":
 WARC_INGEST_SQL = """
 WITH u AS (
   SELECT doc_id AS orig_id, coalesce(text, '') AS text,
-         'https://example.org/' || source || '/' || CAST(doc_id AS VARCHAR) AS url
+         'https://example.org/' || coalesce(source, '') || '/' || CAST(doc_id AS VARCHAR) AS url
   FROM documents
 ), c AS (
   SELECT url,
@@ -2907,11 +2909,17 @@ def _stratified_cut(t: pa.Table, per_stratum: int) -> pa.Table:
 
 def _stratified_select(ds: "ray.data.Dataset", per_stratum: int) -> "ray.data.Dataset":
     """Two-level stratified selection: per-batch pre-cut (the shuffle
-    moves ≤ per_stratum × langs × blocks rows), then one groupby(lang)
-    final cut."""
+    moves ≤ per_stratum × langs × blocks rows), then one hash-shard
+    final cut (whole langs co-locate; the cut ranks per lang run inside
+    the shard, so a shard holding several langs is still exact). The
+    shard exchange, not Ray's sort groupby, because a NULL lang is its
+    own stratum and the sort path cannot partition a nullable string
+    key (NULL-lang fuzz)."""
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
     cut = lambda t: _stratified_cut(t, per_stratum)
     ds = ds.map_batches(cut, batch_format="pyarrow", zero_copy_batch=True)
-    out = ds.groupby("lang").map_groups(cut, batch_format="pyarrow")
+    out = shard_map_groups(ds, ["lang"], cut)
     return out.select_columns(["doc_id", "lang", "sample_key"])
 
 
@@ -2976,16 +2984,30 @@ def temperature_mixture(sf_dir: str, m: int = 200, alpha: float = 0.5) -> "ray.d
     the shuffle, then one groupby(lang) final cut — the raw corpus
     never shuffles. Oracle: the same quota arithmetic and md5 ranking
     restated in SQL."""
-    counts = _docs(sf_dir, ["lang"]).groupby("lang").count().to_pandas()
-    counts = counts[counts["lang"].notna()].sort_values("lang")
+    # NULL lang never gets a quota (oracle: WHERE lang IS NOT NULL then
+    # an equality join) — filter it up front so the sort exchange never
+    # sees a nullable string key
+    def valid_lang(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column("lang")))
+
+    counts = (
+        _docs(sf_dir, ["lang"])
+        .map_batches(valid_lang, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .count()
+        .to_pandas()
+        .sort_values("lang")
+    )
     pw = counts["count()"].to_numpy(dtype=float) ** alpha
     tot = pw.sum()
     quota = {
         l: int(np.floor(m * w / tot)) for l, w in zip(counts["lang"], pw)
     }
 
-    ds = _docs(sf_dir, ["doc_id", "lang"]).map_batches(
-        _add_sample_key, batch_format="pyarrow", zero_copy_batch=True
+    ds = (
+        _docs(sf_dir, ["doc_id", "lang"])
+        .map_batches(valid_lang, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(_add_sample_key, batch_format="pyarrow", zero_copy_batch=True)
     )
     cut = lambda t: _quota_cut(t, quota)
     ds = ds.map_batches(cut, batch_format="pyarrow", zero_copy_batch=True)
@@ -3691,7 +3713,6 @@ def hash_split(sf_dir: str) -> pd.DataFrame:
     The assignment is the per-row map; the rollup is the partial
     pre-agg pattern: each batch collapses to at most |langs| x 3 rows
     via a local Arrow group-by before the (tiny) global exchange."""
-    from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_pylist()
@@ -3700,8 +3721,14 @@ def hash_split(sf_dir: str) -> pd.DataFrame:
         g = pa.TableGroupBy(local, ["lang", "split"]).aggregate([("split", "count")])
         return g.rename_columns(["lang", "split", "p_n"])
 
+    from bank_statement_pdf_parser_ray.stages.agg import shard_aggregate
+
     ds = _docs(sf_dir, ["doc_id", "lang"]).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    out = ds.groupby(["lang", "split"]).aggregate(Sum("p_n", alias_name="n_docs")).to_pandas()
+    # hash-shard reduce: Ray's sort groupby cannot partition a nullable
+    # string key (NULL-lang fuzz)
+    out = shard_aggregate(
+        ds, ["lang", "split"], [("p_n", "sum")], ["lang", "split", "n_docs"]
+    ).to_pandas()
     out["n_docs"] = out["n_docs"].astype("int64")
     return out.sort_values(["lang", "split"]).reset_index(drop=True)
 
@@ -4884,11 +4911,18 @@ SOURCE_CAP_K = 50
 
 def _source_cap_cut(t: pa.Table, k: int, with_rank: bool) -> pa.Table:
     """Keep the k smallest doc_ids per source in this table. Vectorized:
-    one lexsort + consecutive-group rank, no per-row Python."""
+    one lexsort + consecutive-group rank, no per-row Python. NULL
+    source is its own group (SQL PARTITION BY), grouped via dictionary
+    codes — an object-array lexsort would crash on None."""
     src = t.column("source").to_numpy(zero_copy_only=False)
+    codes = (
+        pc.fill_null(pc.dictionary_encode(t.column("source").combine_chunks()).indices, -1)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64, copy=False)
+    )
     did = t.column("doc_id").to_numpy(zero_copy_only=False)
-    order = np.lexsort((did, src))
-    s_sorted = src[order]
+    order = np.lexsort((did, codes))
+    s_sorted = codes[order]
     n = len(s_sorted)
     if n == 0:
         cols = {"doc_id": pa.array([], pa.int64()), "source": pa.array([], pa.string())}
@@ -4929,9 +4963,13 @@ def source_cap(sf_dir: str, k: int = SOURCE_CAP_K) -> "ray.data.Dataset":
     def final(g: pa.Table) -> pa.Table:
         return _source_cap_cut(g, k, with_rank=True)
 
+    from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
+
     ds = _docs(sf_dir, ["doc_id", "source"])
     ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return ds.groupby("source").map_groups(final, batch_format="pyarrow")
+    # hash-shard exchange (whole sources co-locate): Ray's sort groupby
+    # cannot partition a nullable string key (NULL-source fuzz)
+    return shard_map_groups(ds, ["source"], final)
 
 
 SOURCE_CAP_SQL = """
@@ -5162,6 +5200,17 @@ def _synth_image_blob(doc_id: int, text: str) -> bytes:
         from bank_statement_pdf_parser_ray.core.gif import encode_gif_gray
 
         return encode_gif_gray(np.frombuffer(raster, np.uint8).reshape(48, 64))
+    if digest[3] & 1:
+        # half the PGM slot arrives as scanned-statement TIFF (lossless
+        # LZW + predictor, WhiteIsZero — content-keyed like the rest)
+        from bank_statement_pdf_parser_ray.core.tiff import encode_tiff_gray
+
+        return encode_tiff_gray(
+            np.frombuffer(raster, np.uint8).reshape(48, 64),
+            compression="lzw",
+            predictor=2,
+            white_is_zero=True,
+        )
     return b"P5 64 48 255\n" + raster
 
 
@@ -5911,7 +5960,11 @@ def wave_ingest(sf_dir: str) -> pd.DataFrame:
     )
     merged["n_docs"] = merged["n_docs"].astype("int64")
     merged["norm_chars"] = merged["norm_chars"].astype("int64")
-    return merged.sort_values("lang").reset_index(drop=True)
+    # pandas groupby renders the NULL-lang group as NaN; the oracle's
+    # .df() carries None — normalize so the driver's value compare of
+    # the object column agrees
+    merged["lang"] = merged["lang"].where(pd.notna(merged["lang"]), None)
+    return merged.sort_values("lang", na_position="last").reset_index(drop=True)
 
 
 WAVE_INGEST_SQL = r"""

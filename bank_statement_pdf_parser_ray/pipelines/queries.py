@@ -293,9 +293,14 @@ GROUP BY c_mktsegment
 
 
 def distinct_langs(sf_dir: str) -> pd.DataFrame:
-    """D-family distinct over one column (shuffle of unique values only)."""
+    """D-family distinct over one column (shuffle of unique values
+    only). SELECT DISTINCT keeps one NULL row; None cannot join a
+    Python sort, so it is appended after the sorted values."""
     vals = _read(sf_dir, "documents", ["lang"]).unique("lang")
-    return pd.DataFrame({"lang": sorted(vals)})
+    non_null = sorted(v for v in vals if v is not None)
+    if len(non_null) < len(vals):
+        non_null.append(None)
+    return pd.DataFrame({"lang": pd.Series(non_null, dtype="object")})
 
 
 DISTINCT_LANGS_SQL = "SELECT DISTINCT lang FROM documents"

@@ -599,6 +599,10 @@ class TestRandomizedDocsOracleParity:
         "count_min_freq_checked",
         "pack_sequences_checked",
         "wave_ingest",
+        # round-5 late: NULL lang/source dirt added to this generator;
+        # the stratified/mixture engines join the sweep under it
+        "stratified_sample",
+        "mixture_sample",
     ]
 
     @pytest.mark.parametrize("seed", [1, 2, 3])
@@ -634,8 +638,17 @@ class TestRandomizedDocsOracleParity:
             {
                 "doc_id": pa.array(np.arange(n), pa.int64()),
                 "text": pa.array(texts, pa.string()),
-                "lang": pa.array([str(x) for x in rng.choice(["en", "de", "fr", "zz"], n)]),
-                "source": pa.array([str(x) for x in rng.choice(["web", "book", "code"], n)]),
+                # ~5% NULL lang/source: GROUP BY / PARTITION BY keep a
+                # NULL group, WHERE lang = 'x' drops it — every keyed
+                # engine must pick the same convention as its oracle
+                "lang": pa.array(
+                    [None if rng.random() < 0.05 else str(x) for x in rng.choice(["en", "de", "fr", "zz"], n)],
+                    pa.string(),
+                ),
+                "source": pa.array(
+                    [None if rng.random() < 0.05 else str(x) for x in rng.choice(["web", "book", "code"], n)],
+                    pa.string(),
+                ),
                 "n_chars": pa.array([0 if s is None else len(s) for s in texts], pa.int64()),
             }
         )
