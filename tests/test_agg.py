@@ -210,3 +210,88 @@ class TestNumpyShardPath:
             .reset_index(drop=True)
         )
         assert got["s"].tolist() == exp["s"].tolist()
+
+
+class TestNullSafeGroup:
+    """Direct coverage of the pyarrow mixed-width null-key workaround
+    (stages/agg.py null_safe_group) — the fuzz families exercise it
+    end-to-end; these pin the helper itself."""
+
+    def _mk(self, n=8000, seed=7):
+        rng = np.random.default_rng(seed)
+        s = pa.array(
+            [None if rng.random() < 0.2 else f"s{v}" for v in rng.integers(0, 3, n)],
+            pa.string(),
+        )
+        k = pa.array(
+            [None if rng.random() < 0.2 else int(v) for v in rng.integers(0, 3, n)],
+            pa.int64(),
+        )
+        v = pa.array(rng.uniform(0, 1, n), pa.float64())
+        return pa.table({"s": s, "k": k, "v": v})
+
+    def test_reproduces_the_pyarrow_defect(self):
+        # plain TableGroupBy over-counts groups on this shape (the bug
+        # this helper exists for); if pyarrow fixes it this test tells
+        # us the workaround can go
+        from bank_statement_pdf_parser_ray.stages.agg import null_safe_group
+
+        t = self._mk()
+        plain = pa.TableGroupBy(t, ["s", "k"]).aggregate([]).num_rows
+        exp = len(t.to_pandas().groupby(["s", "k"], dropna=False))
+        assert exp == 16
+        fixed = null_safe_group(t, ["s", "k"], []).num_rows
+        assert fixed == exp
+        assert plain > exp  # the defect is real on this pyarrow
+
+    def test_values_and_null_restoration(self):
+        from bank_statement_pdf_parser_ray.stages.agg import null_safe_group
+
+        t = self._mk()
+        got = (
+            null_safe_group(t, ["s", "k"], [("v", "sum"), ([], "count_all")])
+            .to_pandas()
+            .sort_values(["s", "k"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            t.to_pandas()
+            .groupby(["s", "k"], dropna=False)
+            .agg(v_sum=("v", "sum"), count_all=("v", "size"))
+            .reset_index()
+            .sort_values(["s", "k"])
+            .reset_index(drop=True)
+        )
+        assert list(got.columns) == ["s", "k", "v_sum", "count_all"]
+        assert got["count_all"].tolist() == exp["count_all"].tolist()
+        assert np.allclose(got["v_sum"], exp["v_sum"])
+        # NULL keys restored as real nulls, not sentinel values
+        assert got["s"].isna().sum() == exp["s"].isna().sum()
+        assert got["k"].isna().sum() == exp["k"].isna().sum()
+
+    def test_agg_over_key_column_sees_original_nulls(self):
+        from bank_statement_pdf_parser_ray.stages.agg import null_safe_group
+
+        t = self._mk()
+        got = null_safe_group(t, ["s", "k"], [("s", "count")]).to_pandas()
+        exp = (
+            t.to_pandas().groupby(["s", "k"], dropna=False)["s"].count().reset_index(name="s_count")
+        )
+        m = got.sort_values(["s", "k"]).reset_index(drop=True)
+        e = exp.sort_values(["s", "k"]).reset_index(drop=True)
+        # count('s') skips nulls: the NULL-s groups must count 0, which
+        # only happens if the aggregation reads the ORIGINAL column
+        assert m["s_count"].tolist() == e["s_count"].tolist()
+        assert (m.loc[m["s"].isna(), "s_count"] == 0).all()
+
+    def test_safe_shapes_short_circuit(self):
+        from bank_statement_pdf_parser_ray.stages.agg import null_safe_group
+
+        t = self._mk()
+        # same-width keys (str+str / int+int) and null-free tables take
+        # the plain path and still agree with pandas
+        t2 = pa.table({"a": t.column("s"), "b": t.column("s"), "v": t.column("v")})
+        got = null_safe_group(t2, ["a", "b"], [([], "count_all")]).num_rows
+        assert got == len(t2.to_pandas().groupby(["a", "b"], dropna=False))
+        t3 = t.filter(pa.compute.and_(pa.compute.is_valid(t.column("s")), pa.compute.is_valid(t.column("k"))))
+        assert null_safe_group(t3, ["s", "k"], []).num_rows == 9
