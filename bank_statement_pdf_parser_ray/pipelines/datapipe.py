@@ -3352,10 +3352,13 @@ class VideoFrameSampleActor:
     YUV4MPEG2 (.y4m) parser — plain-text stream header (W/H/F/C
     parameters), then fixed-size ``FRAME`` records of raw planes
     (Cmono = Y only; the C420 family = Y + 2 quarter chroma planes).
-    Codec containers (mp4/webm/mkv) would need libraries this
-    environment does not ship and yield a single NULL-feature row per
-    video rather than a fake, so callers can tell decoded from
-    undecodable.
+    MP4/ISO-BMFF containers get a REAL container probe (core/mp4.py:
+    box walk for duration, geometry, sample count, codec fourcc — the
+    filter-before-decode pass a video pipeline runs first) with NULL
+    frame features, since the codec payload needs libraries this
+    environment does not ship; other codec containers (webm/mkv) yield
+    a single all-NULL row rather than a fake, so callers can tell
+    decoded from probed from undecodable.
 
     Scale shape (the point of frame-sampling): Y4M frames are
     fixed-size, so the k sampled frames are reached by OFFSET
@@ -3455,10 +3458,31 @@ class VideoFrameSampleActor:
         mid_c, fi_c, nf_c, w_c, h_c, fps_c, luma_c = [], [], [], [], [], [], []
         for mid, blob in zip(t.column("media_id").to_pylist(), t.column("media").to_pylist()):
             dec = self._sample(blob or b"")
-            if dec is None:  # undecodable: one NULL row, never a fake
+            if dec is None:
+                # MP4/ISO-BMFF: the CONTAINER parses for real
+                # (core/mp4.py — duration, geometry, sample count); the
+                # codec payload stays honestly undecoded, so frame
+                # columns are NULL and only container metadata is
+                # reported. Anything else: one all-NULL row, never a
+                # fake.
+                meta = None
+                if blob:
+                    from bank_statement_pdf_parser_ray.core.mp4 import parse_mp4_meta
+
+                    meta = parse_mp4_meta(blob)
                 mid_c.append(mid)
-                fi_c.append(None), nf_c.append(None), w_c.append(None)
-                h_c.append(None), fps_c.append(None), luma_c.append(None)
+                fi_c.append(None)
+                luma_c.append(None)
+                if meta is not None:
+                    nf_c.append(meta.get("n_samples"))
+                    w_c.append(meta.get("width"))
+                    h_c.append(meta.get("height"))
+                    dur = meta.get("duration_s") or 0.0
+                    ns = meta.get("n_samples")
+                    fps_c.append(ns / dur if ns and dur > 0 else None)
+                else:
+                    nf_c.append(None), w_c.append(None)
+                    h_c.append(None), fps_c.append(None)
                 continue
             frames, n_frames, w, h, fps = dec
             for idx, luma in frames:
@@ -3498,15 +3522,29 @@ def video_frames(sf_dir: str, n_sample: int = 4) -> "ray.data.Dataset":
     closed form."""
 
     def to_media(t: pa.Table) -> pa.Table:
+        from bank_statement_pdf_parser_ray.core.mp4 import synth_mp4_stub
+
         ids = t.column("doc_id").to_pylist()
+        blobs = []
+        for i in ids:
+            i = int(i)
+            if i % 5 == 4:
+                # every 5th clip arrives as an MP4 container: the probe
+                # path (real box parse, NULL frame features) runs in the
+                # driver query, not just unit tests
+                blobs.append(synth_mp4_stub(i, n_frames=8 + i % 17, fps=12))
+            else:
+                blobs.append(_synth_y4m(i, n_frames=4 + i % 13))
         return pa.table(
             {
                 "media_id": t.column("doc_id"),
-                "media": pa.array([_synth_y4m(int(i), n_frames=4 + int(i) % 13) for i in ids], pa.binary()),
+                "media": pa.array(blobs, pa.binary()),
             }
         )
 
-    ds = _cached_media_corpus(sf_dir, "y4m", to_media, ["doc_id"])
+    # tag versions with the synth recipe — the cache key is (source
+    # table, tag), so a recipe change must bump the tag
+    ds = _cached_media_corpus(sf_dir, "y4m-mp4-v2", to_media, ["doc_id"])
     return ds.map_batches(
         VideoFrameSampleActor,
         fn_constructor_args=(n_sample,),

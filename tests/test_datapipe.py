@@ -616,8 +616,18 @@ class TestVideoFrames:
         by_id = {}
         for r in t:
             by_id.setdefault(r["media_id"], []).append(r)
-        # every video decoded (synth blobs are always valid y4m)
         for mid, rows in by_id.items():
+            if mid % 5 == 4:
+                # MP4 slot: one container-metadata row — real box parse
+                # (geometry, sample count, fps), NULL frame features
+                assert len(rows) == 1
+                (r,) = rows
+                assert r["frame_idx"] is None and r["mean_luma"] is None
+                assert r["n_frames"] == 8 + mid % 17
+                assert (r["width"], r["height"]) == (320, 240)
+                assert abs(r["fps"] - 12.0) < 1e-9
+                continue
+            # y4m slots: every frame really decoded
             n_frames = 4 + mid % 13
             assert all(r["n_frames"] == n_frames for r in rows)
             assert len(rows) == min(4, n_frames)
