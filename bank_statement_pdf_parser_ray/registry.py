@@ -302,6 +302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": dp.pack_sequences,
         "pack_sequences_checked": dp.pack_sequences_checked,
         "wave_ingest": dp.wave_ingest,
+        "media_probe": dp.media_probe,
         "langid": dp.langid,
         "doc_fingerprint": dp.doc_fingerprint,
         "passage_dedup": co.passage_dedup,

@@ -363,6 +363,7 @@ def run_bench() -> dict:
         "approx_quantiles_events_checked",
         "pack_sequences_checked",
         "wave_ingest",
+        "media_probe",
     ]
     qtimes = {}
     for name in bench_queries:
