@@ -931,9 +931,12 @@ def events_stats(sf_dir: str) -> pd.DataFrame:
     """Distributed second-moment statistics per event_type: n, mean,
     sample stddev — computed from partial (n, Σv, Σv²) sums combined
     per batch before the shuffle, the classic one-pass distributed
-    moments pattern (vs the oracle's streaming stddev_samp; both
-    rounded to 6 decimals, far above the ~1e-10 moment-cancellation
-    noise at this value range). Final reduce via the hash-shard
+    moments pattern (vs the oracle's streaming stddev_samp). UNROUNDED
+    on both sides: rounding two independently-summed doubles to a fixed
+    decimal flips at half-way boundaries (a 1e-13 summation difference
+    becomes exactly 1e-6 — the seed-6 fuzz catch), while the raw
+    moment-cancellation noise (~1e-10 at this value range) sits inside
+    the compare tolerance. Final reduce via the hash-shard
     exchange — Ray's sort groupby cannot partition a nullable string
     key (NULL-event_type fuzz)."""
     from bank_statement_pdf_parser_ray.stages.agg import shard_aggregate
@@ -996,8 +999,8 @@ def events_stats(sf_dir: str) -> pd.DataFrame:
         {
             "event_type": out["event_type"],
             "n": out["n"].astype("int64"),
-            "avg_value": np.round(mean, 6),
-            "stddev_value": np.round(np.sqrt(var), 6),
+            "avg_value": mean,
+            "stddev_value": np.sqrt(var),
         }
     )
     return res
@@ -1005,9 +1008,9 @@ def events_stats(sf_dir: str) -> pd.DataFrame:
 
 EVENTS_STATS_SQL = """
 SELECT event_type,
-       count(*)                        AS n,
-       round(avg(value), 6)            AS avg_value,
-       round(stddev_samp(value), 6)    AS stddev_value
+       count(*)               AS n,
+       avg(value)             AS avg_value,
+       stddev_samp(value)     AS stddev_value
 FROM events GROUP BY event_type
 """
 

@@ -442,8 +442,8 @@ class TestRandomizedOracleParity:
         )
         O["events_stats"] = """
 SELECT event_type, count(*) AS n,
-       round(avg(CASE WHEN isnan(value) THEN NULL ELSE value END), 6) AS avg_value,
-       round(stddev_samp(CASE WHEN isnan(value) THEN NULL ELSE value END), 6) AS stddev_value
+       avg(CASE WHEN isnan(value) THEN NULL ELSE value END) AS avg_value,
+       stddev_samp(CASE WHEN isnan(value) THEN NULL ELSE value END) AS stddev_value
 FROM events GROUP BY event_type
 """
         O["user_value_quantiles"] = """
