@@ -162,6 +162,33 @@ def _semantic_dedup_checked(sf_dir: str):
     return df
 
 
+def _schema_stable(fn: "Callable[[str], Any]") -> "Callable[[str], Any]":
+    """ray Dataset.to_pandas() returns a ZERO-COLUMN frame when every
+    block is empty, even though the blocks (and Dataset.schema()) carry
+    the schema — so an all-empty Dataset result would fail any
+    schema-sensitive consumer (driver compare, fuzz canon). Wrap every
+    registered query: materialize, and hand back a typed EMPTY
+    pyarrow.Table built from the dataset schema when no rows survived
+    (found by the seed-13 TPC-H fuzz on filter_highvalue)."""
+    import functools
+
+    @functools.wraps(fn)
+    def run(sf_dir: str) -> Any:
+        r = fn(sf_dir)
+        import ray.data as _rd
+
+        if isinstance(r, _rd.Dataset):
+            m = r.materialize()
+            if m.count() == 0:
+                sch = m.schema()
+                if sch is not None:
+                    return pa.schema(list(zip(sch.names, sch.types))).empty_table()
+            return m
+        return r
+
+    return run
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from bank_statement_pdf_parser_ray.pipelines import bpe, mlprep
     from bank_statement_pdf_parser_ray.pipelines import cluster as cl
@@ -172,7 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from bank_statement_pdf_parser_ray.pipelines import queries as q
     from bank_statement_pdf_parser_ray.pipelines import windows as w
 
-    return {
+    table: dict[str, Callable[[str], Any]] = {
         # flagship extraction (oracle-equality checked in pytest; rows-only here)
         "extract_corpus": _extract_corpus,
         "extract_documents": _extract_documents,
@@ -375,6 +402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_neardup": dp.audio_neardup,
         "video_neardup": dp.video_neardup,
     }
+    return {name: _schema_stable(fn) for name, fn in table.items()}
 
 
 def oracle_sql() -> dict[str, str]:
