@@ -317,12 +317,10 @@ def bucketed_join_revenue(sf_dir: str, n_buckets: int = 16) -> "pa.Table":
             o = pads.dataset(od).to_table()
             li = pads.dataset(ld).to_table()
             j = li.join(o, keys=["l_orderkey"], right_keys=["o_orderkey"], join_type="inner")
-            rev = pc.multiply(
-                j.column("l_extendedprice"),
-                pc.subtract(pa.scalar(1.0), j.column("l_discount")),
-            )
+            from bank_statement_pdf_parser_ray.pipelines.queries import _rev_units
+
             g = pa.TableGroupBy(
-                pa.table({"o_orderpriority": j.column("o_orderpriority"), "rev": rev}),
+                pa.table({"o_orderpriority": j.column("o_orderpriority"), "rev": _rev_units(j)}),
                 ["o_orderpriority"],
             ).aggregate([("rev", "sum"), ([], "count_all")])
             parts.append(g.rename_columns(["o_orderpriority", "p_sum", "p_n"]))
@@ -330,7 +328,7 @@ def bucketed_join_revenue(sf_dir: str, n_buckets: int = 16) -> "pa.Table":
             return pa.table(
                 {
                     "o_orderpriority": pa.array([], pa.string()),
-                    "p_sum": pa.array([], pa.float64()),
+                    "p_sum": pa.array([], pa.int64()),
                     "p_n": pa.array([], pa.int64()),
                 }
             )
@@ -347,12 +345,16 @@ def bucketed_join_revenue(sf_dir: str, n_buckets: int = 16) -> "pa.Table":
         .sort_values("o_orderpriority")
         .reset_index(drop=True)
     )
-    out["revenue"] = out["revenue"].round(2)
+    from bank_statement_pdf_parser_ray.pipelines.queries import _units_to_currency
+
+    out["revenue"] = _units_to_currency(out["revenue"])
     return out
 
 
-BUCKETED_JOIN_REVENUE_SQL = """
-SELECT o_orderpriority, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+from bank_statement_pdf_parser_ray.pipelines.queries import _REV_SUM_SQL as _RSQL
+
+BUCKETED_JOIN_REVENUE_SQL = f"""
+SELECT o_orderpriority, {_RSQL} AS revenue,
        count(*) AS n_items
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority

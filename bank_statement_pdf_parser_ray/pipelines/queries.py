@@ -39,6 +39,40 @@ def _read(sf_dir: str, table: str, columns: list[str]) -> "ray.data.Dataset":
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _rev_units(t: pa.Table) -> "pa.Array":
+    """Line revenue in EXACT integer ten-thousandths of currency:
+    l_extendedprice has two decimals and l_discount has two, so
+    ``price_cents * (100 - discount_pct)`` is the exact decimal product
+    as an int64 — summing integers makes per-group revenue
+    deterministic to the last cent. The float path it replaces
+    (``sum(price * (1 - disc))`` rounded to 2) lands EXACTLY on .005
+    half-cents often (products are multiples of 0.0001), where numpy's
+    half-even and DuckDB's half-away rounding diverge by a whole cent —
+    the seed-19/20 fuzz catch. NULL price/discount propagates to a NULL
+    unit (SQL sum-skips semantics preserved)."""
+    p = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"), pa.scalar(100.0))), pa.int64())
+    d = pc.cast(pc.round(pc.multiply(t.column("l_discount"), pa.scalar(100.0))), pa.int64())
+    return pc.multiply(p, pc.subtract(pa.scalar(100, pa.int64()), d))
+
+
+def _units_to_currency(s: "pd.Series | np.ndarray") -> "np.ndarray":
+    """Integer ten-thousandth sums -> 2-decimal currency, rounding
+    half AWAY from zero in integer space (DuckDB round() semantics;
+    the oracle does the same arithmetic: ``(sum + 50) // 100 / 100``).
+    NaN (empty/all-NULL group) passes through."""
+    a = np.asarray(s, dtype=np.float64)
+    out = np.where(a >= 0, np.floor((a + 50) / 100), -np.floor((-a + 50) / 100)) / 100.0
+    return np.where(np.isnan(a), np.nan, out)
+
+
+# the same exact-integer revenue expression, for the DuckDB oracles
+_REV_UNITS_SQL = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+)
+_REV_SUM_SQL = f"CAST((sum({_REV_UNITS_SQL}) + 50) // 100 AS DOUBLE) / 100.0"
+
+
 def lineitem_agg(sf_dir: str) -> pd.DataFrame:
     """G2-style grouped aggregate with PARTIAL pre-aggregation: each
     batch combines into one row per key BEFORE the shuffle, so the
@@ -47,8 +81,7 @@ def lineitem_agg(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Count, Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))
-        t = t.append_column("rev", rev)
+        t = t.append_column("rev", _rev_units(t))  # exact integer units
         g = pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
             # count_all, not count(l_quantity): the oracle's count(*)
             # includes NULL-quantity rows (NULL-ts/price fuzz catch)
@@ -64,15 +97,15 @@ def lineitem_agg(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     out["sum_qty"] = out["sum_qty"].round(2)
-    out["sum_rev"] = out["sum_rev"].round(2)
+    out["sum_rev"] = _units_to_currency(out["sum_rev"])
     out["n_rows"] = out["n_rows"].astype("int64")
     return out
 
 
-LINEITEM_AGG_SQL = """
+LINEITEM_AGG_SQL = f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)                                   AS sum_qty,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_rev,
+       {_REV_SUM_SQL} AS sum_rev,
        count(*)                                                    AS n_rows
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
@@ -567,8 +600,7 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
         valid = pc.is_valid(idx)  # inner-join semantics on every hop
         t = t.filter(valid)
         names = pc.take(lu.column("r_name").combine_chunks(), idx.filter(valid))
-        rev = pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))
-        t2 = pa.table({"r_name": names, "rev": rev})
+        t2 = pa.table({"r_name": names, "rev": _rev_units(t)})
         g = pa.TableGroupBy(t2, ["r_name"]).aggregate([("rev", "sum"), ([], "count_all")])
         return g.rename_columns(["r_name", "p_sum", "p_n"])
 
@@ -579,13 +611,13 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("p_sum", alias_name="revenue"), Sum("p_n", alias_name="n_items"))
         .to_pandas()
     )
-    out["revenue"] = out["revenue"].round(2)
+    out["revenue"] = _units_to_currency(out["revenue"])
     out["n_items"] = out["n_items"].astype("int64")
     return out
 
 
-Q5_REGION_REVENUE_SQL = """
-SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_items
+Q5_REGION_REVENUE_SQL = f"""
+SELECT r_name, {_REV_SUM_SQL} AS revenue, count(*) AS n_items
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation   ON s_nationkey = n_nationkey
@@ -613,8 +645,7 @@ def part_brand_revenue(sf_dir: str) -> pd.DataFrame:
         valid = pc.is_valid(idx)
         t = t.filter(valid)
         brand = pc.take(lu.column("p_brand").combine_chunks(), idx.filter(valid))
-        rev = pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))
-        t2 = pa.table({"p_brand": brand, "rev": rev, "l_quantity": t.column("l_quantity")})
+        t2 = pa.table({"p_brand": brand, "rev": _rev_units(t), "l_quantity": t.column("l_quantity")})
         g = pa.TableGroupBy(t2, ["p_brand"]).aggregate(
             [("rev", "sum"), ("l_quantity", "sum"), ([], "count_all")]  # oracle count(*)
         )
@@ -631,15 +662,15 @@ def part_brand_revenue(sf_dir: str) -> pd.DataFrame:
         )
         .to_pandas()
     )
-    out["revenue"] = out["revenue"].round(2)
+    out["revenue"] = _units_to_currency(out["revenue"])
     out["sum_qty"] = out["sum_qty"].round(2)
     out["n_items"] = out["n_items"].astype("int64")
     return out
 
 
-PART_BRAND_REVENUE_SQL = """
+PART_BRAND_REVENUE_SQL = f"""
 SELECT p_brand,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       {_REV_SUM_SQL} AS revenue,
        round(sum(l_quantity), 2)                         AS sum_qty,
        count(*)                                          AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -2048,10 +2079,7 @@ def incremental_agg(sf_dir: str) -> pd.DataFrame:
 
     def partials_for(parity: int) -> pd.DataFrame:
         def partial(t: pa.Table) -> pa.Table:
-            rev = pc.multiply(
-                t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
-            )
-            t = t.append_column("rev", rev)
+            t = t.append_column("rev", _rev_units(t))  # exact integer units
             g = pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
                 [("l_quantity", "sum"), ("rev", "sum"), ([], "count_all")]  # oracle count(*)
             )
@@ -2082,7 +2110,7 @@ def incremental_agg(sf_dir: str) -> pd.DataFrame:
         .sum()
     )
     merged["sum_qty"] = merged["sum_qty"].round(2)
-    merged["sum_rev"] = merged["sum_rev"].round(2)
+    merged["sum_rev"] = _units_to_currency(merged["sum_rev"])
     merged["n_rows"] = merged["n_rows"].astype("int64")
     return merged.sort_values(keys).reset_index(drop=True)
 
@@ -2915,12 +2943,9 @@ def q3_shipping(sf_dir: str, k: int = 10) -> pd.DataFrame:
     )
 
     def li_partial(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            t.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
-        )
         g = pa.TableGroupBy(
-            pa.table({"l_orderkey": t.column("l_orderkey"), "rev": rev}), ["l_orderkey"]
+            pa.table({"l_orderkey": t.column("l_orderkey"), "rev": _rev_units(t)}),
+            ["l_orderkey"],
         ).aggregate([("rev", "sum")])
         return g.rename_columns(["l_orderkey", "p_rev"])
 
@@ -2958,12 +2983,15 @@ def q3_shipping(sf_dir: str, k: int = 10) -> pd.DataFrame:
         j = o.join(l, keys=["l_orderkey"], join_type="inner")
         g2 = pa.TableGroupBy(j, ["l_orderkey", "o_orderdate"]).aggregate([("p_rev", "sum")])
         g2 = g2.rename_columns(["l_orderkey", "o_orderdate", "revenue"])
-        rev = pc.round(g2.column("revenue"), 2).to_numpy(zero_copy_only=False)
+        # exact integer units -> 2-decimal currency BEFORE the ranking
+        # cut, so revenue ties (and the top-k boundary) are decided on
+        # the same cents the oracle ranks on
+        rev = _units_to_currency(g2.column("revenue").to_numpy(zero_copy_only=False))
+        g2 = g2.set_column(2, "revenue", pa.array(rev, pa.float64()))
         od = g2.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
         okey = g2.column("l_orderkey").to_numpy(zero_copy_only=False)
         top = np.lexsort((okey, od, -rev))[:k]
-        out = g2.take(pa.array(np.sort(top)))
-        return out.set_column(2, "revenue", pc.round(out.column("revenue"), 2))
+        return g2.take(pa.array(np.sort(top)))
 
     from bank_statement_pdf_parser_ray.stages.agg import shard_map_groups
 
@@ -2982,8 +3010,8 @@ def q3_shipping(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
-Q3_SHIPPING_SQL = """
-SELECT l_orderkey, o_orderdate, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+Q3_SHIPPING_SQL = f"""
+SELECT l_orderkey, o_orderdate, {_REV_SUM_SQL} AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
 WHERE c_mktsegment = 'BUILDING'
