@@ -2254,6 +2254,87 @@ def media_features(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def media_probe(sf_dir: str) -> "ray.data.Dataset":
+    """Header-only media metadata profiling (core/mediaprobe.py) — the
+    ffprobe-before-ffmpeg pass: identify every blob's container and
+    pull dimensions / duration / codec from fixed header structures,
+    touching O(1) bytes per blob, so decode budget is only spent on
+    blobs the profile admits. The probe corpus mixes every family the
+    engine ships (PGM/BMP/JPEG/PNG/GIF/TIFF images, WAV audio, Y4M and
+    MP4 video) plus a WebP whose GEOMETRY parses from its VP8L stream
+    header even though its pixels stay on the honest-fallback list —
+    the probe deliberately covers more formats than the decoder, as in
+    production. Rows-only (no SQL binary parsing); pytest pins the
+    exact per-slot metadata."""
+    from bank_statement_pdf_parser_ray.core.mediaprobe import probe_media
+
+    def to_media(t: pa.Table) -> pa.Table:
+        import struct as _struct
+
+        from bank_statement_pdf_parser_ray.core.gif import encode_gif_gray
+        from bank_statement_pdf_parser_ray.core.jpeg import encode_jpeg_gray
+        from bank_statement_pdf_parser_ray.core.mp4 import synth_mp4_stub
+        from bank_statement_pdf_parser_ray.core.png import encode_png_gray
+        from bank_statement_pdf_parser_ray.core.tiff import encode_tiff_gray
+
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        blobs = []
+        for i, s in zip(ids, texts):
+            i = int(i)
+            k = i % 10
+            if k in (0, 1, 2, 3, 4, 5):
+                raster = _synth_raster(i, s)
+                img = np.frombuffer(raster, np.uint8).reshape(48, 64)
+                blobs.append(
+                    [
+                        lambda: b"P5 64 48 255\n" + raster,
+                        lambda: _synth_bmp(raster),
+                        lambda: encode_jpeg_gray(img, quality=35),
+                        lambda: encode_png_gray(img),
+                        lambda: encode_gif_gray(img),
+                        lambda: encode_tiff_gray(img),
+                    ][k]()
+                )
+            elif k == 6:
+                blobs.append(_synth_wav(i))
+            elif k == 7:
+                blobs.append(_synth_y4m(i, n_frames=4 + i % 13))
+            elif k == 8:
+                blobs.append(synth_mp4_stub(i, n_frames=8 + i % 17, fps=12))
+            else:
+                # WebP VP8L header (RIFF + 5-byte stream header) over an
+                # opaque compressed payload: geometry probes for real,
+                # pixels stay honestly undecodable here
+                w, h = 64, 48
+                bits = 0x2F | (((w - 1) & 0x3FFF) << 8) | (((h - 1) & 0x3FFF) << 22)
+                vp8l = bytes([bits & 0xFF, (bits >> 8) & 0xFF, (bits >> 16) & 0xFF, (bits >> 24) & 0xFF, (bits >> 32) & 0xFF])
+                payload = vp8l + (i.to_bytes(8, "big") * 8)
+                if len(payload) & 1:
+                    payload += b"\x00"
+                chunk = b"VP8L" + _struct.pack("<I", len(payload)) + payload
+                blobs.append(b"RIFF" + _struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk)
+        return pa.table({"media_id": t.column("doc_id").cast(pa.int64()), "media": pa.array(blobs, pa.binary())})
+
+    FIELDS = ("kind", "width", "height", "n_frames", "duration_s", "sample_rate", "channels", "codec")
+
+    def probe(t: pa.Table) -> pa.Table:
+        metas = [probe_media(b or b"") for b in t.column("media").to_pylist()]
+        cols: dict = {"media_id": t.column("media_id")}
+        for f in FIELDS:
+            vals = [m.get(f) for m in metas]
+            if f in ("kind", "codec"):
+                cols[f] = pa.array(vals, pa.string())
+            elif f == "duration_s":
+                cols[f] = pa.array([None if v is None else float(v) for v in vals], pa.float64())
+            else:
+                cols[f] = pa.array([None if v is None else int(v) for v in vals], pa.int64())
+        return pa.table(cols)
+
+    ds = _cached_media_corpus(sf_dir, "probe-v1", to_media, ["doc_id", "text"])
+    return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True, batch_size=256)
+
+
 # Above this many vectors the broadcast side of the exact path stops
 # fitting a worker heap (n·d float64 ~ 1 GiB at n=1M, d=128) and the
 # router hands off to the LSH-bucketed composition.
